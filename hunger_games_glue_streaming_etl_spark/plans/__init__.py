@@ -1,0 +1,8 @@
+"""Import all plan modules so their ``@register`` decorators populate the
+registry, then re-export it."""
+
+from .registry import ORACLE, QUERIES, register
+
+from . import core  # noqa: E402,F401
+
+__all__ = ["ORACLE", "QUERIES", "register"]

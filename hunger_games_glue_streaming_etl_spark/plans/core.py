@@ -1,0 +1,251 @@
+"""Core relational queries: the reference's own pattern (stream ⋈ dim ⋈ dim +
+CASE projections) re-hosted on the driver's synthetic tables, plus the
+scan/filter/project/join surface of SURVEY.md §2 (ops A3-A6, B1-B12).
+
+Scale notes: dims (`customer`, `nation`, `region`) are broadcast so the fact
+scan never shuffles for these plans; filters/projections are expressed
+declaratively so Catalyst pushes them into the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.relational import latest_per_key
+from ..sources.batch import load_table
+from .registry import register
+
+
+def _events_customer_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's join shape (script/TributeStreamingJob.py:106-107):
+    fact ⋈ small dim ⋈ smaller dim, both broadcast."""
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return events.join(
+        F.broadcast(customer), events.user_id == customer.c_custkey
+    ).join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+
+
+@register(
+    "flagship_user_status",
+    oracle="""
+    SELECT n_name,
+           CASE WHEN value > 150 THEN 'HIGH'
+                WHEN value < 10  THEN 'LOW'
+                ELSE 'MID' END AS value_status,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    JOIN customer ON user_id = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def flagship_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the reference's continuous query pattern — fact stream ⋈
+    two broadcast dims + CASE-derived status (script/TributeStreamingJob.py:
+    106-135) — aggregated per nation/status.
+    """
+    joined = _events_customer_nation(spark, sf_dir)
+    status = (
+        F.when(F.col("value") > 150, "HIGH")
+        .when(F.col("value") < 10, "LOW")
+        .otherwise("MID")
+    )
+    return (
+        joined.withColumn("value_status", status)
+        .groupBy("n_name", "value_status")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "case_derived_status",
+    oracle="""
+    SELECT event_id,
+           c_name,
+           n_name,
+           CASE WHEN value < 20 THEN 'CRITICAL'
+                WHEN value - 20 < 0.5 THEN 'APPROACHING CRITICAL'
+                ELSE 'OK' END AS level_status,
+           CASE WHEN value > 180 THEN 'OVERLOAD'
+                WHEN 180 - value < 5 THEN 'NEAR OVERLOAD'
+                ELSE 'NORMAL' END AS load_status,
+           CASE WHEN c_acctbal < 0 THEN 'DEBT' ELSE 'CREDIT' END AS balance_status
+    FROM events
+    JOIN customer ON user_id = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    """,
+)
+def case_derived_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row CASE derivations (reference B3-B7: threshold bands with the
+    same near-threshold arithmetic, script/TributeStreamingJob.py:111-135)."""
+    joined = _events_customer_nation(spark, sf_dir)
+    return joined.select(
+        "event_id",
+        "c_name",
+        "n_name",
+        F.when(F.col("value") < 20, "CRITICAL")
+        .when(F.col("value") - 20 < 0.5, "APPROACHING CRITICAL")
+        .otherwise("OK")
+        .alias("level_status"),
+        F.when(F.col("value") > 180, "OVERLOAD")
+        .when(F.lit(180) - F.col("value") < 5, "NEAR OVERLOAD")
+        .otherwise("NORMAL")
+        .alias("load_status"),
+        F.when(F.col("c_acctbal") < 0, "DEBT").otherwise("CREDIT").alias("balance_status"),
+    )
+
+
+@register(
+    "filter_project",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_extendedprice * (1 - l_discount) AS net_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_quantity > 45
+    """,
+)
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter + projection pushed into the parquet scan (SURVEY.md §2C
+    'Projections/filters' — the reference only filters via inner-join drop;
+    the engine ships the standalone operator)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_shipdate") >= "1995-01-01") & (F.col("l_quantity") > 45))
+        .select(
+            "l_orderkey",
+            "l_partkey",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        )
+    )
+
+
+@register(
+    "join_inner",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderstatus = 'O'
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_totalprice > 400000
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer with a non-key predicate in the join condition (nulls for
+    non-matching right side)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.join(
+        orders,
+        (customer.c_custkey == orders.o_custkey) & (orders.o_totalprice > 400000),
+        "left",
+    ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join ≡ EXISTS (SURVEY.md §2C 'Joins' — beyond the
+    reference's inner-only surface)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = orders.filter(F.col("o_totalprice") > 450000)
+    return customer.join(
+        big, customer.c_custkey == big.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join ≡ NOT EXISTS (predicate keeps the result non-empty —
+    every customer has some order, so the unfiltered anti is vacuous)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = orders.filter(F.col("o_totalprice") > 400000)
+    return customer.join(
+        big, customer.c_custkey == big.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_broadcast_chain",
+    oracle="""
+    SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(c_acctbal), 2) AS total_balance
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY 1, 2
+    """,
+)
+def join_broadcast_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim-chain broadcast joins (reference A6/B1-B2: cached tiny dims →
+    zero-shuffle join plan; explicit broadcast pins BHJ deterministically)."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        )
+    )
+
+
+@register(
+    "latest_event_per_user",
+    oracle="""
+    SELECT user_id, event_id, event_type, value
+    FROM (
+        SELECT user_id, event_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-oriented 'latest state per key' — the deterministic replacement
+    for the reference's last-writer-wins DynamoDB upsert (A8,
+    script/TributeStreamingJob.py:49-66; SURVEY.md §7 hard part (a)).
+    event_id tiebreak pins intra-timestamp order."""
+    events = load_table(spark, sf_dir, "events")
+    return latest_per_key(events, "user_id", ["ts", "event_id"]).select(
+        "user_id", "event_id", "event_type", "value"
+    )

@@ -1,0 +1,63 @@
+"""SparkSession factory with scale-aware defaults.
+
+The reference job inherits Glue's session wholesale
+(``script/TributeStreamingJob.py:14-16``) and configures nothing.  We pin the
+settings that matter for a 100 TB posture explicitly:
+
+* AQE (runtime re-planning, partition coalescing, skew-join handling) so the
+  physical plan adapts to real statistics at scale;
+* Arrow for every pandas-UDF boundary (the extension operators);
+* UTC session timezone so results are oracle-comparable (DuckDB timestamps
+  are UTC-naive);
+* shuffle partitions sized to the actual parallelism instead of Spark's
+  legacy 200 (over-parallelized for local runs, under- for 100 TB — on a
+  real cluster AQE coalescing makes the initial number mostly a ceiling).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus:
+        return max(1, int(cpus))
+    return os.cpu_count() or 8
+
+
+def get_spark(
+    app_name: str = "hunger-games-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (falling back to all
+    cores) so tests and bench share one code path; on a real cluster the
+    deploy environment supplies the master and these remain sensible.
+    """
+    par = shuffle_partitions or default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{default_parallelism()}]")
+        .config("spark.sql.shuffle.partitions", str(par))
+        .config("spark.default.parallelism", str(par))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,73 @@
+"""Batch readers (reference ops A3/A4: CSV scan, KV-store scan → DataFrame).
+
+The reference reads its dims with header-only CSV inference
+(``script/TributeStreamingJob.py:85-86``) and a Glue DynamicFrame DynamoDB
+scan (``:90-97``).  Semantically both are tiny dimension tables; the engine
+standardizes on Parquet/CSV/JSON readers with *explicit* schemas — inference
+is a correctness hazard (all-string CSV columns compared numerically in the
+reference) and a scale hazard (inference is an extra full pass over data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: T.StructType | None = None, header: bool = True
+) -> DataFrame:
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: T.StructType | None = None, multiline: bool = False
+) -> DataFrame:
+    reader = spark.read.option("multiLine", str(multiline).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """One driver synthetic table (TESTDATA.md) as a DataFrame.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; we read it as a long (legacy conf) and
+    truncate to a microsecond TimestampType — the same µs truncation DuckDB
+    applies, so oracle comparisons stay exact.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # integer div — float division loses µs precision on ~1.7e18 ns values
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Load several synthetic tables at once; defaults to all of them."""
+    wanted = names or TABLE_NAMES
+    return {n: load_table(spark, sf_dir, n) for n in wanted}
