@@ -1,7 +1,7 @@
 """Loaders for the reference's own scenario-replay corpus (read-only at
 ``/root/reference``) — used by the parity tests and the streaming demo.
 
-Corpus shape (SURVEY.md §5): 9 ordered JSON scenario files, 63 events total
+Corpus shape (SURVEY.md §5): 9 ordered JSON scenario files, 65 events total
 (``streamingData/*.json``, each a JSON array), one 16-row CSV dim
 (``staticData/s3/tributeData.csv``) and one 1-row config object
 (``staticData/dynamo/gameData.json``).

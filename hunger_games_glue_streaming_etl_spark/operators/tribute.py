@@ -93,14 +93,17 @@ def derive_tribute_status(joined: DataFrame) -> DataFrame:
     )
 
 
-def tribute_status_output(derived: DataFrame) -> DataFrame:
+def tribute_status_output(derived: DataFrame, passthrough: list[str] | None = None) -> DataFrame:
     """Reference lines 52-65: the sink projection.
 
     12 columns, snake→camel renames (``firstName``→``name``), numeric
     measures cast to string (the reference's ``str(...)`` / DecimalEncoder).
     An explicit select here is also what lets Catalyst prune the scan — the
     reference's whole-row ``foreach`` sink defeats pruning (SURVEY.md §4).
+    ``passthrough`` keeps extra columns (e.g. the streaming sequence id the
+    keyed upsert orders by).
     """
+    extra = [F.col(c) for c in (passthrough or [])]
     return derived.select(
         F.col("tributeid").alias("tributeId"),
         F.col("firstName").alias("name"),
@@ -114,6 +117,7 @@ def tribute_status_output(derived: DataFrame) -> DataFrame:
         F.col("xcoordinate").cast("string").alias("xCoordinate"),
         F.col("ycoordinate").cast("string").alias("yCoordinate"),
         F.col("locationstatus").alias("locationStatus"),
+        *extra,
     )
 
 

@@ -1,0 +1,68 @@
+"""Keyed-upsert sink: the set-oriented replacement for the reference's
+per-row DynamoDB ``put_item`` (op A8, ``script/TributeStreamingJob.py:49-66``).
+
+The reference opens a boto3 client and issues one HTTPS write *per row*
+inside a Python ``foreach`` sink — its hottest anti-pattern (SURVEY.md §3
+step 5).  Here each micro-batch is collapsed to one row per key with a window
+rank (deterministic last-writer-wins via an explicit sequence column —
+SURVEY.md §7 hard part (a)), then merged into the materialized "latest" view
+as a whole partition-parallel DataFrame operation.
+
+The local materialization is a parquet directory swapped atomically; on a
+real deployment the same ``merge`` body is a Delta/Iceberg ``MERGE INTO``
+(keyed storage is pluggable — the reference's DynamoDB table is semantically
+just a keyed parquet view).  Scale note: the merge shuffles on the key
+columns only; the running state stays partitioned by key, and AQE coalesces
+the small post-merge output.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.relational import latest_per_key
+
+
+class ParquetLatestSink:
+    """``foreachBatch``-compatible keyed upsert into a parquet "latest" view.
+
+    ``seq_cols`` define the deterministic event-order (the reference relies
+    on nondeterministic arrival order; we require an explicit sequence).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        keys: str | Sequence[str],
+        seq_cols: str | Sequence[str],
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.keys = [keys] if isinstance(keys, str) else list(keys)
+        self.seq_cols = [seq_cols] if isinstance(seq_cols, str) else list(seq_cols)
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        self.upsert(batch_df)
+
+    def upsert(self, batch_df: DataFrame) -> None:
+        latest = latest_per_key(batch_df, self.keys, self.seq_cols)
+        if os.path.isdir(self.path):
+            current = self.spark.read.parquet(self.path)
+            merged = latest_per_key(
+                current.unionByName(latest), self.keys, self.seq_cols
+            )
+        else:
+            merged = latest
+        tmp = self.path + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(self.path):
+            shutil.rmtree(self.path)
+        os.rename(tmp, self.path)
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
