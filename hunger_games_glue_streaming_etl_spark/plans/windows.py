@@ -1,0 +1,117 @@
+"""Window-function surface (SURVEY.md §2C 'Window functions' — empty in the
+reference; ``row_number`` latest-per-key is the set-oriented form of its
+keyed-upsert sink and lives in ``core.latest_event_per_user``).
+
+Scale notes: a window = one shuffle on partitionBy keys + per-partition sort.
+Skewed partition keys are the hazard; AQE skew handling doesn't apply inside
+window exec, so high-cardinality partition keys (user_id, orderkey) are
+chosen here — the 100 TB guidance is "never window over a constant key".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.relational import top_k_per_group
+from ..sources.batch import load_table
+from .registry import register
+
+
+@register(
+    "window_rank_dense",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS price_rank,
+           CAST(DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS BIGINT) AS prio_rank
+    FROM orders
+    """,
+)
+def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank with deterministic tiebreak columns."""
+    orders = load_table(spark, sf_dir, "orders")
+    w_price = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    w_prio = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.rank().over(w_price).cast("long").alias("price_rank"),
+        F.dense_rank().over(w_prio).cast("long").alias("prio_rank"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+    SELECT user_id, event_id, value,
+           LAG(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+           LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value,
+           value - COALESCE(LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0) AS delta
+    FROM events
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over event time — per-user change detection (the streaming
+    domain's 'status changed since last event')."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value").over(w)
+    return events.select(
+        "user_id",
+        "event_id",
+        "value",
+        prev.alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (F.col("value") - F.coalesce(prev, F.lit(0))).alias("delta"),
+    )
+
+
+@register(
+    "window_running_frame",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg_3,
+           CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_so_far
+    FROM events
+    """,
+)
+def window_running_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit ROWS frames: running total, 3-row moving average, running
+    count. ROWS (not RANGE) frames keep results deterministic under ties."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    moving = w.rowsBetween(-2, Window.currentRow)
+    return events.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(running), 2).alias("running_total"),
+        F.round(F.avg("value").over(moving), 4).alias("moving_avg_3"),
+        F.count("*").over(running).cast("long").alias("n_so_far"),
+    )
+
+
+@register(
+    "window_topk_per_group",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_acctbal
+    FROM (
+        SELECT c_nationkey, c_custkey, c_acctbal,
+               ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
+        FROM customer
+    ) WHERE rn <= 3
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by balance per nation (top_k_per_group operator)."""
+    customer = load_table(spark, sf_dir, "customer")
+    return top_k_per_group(
+        customer, "c_nationkey", ["c_acctbal", "c_custkey"], k=3
+    ).select("c_nationkey", "c_custkey", "c_acctbal")

@@ -1,0 +1,48 @@
+"""Unit tests for operator helpers and approximate aggregates."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hunger_games_glue_streaming_etl_spark.operators.relational import (
+    latest_per_key,
+    top_k_per_group,
+)
+from hunger_games_glue_streaming_etl_spark.plans.aggregates import agg_approx_distinct
+from hunger_games_glue_streaming_etl_spark.sources.batch import load_table
+
+from conftest import SF_DIR
+
+
+def test_latest_per_key_deterministic_tiebreak(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 1, 20), ("a", 2, 5), ("b", 1, 1)],
+        ["k", "ts", "uid"],
+    )
+    out = {r["k"]: (r["ts"], r["uid"]) for r in latest_per_key(df, "k", ["ts", "uid"]).collect()}
+    assert out == {"a": (2, 5), "b": (1, 1)}  # max ts wins; uid breaks ts ties
+
+
+def test_top_k_per_group_exact_k(spark):
+    df = spark.createDataFrame(
+        [("g", i, float(i % 3)) for i in range(10)], ["grp", "id", "v"]
+    )
+    rows = top_k_per_group(df, "grp", ["v", "id"], k=4).collect()
+    assert len(rows) == 4
+    assert {r["id"] for r in rows} == {8, 5, 2, 7}  # v desc then id desc
+
+
+def test_approx_count_distinct_error_bound(spark):
+    approx = {
+        r["l_returnflag"]: r["approx_parts"]
+        for r in agg_approx_distinct(spark, SF_DIR).collect()
+    }
+    li = load_table(spark, SF_DIR, "lineitem")
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) / n < 0.1, (k, approx[k], n)
