@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query executes its full physical plan into the no-op sink (plan runs
+distributed, nothing funnels to the driver — ``collect`` would measure
+driver serialization, not the engine).  A warmup pass absorbs JVM/codegen
+startup so per-query numbers reflect steady state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hunger_games_glue_streaming_etl_spark.plans import QUERIES
+from hunger_games_glue_streaming_etl_spark.session import get_spark
+
+
+def execute_fully(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(app_name="hg-spark-bench")
+
+    # warmup: JVM, codegen, parquet footer caches
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    execute_fully(QUERIES["flagship_user_status"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in sorted(QUERIES):
+        start = time.perf_counter()
+        execute_fully(QUERIES[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

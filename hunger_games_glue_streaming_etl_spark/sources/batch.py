@@ -10,6 +10,8 @@ reference) and a scale hazard (inference is an extra full pass over data).
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
@@ -49,10 +51,26 @@ def read_json(
     return reader.json(path)
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """One driver synthetic table (TESTDATA.md) as a DataFrame.
+# DataFrame handles cached per live session: repeated spark.read.parquet on
+# the same path re-lists files and re-reads footers (~100ms/query of pure
+# overhead in a multi-query run); the logical plan is immutable, so reuse is
+# free.  WeakKey so a stopped session's entries are collectable.
+_table_cache: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """One driver synthetic table (TESTDATA.md) as a DataFrame."""
+    per_session = _table_cache.setdefault(spark, {})
+    key = (sf_dir, name)
+    if key not in per_session:
+        per_session[key] = _read_table(spark, sf_dir, name)
+    return per_session[key]
+
+
+def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
     vectorized reader rejects; we read it as a long (legacy conf) and
     truncate to a microsecond TimestampType — the same µs truncation DuckDB
     applies, so oracle comparisons stay exact.
