@@ -3,6 +3,6 @@ registry, then re-export it."""
 
 from .registry import ORACLE, QUERIES, register
 
-from . import aggregates, core, scalars, setops_sort, windows  # noqa: E402,F401
+from . import aggregates, core, event_time, scalars, setops_sort, windows  # noqa: E402,F401
 
 __all__ = ["ORACLE", "QUERIES", "register"]

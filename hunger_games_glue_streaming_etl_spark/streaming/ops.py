@@ -1,0 +1,137 @@
+"""Streaming-native operators (M3): event-time windows + watermarks, keyed
+deduplication, session windows, and an arbitrary-stateful operator.
+
+The reference's streaming surface is stateless micro-batch + update-mode
+upsert (SURVEY.md §2C: "no watermark, no event-time window, no
+dropDuplicates, no stateful op"); these are the idiomatic Spark expressions
+of its domain ("most up-to-date status", late sensor data) that any credible
+streaming engine must ship.
+
+Scale notes: all state here lives in the HDFS/RocksDB-backed state store,
+partitioned by the grouping key — state size is bounded by (keys ×
+watermark horizon), so every operator takes an explicit watermark; an
+unbounded-state streaming op is a production incident at 100 TB/day.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def windowed_agg(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+    keys: Sequence[str] = ("event_type",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Tumbling (or sliding, when ``slide`` is set) event-time window agg
+    with a watermark bounding both late data and state retention."""
+    win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(win, *keys)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(value_col), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *keys,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def dedup_stream(
+    stream: DataFrame,
+    keys: Sequence[str] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Exactly-once-per-key within the watermark horizon
+    (``dropDuplicates`` keyed state, expired by event time — the bounded
+    form of at-least-once source dedup)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicates([*keys, ts_col])
+
+
+def sessionize_stream(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+    keys: Sequence[str] = ("user_id",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Session windows (gap-close semantics) — the streaming twin of
+    ``plans.event_time.sessionize_batch``."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap), *keys)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(value_col), 2).alias("session_value"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            *keys,
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+# ---- arbitrary stateful processing (applyInPandasWithState) ----------------
+
+RUNNING_STATE_SCHEMA = "user_id long, n_events long, total_value double, max_value double"
+_STATE_SCHEMA = "n long, total double, mx double"
+
+
+def _update_running_state(
+    key: tuple[Any, ...],
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user running (count, sum, max) maintained across micro-batches —
+    the minimal custom stateful operator (update-mode emission per batch)."""
+    if state.exists:
+        n, total, mx = state.get
+    else:
+        n, total, mx = 0, 0.0, float("-inf")
+    for pdf in pdf_iter:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        if len(pdf):
+            mx = max(mx, float(pdf["value"].max()))
+    state.update((n, total, mx))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [round(total, 2)],
+            "max_value": [mx],
+        }
+    )
+
+
+def running_user_state(stream: DataFrame) -> DataFrame:
+    """Arbitrary stateful op: per-user running aggregate via
+    ``applyInPandasWithState`` (Arrow-batched, state-store-backed)."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _update_running_state,
+        outputStructType=RUNNING_STATE_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,149 @@
+"""M3 streaming-semantics e2e: watermark late-data handling, keyed dedup,
+session windows, and arbitrary stateful processing — all driven through real
+micro-batches (file source staged batch-by-batch, memory sink,
+``processAllAvailable`` between stages).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hunger_games_glue_streaming_etl_spark.streaming.ops import (
+    dedup_stream,
+    running_user_state,
+    sessionize_stream,
+    windowed_agg,
+)
+
+STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ]
+)
+
+
+class BatchFeeder:
+    """Stages JSON-lines batches into a stream-source directory."""
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+        self.n = 0
+        os.makedirs(path)
+
+    def feed(self, query, *events: dict) -> None:
+        fname = os.path.join(self.path, f"batch_{self.n:04d}.json")
+        with open(fname, "w") as f:
+            for e in events:
+                f.write(json.dumps(e) + "\n")
+        self.n += 1
+        query.processAllAvailable()
+
+
+def ev(eid: int, ts: str, uid: int = 1, etype: str = "click", value: float = 1.0) -> dict:
+    return {
+        "event_id": eid,
+        "ts": ts,
+        "user_id": uid,
+        "event_type": etype,
+        "value": value,
+    }
+
+
+def _start(spark, df, name: str, mode: str):
+    return (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .start()
+    )
+
+
+def test_tumbling_watermark_drops_late_data(spark, tmp_path):
+    src = str(tmp_path / "src")
+    feeder = BatchFeeder(src)
+    stream = spark.readStream.schema(STREAM_SCHEMA).json(src)
+    q = _start(
+        spark, windowed_agg(stream, watermark="10 minutes"), "tumbling_wm", "append"
+    )
+    try:
+        feeder.feed(q, ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 10:15:00"))
+        # advance watermark far past the 10:00 window -> it finalizes
+        feeder.feed(q, ev(3, "2024-01-01 12:00:00"))
+        # late event for the already-finalized 10:00 window -> dropped
+        feeder.feed(q, ev(4, "2024-01-01 10:20:00"))
+        feeder.feed(q, ev(5, "2024-01-01 14:00:00"))  # flush 12:00 window
+        out = {
+            r["window_start"].isoformat(): r["n_events"]
+            for r in spark.sql("SELECT * FROM tumbling_wm").collect()
+        }
+        assert out["2024-01-01T10:00:00"] == 2  # late event 4 NOT counted
+        assert out["2024-01-01T12:00:00"] == 1
+    finally:
+        q.stop()
+
+
+def test_dedup_stream_within_watermark(spark, tmp_path):
+    src = str(tmp_path / "src")
+    feeder = BatchFeeder(src)
+    stream = spark.readStream.schema(STREAM_SCHEMA).json(src)
+    q = _start(spark, dedup_stream(stream, keys=["event_id"]), "dedup_s", "append")
+    try:
+        feeder.feed(q, ev(1, "2024-01-01 10:00:00"), ev(1, "2024-01-01 10:00:00"))
+        feeder.feed(q, ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:01:00"))
+        rows = spark.sql("SELECT event_id FROM dedup_s").collect()
+        assert sorted(r["event_id"] for r in rows) == [1, 2]  # 3 copies of #1 -> 1
+    finally:
+        q.stop()
+
+
+def test_session_window_gap_split(spark, tmp_path):
+    src = str(tmp_path / "src")
+    feeder = BatchFeeder(src)
+    stream = spark.readStream.schema(STREAM_SCHEMA).json(src)
+    q = _start(spark, sessionize_stream(stream, gap="30 minutes"), "sessions", "append")
+    try:
+        feeder.feed(
+            q,
+            ev(1, "2024-01-01 10:00:00", value=2.0),
+            ev(2, "2024-01-01 10:10:00", value=3.0),
+            ev(3, "2024-01-01 11:00:00", value=5.0),  # 50-min gap -> new session
+        )
+        feeder.feed(q, ev(4, "2024-01-01 13:00:00"))  # advance watermark, close all
+        feeder.feed(q, ev(5, "2024-01-01 15:00:00"))  # flush
+        rows = spark.sql(
+            "SELECT n_events, session_value FROM sessions ORDER BY session_start"
+        ).collect()
+        assert [(r["n_events"], r["session_value"]) for r in rows[:2]] == [
+            (2, 5.0),
+            (1, 5.0),
+        ]
+    finally:
+        q.stop()
+
+
+def test_running_user_state_across_batches(spark, tmp_path):
+    src = str(tmp_path / "src")
+    feeder = BatchFeeder(src)
+    stream = spark.readStream.schema(STREAM_SCHEMA).json(src)
+    q = _start(spark, running_user_state(stream), "running_state", "update")
+    try:
+        feeder.feed(q, ev(1, "2024-01-01 10:00:00", uid=7, value=10.0))
+        feeder.feed(q, ev(2, "2024-01-01 10:05:00", uid=7, value=5.0))
+        feeder.feed(q, ev(3, "2024-01-01 10:06:00", uid=9, value=1.0))
+        rows = spark.sql(
+            "SELECT * FROM running_state WHERE user_id = 7 ORDER BY n_events DESC"
+        ).collect()
+        # state persisted across micro-batches: latest emission shows both events
+        assert rows[0]["n_events"] == 2
+        assert rows[0]["total_value"] == 15.0
+        assert rows[0]["max_value"] == 10.0
+    finally:
+        q.stop()
