@@ -1,0 +1,283 @@
+"""Deduplication operators for large-scale corpus curation: exact, MinHash
+(+LSH banding), n-gram Jaccard, SimHash, embedding-cosine near-dup.
+
+All set-oriented and partition-parallel — the 100 TB shape is:
+
+* **exact**: hash the normalized text, groupBy the 48/64-bit fingerprint
+  (one shuffle on a compact key, never on the text itself);
+* **MinHash-LSH**: per-doc signature (narrow, no shuffle) → explode to
+  (band, band_hash) → self-join on the band bucket (shuffle on band_hash —
+  bucket sizes are the skew knob: more bands → smaller buckets) → exact
+  Jaccard only on candidates (the O(n²) kill);
+* **SimHash**: fingerprint per doc, candidates via banded equality on
+  fingerprint chunks, Hamming verify;
+* **embedding cosine**: brute force is O(n²) and exists as the correctness
+  baseline; the scale path is LSH bucketing (see ``similarity.py``).
+
+Hashes use ``functions.text.portable_hash64`` so the DuckDB oracle can
+reproduce signatures bit-for-bit (swap for ``xxhash64`` off-oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import normalized_text, portable_hash64, shingles, simhash
+
+DEFAULT_NUM_HASHES = 16
+DEFAULT_BANDS = 4
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by normalized-text fingerprint: one row per
+    document with its group's canonical (min) id and group size — the
+    keep-one-per-group decision is a trivial filter on top."""
+    fp = F.md5(normalized_text(text_col)).alias("fingerprint")
+    with_fp = docs.select(F.col(id_col), fp)
+    groups = with_fp.groupBy("fingerprint").agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count("*").cast("long").alias("group_size"),
+    )
+    return with_fp.join(groups, "fingerprint").select(
+        id_col, "fingerprint", "canonical_id", "group_size"
+    )
+
+
+def shingle_sets(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """(doc_id, shingle) exploded k-shingles — already distinct per doc
+    (``shingles`` applies array_distinct), so no dedup shuffle here."""
+    return docs.select(
+        F.col(id_col), F.explode(shingles(text_col, k)).alias("shingle")
+    )
+
+
+def minhash_wide(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    k: int = 3,
+) -> DataFrame:
+    """Wide MinHash signatures: one row per doc, columns h0..h{n-1}.
+
+    One explode + one hash-aggregate computes all ``num_hashes`` families in
+    a single pass (each family = min over shingles of a seeded portable
+    hash) — the shuffle key is the doc id, payload is n×8 bytes."""
+    sh = docs.select(F.col(id_col), F.explode(shingles(text_col, k)).alias("shingle"))
+    return sh.groupBy(id_col).agg(
+        *[
+            F.min(portable_hash64(F.col("shingle"), seed=s)).alias(f"h{s}")
+            for s in range(num_hashes)
+        ]
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    k: int = 3,
+) -> DataFrame:
+    """Long-form MinHash signatures (doc_id, seed, minhash) — the
+    oracle-comparable view of ``minhash_wide`` (stack, no extra shuffle)."""
+    wide = minhash_wide(docs, text_col, id_col, num_hashes, k)
+    stack = ", ".join(f"{s}, h{s}" for s in range(num_hashes))
+    return wide.selectExpr(
+        id_col, f"stack({num_hashes}, {stack}) AS (seed, minhash)"
+    ).select(id_col, F.col("seed").cast("int").alias("seed"), "minhash")
+
+
+def minhash_band_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    k: int = 3,
+) -> DataFrame:
+    """(doc_id, band, band_hash): each band hashes r = num_hashes/bands
+    adjacent signature values.  Docs sharing any (band, band_hash) are LSH
+    candidates; more bands → higher recall and smaller buckets."""
+    r = num_hashes // bands
+    wide = minhash_wide(docs, text_col, id_col, num_hashes, k)
+    # explode an inline array of (band, band_hash) structs — one pass over
+    # the wide signatures, no union re-computing the aggregate per band
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(",", *[F.col(f"h{b * r + i}") for i in range(r)])
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return wide.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    jaccard_threshold: float = 0.5,
+    k: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs: LSH candidates → exact Jaccard verify.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥ threshold.
+    The exact-Jaccard join runs only on LSH candidates — at 100 TB the band
+    join is the only quadratic-risk step and its bucket sizes are tuned by
+    the bands/rows split.
+    """
+    buckets = minhash_band_buckets(docs, text_col, id_col, num_hashes, bands, k)
+    a = buckets.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+    b = buckets.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    candidates = (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return _jaccard_verify(docs, candidates, text_col, id_col, k).filter(
+        F.col("jaccard") >= jaccard_threshold
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.5,
+    k: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via the shared-shingle join (no
+    LSH screen — candidates are every pair sharing ≥1 shingle).  Correctness
+    baseline for ``minhash_lsh_pairs``; quadratic in the worst case, so at
+    scale it runs only behind the LSH screen."""
+    sh = shingle_sets(docs, text_col, id_col, k)
+    candidates = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    return _jaccard_verify(docs, candidates, text_col, id_col, k).filter(
+        F.col("jaccard") >= jaccard_threshold
+    )
+
+
+def _jaccard_verify(
+    docs: DataFrame, candidates: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs: |A∩B| via the shingle join,
+    |A∪B| = |A|+|B|−|A∩B|."""
+    sh = shingle_sets(docs, text_col, id_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    shared = (
+        sh.select(F.col(id_col).alias("id_a"), "shingle")
+        .join(sh.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
+        .join(candidates, ["id_a", "id_b"])  # restrict BEFORE the count
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+SIMHASH_BITS = 32
+_SIMHASH_CHUNKS = 4  # 4 × 8-bit chunks — exact screen for Hamming ≤ 3
+
+
+def simhash_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, simhash) 32-bit fingerprints."""
+    return docs.select(F.col(id_col), simhash(text_col, SIMHASH_BITS).alias("simhash"))
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs with Hamming(simhash_a, simhash_b) ≤ max_hamming (≤ 3).
+
+    Screen-then-verify, and the screen is *exact*: with 4 disjoint 8-bit
+    chunks, any pair differing in ≤ 3 bits must share at least one identical
+    chunk (pigeonhole), so candidate generation loses nothing and the
+    Hamming verify runs only on chunk-collision pairs — never O(n²)."""
+    chunk_bits = SIMHASH_BITS // _SIMHASH_CHUNKS
+    mask = (1 << chunk_bits) - 1
+    fp = simhash_fingerprints(docs, text_col, id_col)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("part"),
+                F.shiftright(F.col("simhash"), p * chunk_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("chunk"),
+            )
+            for p in range(_SIMHASH_CHUNKS)
+        ]
+    )
+    exploded = fp.select(id_col, "simhash", F.explode(chunks).alias("pc")).select(
+        id_col, "simhash", F.col("pc.part").alias("part"), F.col("pc.chunk").alias("chunk")
+    )
+    a = exploded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "part", "chunk"
+    )
+    b = exploded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "part", "chunk"
+    )
+    cand = (
+        a.join(b, ["part", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cand.select(
+        "id_a", "id_b", ham.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cosine_threshold: float = 0.35,
+) -> DataFrame:
+    """Brute-force cosine near-dup pairs (id_a < id_b, cosine ≥ threshold).
+
+    O(n²) correctness baseline — unit-norm inputs make dot product = cosine.
+    The scale path is ``similarity.lsh_bucket_pairs`` (random-hyperplane
+    buckets), same verify expression."""
+    from .similarity import dot as _dot
+
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    dot = _dot("va", "vb")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(dot, 6).alias("cosine"))
+        .filter(F.col("cosine") >= cosine_threshold)
+    )

@@ -3,6 +3,16 @@ registry, then re-export it."""
 
 from .registry import ORACLE, QUERIES, register
 
-from . import aggregates, core, event_time, scalars, setops_sort, windows  # noqa: E402,F401
+from . import (  # noqa: E402,F401
+    aggregates,
+    core,
+    dedup_ops,
+    event_time,
+    scalars,
+    setops_sort,
+    similarity_ops,
+    text_ops,
+    windows,
+)
 
 __all__ = ["ORACLE", "QUERIES", "register"]

@@ -1,0 +1,222 @@
+"""Deduplication queries over ``documents`` / ``embeddings`` (LLM-pipeline
+extension surface).  Every stage of the MinHash-LSH pipeline is registered
+separately — fingerprints, signatures, band buckets, verified pairs — so the
+oracle checks each transform, not just the end result.
+
+The oracle SQL reproduces the *identical* algorithm (same normalization,
+same k-shingles via concat_ws with null-dropping ends, same 48-bit md5-prefix
+hash families, same band hashing) — signatures match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.dedup import (
+    DEFAULT_BANDS,
+    DEFAULT_NUM_HASHES,
+    embedding_near_dup_pairs,
+    exact_dedup_groups,
+    minhash_band_buckets,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_near_pairs,
+)
+from ..sources.batch import load_table
+from .registry import register
+
+# ---- shared oracle SQL fragments (mirror functions/text.py exactly) --------
+
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+# k=3 word shingles, distinct, with concat_ws dropping out-of-range (NULL)
+# tail elements exactly like Spark's element_at-past-end → concat_ws skip.
+_SHINGLES = f"""
+    words AS (
+        SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, w, unnest(range(1, GREATEST(len(w) - 2, 1) + 1)) AS i FROM words
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS shingle FROM idx
+    )
+"""
+
+_PORTABLE_HASH = "CAST(('0x' || substr(md5(CAST({seed} AS VARCHAR) || ':' || shingle), 1, 12)) AS BIGINT)"
+
+_SIG = f"""
+    seeds AS (SELECT unnest(range({DEFAULT_NUM_HASHES})) AS seed),
+    sig AS (
+        SELECT doc_id, CAST(seed AS INT) AS seed,
+               MIN({_PORTABLE_HASH.format(seed="seed")}) AS minhash
+        FROM sh CROSS JOIN seeds
+        GROUP BY doc_id, seed
+    )
+"""
+
+_R = DEFAULT_NUM_HASHES // DEFAULT_BANDS
+
+_BUCKETS = f"""
+    buckets AS (
+        SELECT doc_id, CAST(seed // {_R} AS INT) AS band,
+               md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS band_hash
+        FROM sig
+        GROUP BY doc_id, seed // {_R}
+    )
+"""
+
+_JACCARD = """
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    jac AS (
+        SELECT id_a, id_b,
+               ROUND(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+        FROM shared
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+    )
+"""
+
+
+@register(
+    "dedup_exact_groups",
+    oracle=f"""
+    WITH fp AS (
+        SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents
+    ),
+    groups AS (
+        SELECT fingerprint, MIN(doc_id) AS canonical_id,
+               CAST(COUNT(*) AS BIGINT) AS group_size
+        FROM fp GROUP BY fingerprint
+    )
+    SELECT fp.doc_id, fp.fingerprint, groups.canonical_id, groups.group_size
+    FROM fp JOIN groups USING (fingerprint)
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: normalized-text md5 fingerprint + duplicate-group stats
+    (shuffle on the 128-bit fingerprint, never on text)."""
+    return exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_minhash_signatures",
+    oracle=f"WITH {_SHINGLES}, {_SIG} SELECT doc_id, seed, minhash FROM sig",
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (16 hash families over word 3-shingles) —
+    bit-identical to the oracle's SQL reproduction."""
+    return minhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_minhash_bands",
+    oracle=f"WITH {_SHINGLES}, {_SIG}, {_BUCKETS} SELECT doc_id, band, band_hash FROM buckets",
+)
+def dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band buckets (4 bands × 4 rows) — docs sharing a (band,
+    band_hash) are near-dup candidates."""
+    return minhash_band_buckets(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_SHINGLES}, {_SIG}, {_BUCKETS},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ),
+    {_JACCARD.replace("jac AS (", "jac0 AS (")}
+    SELECT c.id_a, c.id_b, j.jaccard
+    FROM cand c JOIN jac0 j ON c.id_a = j.id_a AND c.id_b = j.id_b
+    WHERE j.jaccard >= 0.5
+    """,
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dedup pipeline: LSH candidates → exact-Jaccard verify →
+    pairs ≥ 0.5 (the corpus plants ~25 near-dup pairs; LSH with 4×4 bands
+    recalls the high-similarity ones without the O(n²) scan)."""
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_SHINGLES}, {_JACCARD}
+    SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5
+    """,
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs (no LSH screen) — the ground truth the
+    LSH pipeline's recall is measured against (see unit test)."""
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _simhash_sql() -> str:
+    tok_hash = "CAST(('0x' || substr(md5('0:' || t.tok), 1, 12)) AS BIGINT)"
+    bits = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN ({tok_hash} >> {k}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN {1 << k}::BIGINT ELSE 0 END)"
+        for k in range(32)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok FROM documents
+    ), t AS (SELECT doc_id, tok FROM toks)
+    SELECT doc_id, CAST({bits} AS BIGINT) AS simhash
+    FROM t GROUP BY doc_id
+    """
+
+
+@register("dedup_simhash_fingerprints", oracle=_simhash_sql())
+def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints (token-hash bit votes) — near-dups land
+    within small Hamming distance."""
+    return simhash_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH fp AS ({_simhash_sql().strip()})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-pairs (Hamming ≤ 3 over 32 bits), screen-then-verify
+    via 4 disjoint 8-bit chunks.  The screen is EXACT by pigeonhole (≤ 3
+    differing bits can't touch all 4 chunks), so the Spark plan — which
+    never goes O(n²) — returns identical pairs to the oracle's brute-force
+    Hamming join."""
+    return simhash_near_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_embedding_cosine_pairs",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
+    """,
+)
+def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs by cosine ≥ 0.35 (unit-norm fixtures; the
+    threshold sits above the p99.9 of the random-pair distribution so the
+    result is the non-random tail). Brute-force baseline — the LSH-bucketed
+    scale path is in similarity_ops."""
+    return embedding_near_dup_pairs(load_table(spark, sf_dir, "embeddings"))

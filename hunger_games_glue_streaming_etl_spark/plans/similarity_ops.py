@@ -1,0 +1,56 @@
+"""Similarity-search queries over ``embeddings``: exact brute-force cosine
+top-k (oracle-checked) and the LSH-bucketed approximate variants (checked
+against the exact result in unit tests — recall is probabilistic, so a SQL
+oracle would have to duplicate the Spark plan)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.similarity import cosine_topk, lsh_ann_topk, lsh_bucket_stats
+from ..sources.batch import load_table
+from .registry import register
+
+_QUERY_VEC_ID = 0
+_K = 10
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    emb = load_table(spark, sf_dir, "embeddings")
+    row = emb.filter(emb.vec_id == _QUERY_VEC_ID).select("embedding").head()
+    return list(row[0])
+
+
+@register(
+    "sim_cosine_topk",
+    oracle=f"""
+    SELECT a.vec_id,
+           ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(q.embedding AS DOUBLE[])), 6) AS cosine
+    FROM embeddings a
+    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}) q
+    ORDER BY cosine DESC, a.vec_id
+    LIMIT {_K}
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ANN baseline: brute-force cosine top-10 for the vec_id-0 query
+    vector (TakeOrderedAndProject — per-partition heaps, k-row merge; no
+    global sort materialized).  Bit-identical dot product vs the oracle."""
+    return cosine_topk(load_table(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=_K)
+
+
+@register("sim_lsh_ann_topk")
+def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k: scan only the query's
+    random-hyperplane bucket (~1/2^planes of the table).  Rows-only check;
+    recall vs the exact top-k is asserted in tests/test_similarity.py."""
+    return lsh_ann_topk(
+        load_table(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=_K, n_planes=4
+    )
+
+
+@register("sim_lsh_bucket_stats")
+def sim_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-occupancy histogram for the ANN index (skew diagnostic)."""
+    return lsh_bucket_stats(load_table(spark, sf_dir, "embeddings"), n_planes=4)

@@ -1,0 +1,171 @@
+"""Text-analysis queries over the ``documents`` table (LLM-pipeline
+extension surface: token stats, quality scoring, language-ID,
+fingerprinting).  Every operator is a pure column-expression composition
+(functions/text.py) — JVM-side, codegen'd, no Python in the row path — and
+every oracle reproduces the exact same formula in DuckDB SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    LANG_MARKERS,
+    bpe_ish_token_count,
+    lang_id,
+    normalized_text,
+    quality_score,
+    token_count,
+    tokens,
+)
+from ..sources.batch import load_table
+from .registry import register
+
+# shared SQL fragment: normalized text + token list (mirrors
+# functions.text.normalized_text / tokens)
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_TOKS = f"string_split({_NORM}, ' ')"
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS INT) AS n_tokens,
+           CAST(LENGTH(text) AS INT) AS n_chars_actual,
+           ROUND(LENGTH(REPLACE({_NORM}, ' ', '')) * 1.0 / len({_TOKS}), 6) AS mean_token_len,
+           ROUND(len(list_distinct({_TOKS})) * 1.0 / len({_TOKS}), 6) AS type_token_ratio
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count, char count, mean token length, type-token
+    ratio — the basic corpus-stats pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tok = F.size(toks)
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        F.round(
+            F.length(F.regexp_replace(normalized_text("text"), " ", ""))
+            / n_tok.cast("double"),
+            6,
+        ).alias("mean_token_len"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double") / n_tok.cast("double"), 6
+        ).alias("type_token_ratio"),
+    )
+
+
+@register("text_bpe_token_estimate")
+def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-word (BPE-ish) token-count estimate — rows-only check (the
+    regex-split + per-word ceil composition has no clean single-statement
+    SQL twin; value correctness is unit-tested)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", bpe_ish_token_count("text").alias("n_bpe_tokens"))
+
+
+def _lang_score_sql(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return f"len(list_filter({_TOKS}, t -> t IN ({markers})))"
+
+
+_LANG_CASE = (
+    "CASE WHEN GREATEST("
+    + ", ".join(f"s_{lang}" for lang in LANG_MARKERS)
+    + ") = 0 THEN 'und' "
+    + " ".join(
+        f"WHEN s_{lang} = GREATEST(" + ", ".join(f"s_{x}" for x in LANG_MARKERS) + f") THEN '{lang}'"
+        for lang in LANG_MARKERS
+    )
+    + " ELSE 'und' END"
+)
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang AS labeled_lang,
+               {", ".join(f"{_lang_score_sql(lang)} AS s_{lang}" for lang in LANG_MARKERS)}
+        FROM documents
+    )
+    SELECT doc_id, labeled_lang, {_LANG_CASE} AS predicted_lang,
+           CAST(s_en AS INT) AS en_hits
+    FROM scored
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID: per-language stopword-marker hit counts →
+    deterministic argmax (first language in marker order wins ties, 'und'
+    when no marker hits).  The fixtures' text is synthetic, so the value of
+    this operator is the vectorized scoring shape, not lexicon quality."""
+    from ..functions.text import stopword_lang_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = stopword_lang_scores("text")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        lang_id("text").alias("predicted_lang"),
+        scores["en"].cast("int").alias("en_hits"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+               CAST(len({_TOKS}) AS DOUBLE) AS n_tok,
+               LENGTH(REPLACE({_NORM}, ' ', '')) * 1.0 / len({_TOKS}) AS mean_tok_len,
+               CAST(LENGTH(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE) AS punct,
+               len(list_distinct({_TOKS})) * 1.0 / GREATEST(len({_TOKS}), 1) AS ttr
+        FROM documents
+    )
+    SELECT doc_id,
+           ROUND(0.25 * (CASE WHEN n_chars >= 100 AND n_chars <= 10000 THEN 1.0 ELSE 0.5 END)
+                 + 0.25 * (CASE WHEN mean_tok_len >= 3 AND mean_tok_len <= 12 THEN 1.0 ELSE 0.5 END)
+                 + 0.25 * (1 - punct / GREATEST(n_chars, 1.0))
+                 + 0.25 * ttr, 6) AS quality
+    FROM t
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality heuristic (length band + token-length band +
+    punctuation ratio + lexical diversity) — the cheap pre-filter pass of a
+    training-data pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score("text").alias("quality"))
+
+
+@register(
+    "text_quality_filter",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, n_chars,
+               CAST(LENGTH(text) AS DOUBLE) AS nc,
+               LENGTH(REPLACE({_NORM}, ' ', '')) * 1.0 / len({_TOKS}) AS mean_tok_len,
+               CAST(LENGTH(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE) AS punct,
+               len(list_distinct({_TOKS})) * 1.0 / GREATEST(len({_TOKS}), 1) AS ttr
+        FROM documents
+    )
+    SELECT doc_id, lang, n_chars
+    FROM t
+    WHERE ROUND(0.25 * (CASE WHEN nc >= 100 AND nc <= 10000 THEN 1.0 ELSE 0.5 END)
+        + 0.25 * (CASE WHEN mean_tok_len >= 3 AND mean_tok_len <= 12 THEN 1.0 ELSE 0.5 END)
+        + 0.25 * (1 - punct / GREATEST(nc, 1.0))
+        + 0.25 * ttr, 6) >= 0.86
+    """,
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation decision: keep documents above the quality bar — 0.86
+    sits at the corpus median so the filter demonstrably rejects (the filter
+    form of ``text_quality_score``; predicate pushes to the scan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(quality_score("text") >= 0.86).select("doc_id", "lang", "n_chars")

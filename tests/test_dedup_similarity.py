@@ -1,0 +1,88 @@
+"""Algorithmic soundness tests for the dedup/similarity extension operators:
+non-vacuity (the corpus's planted near-dups are actually found), LSH recall
+vs the exact baselines, and hand-computable golden cases."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hunger_games_glue_streaming_etl_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from hunger_games_glue_streaming_etl_spark.operators.similarity import (
+    cosine_topk,
+    lsh_ann_topk,
+)
+from hunger_games_glue_streaming_etl_spark.sources.batch import load_table
+
+from conftest import SF_DIR
+
+
+def test_exact_dedup_finds_planted_duplicates(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello   World"),
+            (2, "hello world"),  # same after normalization
+            (3, "something else"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in exact_dedup_groups(docs).collect()}
+    assert out[1]["group_size"] == 2 and out[2]["group_size"] == 2
+    assert out[1]["canonical_id"] == 1 and out[2]["canonical_id"] == 1
+    assert out[3]["group_size"] == 1
+
+
+def test_ngram_jaccard_nonvacuous_on_corpus(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    pairs = ngram_jaccard_pairs(docs, jaccard_threshold=0.5).collect()
+    assert len(pairs) > 0  # the corpus plants near-dup pairs
+    assert all(0.5 <= r["jaccard"] <= 1.0 for r in pairs)
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    """LSH (4 bands x 4 rows) must recall the high-similarity pairs: at
+    jaccard >= 0.8 the probability a pair shares no band is
+    (1 - 0.8^4)^4 < 12% per pair; the planted pairs are ~0.9+."""
+    docs = load_table(spark, SF_DIR, "documents")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, jaccard_threshold=0.8).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, jaccard_threshold=0.8).collect()
+    }
+    assert lsh <= exact  # verify step guarantees no false positives
+    assert len(exact) > 0
+    assert len(lsh) / len(exact) >= 0.75  # recall bound for the band config
+
+
+def test_simhash_identical_docs_zero_hamming(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark window join batch stream filter"),
+            (2, "spark window join batch stream filter"),
+            (3, "completely different vocabulary entirely here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_near_pairs(docs).collect()}
+    assert pairs.get((1, 2)) == 0
+
+
+def test_lsh_ann_results_subset_of_exact_scores(spark):
+    """ANN results must score identically to the exact path (same verify
+    expression) and achieve reasonable recall on the bucketed subset."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
+    exact = {r["vec_id"]: r["cosine"] for r in cosine_topk(emb, q, k=50).collect()}
+    approx = {r["vec_id"]: r["cosine"] for r in lsh_ann_topk(emb, q, k=10, n_planes=4).collect()}
+    assert 0 in approx  # the query vector itself shares its own bucket
+    assert approx[0] == max(approx.values())
+    for vid, cos in approx.items():
+        if vid in exact:
+            assert exact[vid] == cos  # identical scoring expression
