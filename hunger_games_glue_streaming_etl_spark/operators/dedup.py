@@ -23,7 +23,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import normalized_text, portable_hash64, shingles, simhash
+from ..functions.text import (
+    normalized_text,
+    portable_hash64,
+    shingles,
+    simhash,
+    universal_hash,
+)
 
 DEFAULT_NUM_HASHES = 16
 DEFAULT_BANDS = 4
@@ -62,12 +68,17 @@ def minhash_wide(
     """Wide MinHash signatures: one row per doc, columns h0..h{n-1}.
 
     One explode + one hash-aggregate computes all ``num_hashes`` families in
-    a single pass (each family = min over shingles of a seeded portable
-    hash) — the shuffle key is the doc id, payload is n×8 bytes."""
-    sh = docs.select(F.col(id_col), F.explode(shingles(text_col, k)).alias("shingle"))
+    a single pass.  Each family is an affine universal hash over ONE shared
+    md5 base hash per shingle (``functions.text.universal_hash``) — md5 is
+    the expensive step, so this is ~num_hashes× cheaper than seeded
+    rehashing, and still bit-reproducible in the DuckDB oracle.  The shuffle
+    key is the doc id; payload is n×8 bytes."""
+    sh = docs.select(
+        F.col(id_col), F.explode(shingles(text_col, k)).alias("shingle")
+    ).select(F.col(id_col), portable_hash64(F.col("shingle")).alias("base_hash"))
     return sh.groupBy(id_col).agg(
         *[
-            F.min(portable_hash64(F.col("shingle"), seed=s)).alias(f"h{s}")
+            F.min(universal_hash(F.col("base_hash"), s)).alias(f"h{s}")
             for s in range(num_hashes)
         ]
     )
@@ -145,7 +156,7 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    return _jaccard_verify(docs, candidates, text_col, id_col, k).filter(
+    return _jaccard_verify_candidates(docs, candidates, text_col, id_col, k).filter(
         F.col("jaccard") >= jaccard_threshold
     )
 
@@ -159,37 +170,51 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via the shared-shingle join (no
     LSH screen — candidates are every pair sharing ≥1 shingle).  Correctness
-    baseline for ``minhash_lsh_pairs``; quadratic in the worst case, so at
-    scale it runs only behind the LSH screen."""
-    sh = shingle_sets(docs, text_col, id_col, k)
-    candidates = (
-        sh.alias("a")
-        .join(sh.alias("b"), "shingle")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
-    )
-    return _jaccard_verify(docs, candidates, text_col, id_col, k).filter(
-        F.col("jaccard") >= jaccard_threshold
-    )
+    baseline for ``minhash_lsh_pairs``.
 
-
-def _jaccard_verify(
-    docs: DataFrame, candidates: DataFrame, text_col: str, id_col: str, k: int
-) -> DataFrame:
-    """Exact Jaccard for candidate pairs: |A∩B| via the shingle join,
-    |A∪B| = |A|+|B|−|A∩B|."""
+    Single pass: the shared-shingle join streams straight into the
+    (id_a, id_b) count aggregate — no materialized candidate set, no second
+    pair explosion.  Still quadratic in bucket size per shingle (that's the
+    definition of 'exact'); at scale it runs only behind the LSH screen.
+    """
     sh = shingle_sets(docs, text_col, id_col, k)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     shared = (
         sh.select(F.col(id_col).alias("id_a"), "shingle")
         .join(sh.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
-        .join(candidates, ["id_a", "id_b"])  # restrict BEFORE the count
+        .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("shared"))
     )
+    return _jaccard_from_shared(shared, sizes).filter(
+        F.col("jaccard") >= jaccard_threshold
+    )
+
+
+def _jaccard_verify_candidates(
+    docs: DataFrame, candidates: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Exact Jaccard for a (small) candidate pair set: attach id_a's
+    shingles to each candidate (broadcast the pairs), then count matches
+    against id_b's shingle set.  Work scales with |candidates| × shingles
+    per doc — never with the full pair space."""
+    sh = shingle_sets(docs, text_col, id_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    cand_shingles = F.broadcast(candidates).join(
+        sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a"
+    )
+    shared = (
+        cand_shingles.join(
+            sh.select(F.col(id_col).alias("id_b"), "shingle"), ["id_b", "shingle"]
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    return _jaccard_from_shared(shared, sizes)
+
+
+def _jaccard_from_shared(shared: DataFrame, sizes: DataFrame) -> DataFrame:
+    id_col = sizes.columns[0]
     return (
         shared.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a")), "id_a")
         .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b")), "id_b")

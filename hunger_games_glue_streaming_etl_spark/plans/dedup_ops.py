@@ -45,15 +45,26 @@ _SHINGLES = f"""
     )
 """
 
-_PORTABLE_HASH = "CAST(('0x' || substr(md5(CAST({seed} AS VARCHAR) || ':' || shingle), 1, 12)) AS BIGINT)"
+_PORTABLE_HASH = "CAST(('0x' || substr(md5('0:' || shingle), 1, 12)) AS BIGINT)"
+
+# universal-hash families over one base hash (functions.text.universal_hash):
+# h_i = (a_i·(base mod p) + b_i) mod p, p = 2^31−1
+from ..functions.text import MINHASH_PRIME, hash_family_params  # noqa: E402
+
+_FAMILIES = ", ".join(
+    f"({i}, {hash_family_params(i)[0]}, {hash_family_params(i)[1]})"
+    for i in range(DEFAULT_NUM_HASHES)
+)
 
 _SIG = f"""
-    seeds AS (SELECT unnest(range({DEFAULT_NUM_HASHES})) AS seed),
+    base AS (
+        SELECT doc_id, {_PORTABLE_HASH} AS h FROM sh
+    ),
     sig AS (
-        SELECT doc_id, CAST(seed AS INT) AS seed,
-               MIN({_PORTABLE_HASH.format(seed="seed")}) AS minhash
-        FROM sh CROSS JOIN seeds
-        GROUP BY doc_id, seed
+        SELECT doc_id, CAST(fam.seed AS INT) AS seed,
+               MIN((fam.a * (h % {MINHASH_PRIME}) + fam.b) % {MINHASH_PRIME}) AS minhash
+        FROM base CROSS JOIN (VALUES {_FAMILIES}) AS fam(seed, a, b)
+        GROUP BY doc_id, fam.seed
     )
 """
 
