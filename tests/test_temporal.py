@@ -1,0 +1,77 @@
+"""Unit tests for as-of and range joins (operators/temporal.py), plus
+BLAS-vs-exact pair equality for the embedding scale path."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from hunger_games_glue_streaming_etl_spark.operators.dedup import embedding_near_dup_pairs
+from hunger_games_glue_streaming_etl_spark.operators.similarity import embedding_pairs_blas
+from hunger_games_glue_streaming_etl_spark.operators.temporal import (
+    asof_join,
+    range_join_buckets,
+)
+from hunger_games_glue_streaming_etl_spark.sources.batch import load_table
+
+from conftest import SF_DIR
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def test_asof_join_golden(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", _ts("2024-01-01T10:00:00")),
+            (2, "u1", _ts("2024-01-01T12:00:00")),
+            (3, "u2", _ts("2024-01-01T09:00:00")),
+        ],
+        ["lid", "user", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01T09:30:00"), 100),
+            ("u1", _ts("2024-01-01T11:00:00"), 200),
+            ("u1", _ts("2024-01-01T12:00:00"), 300),  # exactly at left ts 2 -> visible
+            ("u2", _ts("2024-01-01T10:00:00"), 999),  # after u2's event -> invisible
+        ],
+        ["user", "ts", "price"],
+    )
+    out = {
+        r["lid"]: r["price_asof"]
+        for r in asof_join(
+            left, right, on="user", left_ts="ts", right_ts="ts",
+            value_cols=["price"], tiebreak="price",
+        ).collect()
+    }
+    assert out == {1: 100, 2: 300, 3: None}
+
+
+def test_range_join_golden(spark):
+    points = spark.createDataFrame([(1, 5.0), (2, 25.0), (3, 99.9)], ["pid", "v"])
+    intervals = spark.createDataFrame(
+        [(10, 0.0, 10.0), (20, 20.0, 30.0), (30, 90.0, 100.0)], ["iid", "lo", "hi"]
+    )
+    out = {
+        r["pid"]: r["iid"]
+        for r in range_join_buckets(points, intervals, "v", "lo", "hi", 10.0).collect()
+    }
+    assert out == {1: 10, 2: 20, 3: 30}
+
+
+def test_blas_pairs_equal_exact(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs(emb).collect()
+    }
+    blas = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_pairs_blas(emb).collect()
+    }
+    assert set(exact) == set(blas)
+    mismatched = [k for k in exact if abs(exact[k] - blas[k]) > 1e-6]
+    assert not mismatched
