@@ -38,6 +38,39 @@ def latest_per_key(
     )
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the fact's key into ``salt_buckets``
+    sub-keys and replicate each dim row across all buckets, so one hot key's
+    rows spread over ``salt_buckets`` tasks instead of one straggler.
+
+    This is the manual form of AQE's skew-join splitting — needed when (a)
+    AQE can't see the skew (first shuffle of a stage, no runtime stats yet)
+    or (b) the join is stream-static, where AQE is disabled.  Cost: the dim
+    side is replicated ×``salt_buckets``, so use it for genuinely small-ish
+    dims with a genuinely hot fact key.
+    """
+    salted_fact = fact.withColumn(
+        "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    salted_dim = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    out = salted_fact.join(
+        salted_dim,
+        (salted_fact[fact_key] == salted_dim[dim_key])
+        & (salted_fact["__salt"] == salted_dim["__salt"]),
+        how,
+    )
+    return out.drop("__salt")
+
+
 def top_k_per_group(
     df: DataFrame,
     keys: str | Sequence[str],

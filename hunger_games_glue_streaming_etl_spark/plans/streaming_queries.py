@@ -1,0 +1,104 @@
+"""Streaming queries registered in the driver contract: each runs a real
+micro-batch Structured Streaming query to completion (file source over the
+events fixture → watermarked transform → memory sink) and returns the final
+result as a DataFrame.
+
+These are rows-only entries: streaming semantics (watermark cutoffs,
+incremental state) have no single-statement batch-SQL twin — the *batch*
+equivalents of the same windows live in ``plans.event_time`` with full
+oracles, and the late-data/ordering behavior is asserted in
+``tests/test_streaming_depth.py``.
+
+The stream is staged from the parquet fixture into JSON-lines batches so the
+run is deterministic and self-contained per invocation (fresh temp dirs, no
+leaked checkpoints).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..schemas import EVENTS_SCHEMA
+from ..sources.batch import load_table
+from ..streaming.ops import dedup_stream, windowed_agg
+from .registry import register
+
+
+def _stage_events_stream(spark: SparkSession, sf_dir: str, n_batches: int = 4) -> str:
+    """Write the events fixture as n_batches JSON-lines files (ordered by
+    ts) so the file source replays them as distinct micro-batches."""
+    events = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("__batch", F.ntile(n_batches).over(Window.orderBy("ts", "event_id")))
+    )
+    out = os.path.join(tempfile.gettempdir(), f"hg_stream_{uuid.uuid4().hex[:8]}")
+    os.makedirs(out)
+    (
+        events.withColumn("ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+        .repartition(1)
+        .write.partitionBy("__batch")
+        .mode("overwrite")
+        .json(out + "/staged")
+    )
+    # flatten the partition dirs into sequentially-named files
+    src_root = out + "/staged"
+    dst = out + "/stream"
+    os.makedirs(dst)
+    for d in sorted(os.listdir(src_root)):
+        if not d.startswith("__batch="):
+            continue
+        b = int(d.split("=")[1])
+        parts = [f for f in os.listdir(os.path.join(src_root, d)) if f.endswith(".json")]
+        with open(os.path.join(dst, f"batch_{b:03d}.json"), "w") as fout:
+            for p in parts:
+                with open(os.path.join(src_root, d, p)) as fin:
+                    fout.write(fin.read())
+    return dst
+
+
+def _run_stream(spark: SparkSession, transformed, name: str) -> DataFrame:
+    qname = f"{name}_{uuid.uuid4().hex[:8]}"
+    q = (
+        transformed.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(qname)
+
+
+@register("streaming_tumbling_agg")
+def streaming_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference category A5/A11 generalized: unbounded source → event-time
+    tumbling window agg under a watermark, driven through real micro-batches.
+    Append mode emits only watermark-finalized windows — the late tail stays
+    open, so the result is a prefix of the batch twin
+    (``tumbling_window_agg``)."""
+    src = _stage_events_stream(spark, sf_dir)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "maxFilesPerTrigger", "1"
+    ).json(src)
+    return _run_stream(
+        spark, windowed_agg(stream, watermark="10 minutes"), "tumbling"
+    )
+
+
+@register("streaming_keyed_dedup")
+def streaming_keyed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked dropDuplicates over the replayed stream (bounded keyed
+    state) — the streaming form of exact dedup."""
+    src = _stage_events_stream(spark, sf_dir)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "maxFilesPerTrigger", "1"
+    ).json(src)
+    deduped = dedup_stream(stream, keys=["event_id"], watermark="10 minutes")
+    return _run_stream(spark, deduped.select("event_id", "user_id", "event_type"), "dedup")
