@@ -11,6 +11,7 @@ from . import (  # noqa: E402,F401
     scalars,
     setops_sort,
     similarity_ops,
+    sources_sql,
     streaming_queries,
     temporal_ops,
     text_ops,

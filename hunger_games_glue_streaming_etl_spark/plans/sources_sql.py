@@ -1,0 +1,143 @@
+"""Source-format scans and the SQL API surface.
+
+The reference's sources are CSV (A3, header-only inference) and a KV-store
+scan (A4) — here the engine demonstrates CSV and JSON scans with *explicit*
+schemas (round-tripped from the parquet fixtures into a per-invocation temp
+dir, then read back and aggregated so the oracle can check values), and the
+``spark.sql`` entry path over temp views — the role the Glue Catalog plays
+in the reference (SURVEY.md §1.3).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.batch import load_table, read_csv, read_json
+from .registry import register
+
+NATION_SCHEMA = T.StructType(
+    [
+        T.StructField("n_nationkey", T.IntegerType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.IntegerType()),
+    ]
+)
+
+
+def _roundtrip_dir() -> str:
+    return os.path.join(tempfile.gettempdir(), f"hg_scan_{uuid.uuid4().hex[:8]}")
+
+
+@register(
+    "scan_csv_explicit_schema",
+    oracle="""
+    SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n_nations,
+           MIN(n_name) AS first_name
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def scan_csv_explicit_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV scan with an explicit schema (reference A3 reads its dim CSV with
+    header-only inference → every column string; the engine types columns at
+    the reader).  Round-trips nation through CSV to prove the scan path,
+    then aggregates for a value-checkable result."""
+    nation = load_table(spark, sf_dir, "nation")
+    path = _roundtrip_dir()
+    nation.write.option("header", "true").mode("overwrite").csv(path)
+    back = read_csv(spark, path, schema=NATION_SCHEMA)
+    return back.groupBy("n_regionkey").agg(
+        F.count("*").alias("n_nations"), F.min("n_name").alias("first_name")
+    )
+
+
+@register(
+    "scan_json_explicit_schema",
+    oracle="""
+    SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n_nations,
+           MAX(n_name) AS last_name
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def scan_json_explicit_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines scan with explicit schema (the reference's stream payload
+    format, minus the Kinesis transport — A5's SerDe role)."""
+    nation = load_table(spark, sf_dir, "nation")
+    path = _roundtrip_dir()
+    nation.write.mode("overwrite").json(path)
+    back = read_json(spark, path, schema=NATION_SCHEMA)
+    return back.groupBy("n_regionkey").agg(
+        F.count("*").alias("n_nations"), F.max("n_name").alias("last_name")
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL entry path (temp view = the
+    engine's catalog surface, SURVEY.md §1.3)."""
+    orders = load_table(spark, sf_dir, "orders")
+    view = f"orders_{uuid.uuid4().hex[:8]}"
+    orders.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total
+        FROM {view}
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@register(
+    "sql_api_shipping_priority",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'O'
+    GROUP BY o_orderkey, order_year
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def sql_api_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape through ``spark.sql`` over temp views: 3-way join +
+    agg + top-k.  Catalyst produces the same plan as the DataFrame form —
+    this entry pins the SQL front-end as a first-class surface."""
+    views = {}
+    for t in ("customer", "orders", "lineitem"):
+        v = f"{t}_{uuid.uuid4().hex[:8]}"
+        load_table(spark, sf_dir, t).createOrReplaceTempView(v)
+        views[t] = v
+    return spark.sql(
+        f"""
+        SELECT o_orderkey,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               YEAR(o_orderdate) AS order_year
+        FROM {views['customer']}
+        JOIN {views['orders']}   ON c_custkey = o_custkey
+        JOIN {views['lineitem']} ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'O'
+        GROUP BY o_orderkey, order_year
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 20
+        """
+    )
