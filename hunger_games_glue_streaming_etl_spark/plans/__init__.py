@@ -14,6 +14,7 @@ from . import (  # noqa: E402,F401
     sources_sql,
     streaming_queries,
     temporal_ops,
+    tribute_parity,
     text_ops,
     windows,
 )

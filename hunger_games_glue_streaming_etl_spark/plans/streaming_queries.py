@@ -29,9 +29,17 @@ from ..streaming.ops import dedup_stream, windowed_agg
 from .registry import register
 
 
+_stage_cache: dict[str, str] = {}
+
+
 def _stage_events_stream(spark: SparkSession, sf_dir: str, n_batches: int = 4) -> str:
     """Write the events fixture as n_batches JSON-lines files (ordered by
-    ts) so the file source replays them as distinct micro-batches."""
+    ts) so the file source replays them as distinct micro-batches.  Staged
+    once per sf_dir per process — the stream replays from the same immutable
+    files; only checkpoints/sinks are per-invocation."""
+    cached = _stage_cache.get(sf_dir)
+    if cached and os.path.isdir(cached):
+        return cached
     events = (
         load_table(spark, sf_dir, "events")
         .withColumn("__batch", F.ntile(n_batches).over(Window.orderBy("ts", "event_id")))
@@ -58,6 +66,7 @@ def _stage_events_stream(spark: SparkSession, sf_dir: str, n_batches: int = 4) -
             for p in parts:
                 with open(os.path.join(src_root, d, p)) as fin:
                     fout.write(fin.read())
+    _stage_cache[sf_dir] = dst
     return dst
 
 

@@ -169,3 +169,28 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     form of ``text_quality_score``; predicate pushes to the scan)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.filter(quality_score("text") >= 0.86).select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "wordcount_top20",
+    oracle=f"""
+    SELECT t.tok AS token, CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents, unnest(string_split({_NORM}, ' ')) AS t(tok)
+    GROUP BY t.tok
+    ORDER BY n DESC, token
+    LIMIT 20
+    """,
+)
+def wordcount_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical explode → count → top-k pipeline (array explode surface
+    + deterministic global top-k).  At 100 TB: partial aggregation collapses
+    the exploded stream map-side, so the shuffle carries one row per
+    (partition, distinct token), not one per token occurrence."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(20)
+    )

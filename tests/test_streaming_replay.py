@@ -104,3 +104,33 @@ def test_scenario_replay(spark, tmp_path):
 
 def test_replay_order_equals_scenario_order():
     assert SCENARIO_ORDER[0] == "preCornucopia" and SCENARIO_ORDER[-1] == "theEnd"
+
+
+def test_checkpoint_restart_no_duplicates(spark, tmp_path):
+    """Stop mid-corpus, restart from the same checkpoint, continue: the
+    archive must not re-ingest processed batches (exactly-once file-source
+    accounting via the checkpoint WAL)."""
+    events_dir = str(tmp_path / "events")
+    os.makedirs(events_dir)
+    paths = [str(tmp_path / d) for d in ("latest", "archive", "checkpoint")]
+
+    def start():
+        return start_tribute_stream(
+            spark, events_dir, load_tribute_dim(spark), load_game_config(spark), *paths
+        )
+
+    query, latest = start()
+    seq = _stage_scenario(events_dir, "preCornucopia", 0)
+    query.processAllAvailable()
+    query.stop()
+
+    query, latest = start()
+    _stage_scenario(events_dir, "postCornucopia", seq)
+    query.processAllAvailable()
+    try:
+        archive = spark.read.json(str(tmp_path / "archive"))
+        assert archive.count() == 32  # 16 + 16, nothing duplicated by restart
+        st = {r["tributeId"]: r["status"] for r in latest.read().collect()}
+        assert sum(1 for v in st.values() if v == "DEAD") == 5
+    finally:
+        query.stop()

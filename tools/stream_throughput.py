@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""End-to-end streaming throughput for the tribute-status pipeline.
+
+Generates N synthetic tribute events (same 9-column shape as the reference's
+Kinesis payload), streams them through the full continuous query — stream →
+2 broadcast dim joins → 5 CASE derivations → foreachBatch dual sink (keyed
+parquet upsert + JSON archive) — and reports events/sec.
+
+Reference context (BASELINE.md): the original pipeline's end-to-end ceiling
+is its provisioned DynamoDB sink — 5 writes/sec — with a 1,000 records/sec
+Kinesis shard in front.  The set-oriented sink removes that bound entirely.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from hunger_games_glue_streaming_etl_spark.fixtures import (
+    load_game_config,
+    load_tribute_dim,
+    reference_available,
+)
+from hunger_games_glue_streaming_etl_spark.session import get_spark
+from hunger_games_glue_streaming_etl_spark.streaming import start_tribute_stream
+
+
+def generate_events(path: str, n_events: int, n_files: int) -> None:
+    rng = random.Random(42)
+    per_file = n_events // n_files
+    seq = 0
+    for f in range(n_files):
+        with open(os.path.join(path, f"gen_{f:04d}.json"), "w") as out:
+            for _ in range(per_file):
+                e = {
+                    "streamingeventid": f"gen{seq}",
+                    "gameid": "gameId1",
+                    "tributeid": str(rng.randint(1, 16)),
+                    "heartrate": float(rng.choice([0] + [60 + i for i in range(120)])),
+                    "painlevel": round(rng.uniform(0, 10), 2),
+                    "hydrationlevel": round(rng.uniform(0, 10), 2),
+                    "hungerlevel": round(rng.uniform(0, 10), 2),
+                    "xcoordinate": round(rng.uniform(-5, 105), 2),
+                    "ycoordinate": round(rng.uniform(-5, 105), 2),
+                    "seq": seq,
+                }
+                out.write(json.dumps(e) + "\n")
+                seq += 1
+
+
+def main() -> None:
+    n_events = int(os.environ.get("N_EVENTS", "100000"))
+    n_files = int(os.environ.get("N_FILES", "10"))
+    if not reference_available():
+        print(json.dumps({"error": "reference dims unavailable"}))
+        return
+    spark = get_spark(app_name="hg-stream-throughput")
+    base = tempfile.mkdtemp()
+    events_dir = os.path.join(base, "events")
+    os.makedirs(events_dir)
+    generate_events(events_dir, n_events, n_files)
+
+    query, latest = start_tribute_stream(
+        spark,
+        events_dir,
+        load_tribute_dim(spark),
+        load_game_config(spark),
+        os.path.join(base, "latest"),
+        os.path.join(base, "archive"),
+        os.path.join(base, "checkpoint"),
+        max_files_per_trigger=1,  # n_files micro-batches
+    )
+    start = time.perf_counter()
+    query.processAllAvailable()
+    elapsed = time.perf_counter() - start
+    query.stop()
+
+    archived = spark.read.json(os.path.join(base, "archive")).count()
+    keyed = latest.read().count()
+    print(
+        json.dumps(
+            {
+                "metric": "tribute_pipeline_events_per_sec",
+                "value": round(archived / elapsed, 1),
+                "unit": "events/sec",
+                "events": archived,
+                "micro_batches": n_files,
+                "elapsed_sec": round(elapsed, 2),
+                "keyed_rows": keyed,
+                "reference_ceiling_events_per_sec": 5,
+            }
+        )
+    )
+    spark.stop()
+    shutil.rmtree(base)
+
+
+if __name__ == "__main__":
+    main()
