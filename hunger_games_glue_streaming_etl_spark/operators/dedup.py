@@ -147,7 +147,9 @@ def minhash_lsh_pairs(
     join is the only quadratic-risk step and its bucket sizes are tuned by
     the bands/rows split.
     """
-    buckets = minhash_band_buckets(docs, text_col, id_col, num_hashes, bands, k)
+    # persist: both sides of the self-join (and nothing upstream) read the
+    # computed buckets — without it the signature aggregation runs twice
+    buckets = minhash_band_buckets(docs, text_col, id_col, num_hashes, bands, k).persist()
     a = buckets.select(F.col(id_col).alias("id_a"), "band", "band_hash")
     b = buckets.select(F.col(id_col).alias("id_b"), "band", "band_hash")
     candidates = (
@@ -177,7 +179,8 @@ def ngram_jaccard_pairs(
     pair explosion.  Still quadratic in bucket size per shingle (that's the
     definition of 'exact'); at scale it runs only behind the LSH screen.
     """
-    sh = shingle_sets(docs, text_col, id_col, k)
+    # persist: the exploded shingles feed both self-join sides + the sizes agg
+    sh = shingle_sets(docs, text_col, id_col, k).persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     shared = (
         sh.select(F.col(id_col).alias("id_a"), "shingle")
@@ -198,7 +201,7 @@ def _jaccard_verify_candidates(
     shingles to each candidate (broadcast the pairs), then count matches
     against id_b's shingle set.  Work scales with |candidates| × shingles
     per doc — never with the full pair space."""
-    sh = shingle_sets(docs, text_col, id_col, k)
+    sh = shingle_sets(docs, text_col, id_col, k).persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     cand_shingles = F.broadcast(candidates).join(
         sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a"
@@ -251,7 +254,9 @@ def simhash_near_pairs(
     Hamming verify runs only on chunk-collision pairs — never O(n²)."""
     chunk_bits = SIMHASH_BITS // _SIMHASH_CHUNKS
     mask = (1 << chunk_bits) - 1
-    fp = simhash_fingerprints(docs, text_col, id_col)
+    # persist: the fingerprint aggregation feeds both self-join sides
+    # (measured 3.4× at sf0.1 — n_docs rows of (id, long), tiny to cache)
+    fp = simhash_fingerprints(docs, text_col, id_col).persist()
     chunks = F.array(
         *[
             F.struct(
