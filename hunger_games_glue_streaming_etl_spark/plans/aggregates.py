@@ -179,3 +179,27 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("O", "qty_O")
         .withColumnRenamed("F", "qty_F")
     )
+
+
+@register(
+    "agg_statistics",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty,
+           ROUND(VAR_SAMP(l_discount), 6) AS var_disc,
+           ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS covar_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (stddev/variance/correlation/covariance) —
+    single-pass moment computation, partial-aggregated like any hash agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+    )

@@ -161,3 +161,35 @@ def scalar_conditional_null(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.col("o_totalprice"), F.lit(100000.0)).alias("price_floor100k"),
         F.least(F.col("o_totalprice"), F.lit(400000.0)).alias("price_cap400k"),
     )
+
+
+@register(
+    "scalar_array_funcs",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS INT) AS n_tokens,
+           array_to_string(list_sort(list_distinct(
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')[1:5]
+           )), ',') AS first5_sorted,
+           CASE WHEN list_contains(
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '), 'spark')
+           THEN 1 ELSE 0 END AS mentions_spark
+    FROM documents
+    """,
+)
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface: slice, distinct, sort, join-to-string,
+    contains — over the tokenized documents (SURVEY.md §1.2: arrays absent
+    from the reference, first-class here)."""
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.array_join(
+            F.array_sort(F.array_distinct(F.slice(toks, 1, 5))), ","
+        ).alias("first5_sorted"),
+        F.when(F.array_contains(toks, "spark"), 1).otherwise(0).alias("mentions_spark"),
+    )

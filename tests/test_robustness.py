@@ -1,0 +1,108 @@
+"""Edge-case hardening: null join keys, empty inputs, unicode text through
+the hashing/dedup path, degenerate windows."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hunger_games_glue_streaming_etl_spark.functions.text import (
+    normalized_text,
+    portable_hash64,
+    quality_score,
+    token_count,
+)
+from hunger_games_glue_streaming_etl_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_signatures,
+)
+from hunger_games_glue_streaming_etl_spark.operators.relational import latest_per_key
+from hunger_games_glue_streaming_etl_spark.operators.tribute import tribute_pipeline
+from hunger_games_glue_streaming_etl_spark.fixtures import (
+    load_game_config,
+    load_tribute_dim,
+)
+
+
+def test_null_join_keys_drop_in_inner_join(spark):
+    """SQL semantics: NULL keys never match (NULL != NULL) — events with a
+    null tributeid silently drop through the inner join, same as unknown
+    ids (the reference's implicit filter)."""
+    events = spark.createDataFrame(
+        [
+            ("e1", "gameId1", None, 100.0, 0.0, 10.0, 0.0, 50.0, 50.0),
+            ("e2", "gameId1", "1", 100.0, 0.0, 10.0, 0.0, 50.0, 50.0),
+        ],
+        "streamingeventid string, gameid string, tributeid string, heartrate double, "
+        "painlevel double, hydrationlevel double, hungerlevel double, "
+        "xcoordinate double, ycoordinate double",
+    )
+    out = tribute_pipeline(events, load_tribute_dim(spark), load_game_config(spark))
+    assert [r["tributeId"] for r in out.collect()] == ["1"]
+
+
+def test_empty_input_yields_empty_output_with_schema(spark):
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string"
+    )
+    out = exact_dedup_groups(empty)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "fingerprint", "canonical_id", "group_size"]
+    sigs = minhash_signatures(empty)
+    assert sigs.count() == 0
+
+
+def test_unicode_text_hashing_deterministic(spark):
+    """Unicode (CJK, emoji, combining marks) flows through normalization,
+    md5 fingerprints, and minhash without mangling — and identical unicode
+    texts still collapse to one group."""
+    docs = spark.createDataFrame(
+        [
+            (1, "héllo wörld 你好 🌍"),
+            (2, "héllo  wörld 你好 🌍"),  # same after whitespace collapse
+            (3, "plain ascii text"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in exact_dedup_groups(docs).collect()}
+    assert out[1]["fingerprint"] == out[2]["fingerprint"]
+    assert out[1]["group_size"] == 2
+    assert out[3]["group_size"] == 1
+
+
+def test_null_and_empty_text_scoring(spark):
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "ok text here")], ["doc_id", "text"]
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id",
+            token_count("text").alias("n"),
+            quality_score("text").alias("q"),
+        ).collect()
+    }
+    # empty/whitespace docs don't crash and produce defined values
+    assert rows[3]["n"] == 3
+    assert all(r["q"] is not None or r["n"] in (0, 1) for r in rows.values())
+
+
+def test_latest_per_key_single_row_groups(spark):
+    df = spark.createDataFrame([(i, i, i * 10) for i in range(5)], ["k", "ts", "v"])
+    assert latest_per_key(df, "k", "ts").count() == 5
+
+
+def test_portable_hash_matches_duckdb(spark, oracle_con):
+    """The portable hash must stay bit-identical across engines for every
+    input class (ascii, unicode, empty string)."""
+    vals = ["abc", "héllo 你好 🌍", "", "with:colon", "0:prefix-collision"]
+    df = spark.createDataFrame([(v,) for v in vals], ["s"])
+    spark_hashes = {
+        r["s"]: r["h"]
+        for r in df.select("s", portable_hash64(F.col("s")).alias("h")).collect()
+    }
+    for v in vals:
+        duck = oracle_con.execute(
+            "SELECT CAST(('0x' || substr(md5('0:' || ?), 1, 12)) AS BIGINT)", [v]
+        ).fetchone()[0]
+        assert spark_hashes[v] == duck, v
