@@ -22,17 +22,26 @@ from .upsert import ParquetLatestSink
 
 
 class JsonArchiveSink:
-    """Append the full micro-batch to a JSON-lines archive directory."""
+    """Append the full micro-batch to a JSON-lines archive directory.
+
+    Epoch-partitioned for exactly-once: each micro-batch overwrites its own
+    ``epoch=N`` subdirectory, so a foreachBatch retry of the same epoch
+    (at-least-once delivery after a failure) replaces rather than duplicates
+    — the set-oriented analogue of the reference's idempotent
+    one-object-per-event S3 keying (``script/TributeStreamingJob.py:73``).
+    """
 
     def __init__(self, path: str, fmt: str = "json") -> None:
         self.path = path
         self.fmt = fmt
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
-        self.append(batch_df)
+        self.append(batch_df, epoch_id)
 
-    def append(self, batch_df: DataFrame) -> None:
-        batch_df.write.mode("append").format(self.fmt).save(self.path)
+    def append(self, batch_df: DataFrame, epoch_id: int = 0) -> None:
+        batch_df.write.mode("overwrite").format(self.fmt).save(
+            f"{self.path}/epoch={epoch_id}"
+        )
 
 
 class DualSink:
@@ -55,7 +64,7 @@ class DualSink:
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         batch_df.persist()
         try:
-            self.archive.append(batch_df)
+            self.archive.append(batch_df, epoch_id)
             projected = self.project(batch_df) if self.project else batch_df
             self.latest.upsert(projected)
         finally:

@@ -92,6 +92,36 @@ def sessionize_stream(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "10 minutes",
+    within: str = "30 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join bounded by an event-time window: right rows
+    match left rows at-or-before them within ``within``.
+
+    Both sides carry watermarks and the join condition carries the time
+    bound — that pair is what lets Spark expire buffered state (an unbounded
+    stream-stream join is an unbounded state store).  The reference has only
+    stream-static joins (SURVEY.md §2C); this is the genuinely-streaming
+    join the engine adds.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    l_ts, r_ts = F.col(f"__l.{left_ts}"), F.col(f"__r.{right_ts}")
+    cond = (
+        (F.col(f"__l.{on}") == F.col(f"__r.{on}"))
+        & (r_ts <= l_ts)
+        & (r_ts >= l_ts - F.expr(f"INTERVAL {within}"))
+    )
+    return lw.alias("__l").join(rw.alias("__r"), cond, how)
+
+
 # ---- arbitrary stateful processing (applyInPandasWithState) ----------------
 
 RUNNING_STATE_SCHEMA = "user_id long, n_events long, total_value double, max_value double"

@@ -147,3 +147,54 @@ def test_running_user_state_across_batches(spark, tmp_path):
         assert rows[0]["max_value"] == 10.0
     finally:
         q.stop()
+
+
+def test_stream_stream_join_time_bounded(spark, tmp_path):
+    """Clicks ⋈ purchases per user, purchase at-or-before the click within
+    30 min — both sides unbounded, state bounded by watermark + interval."""
+    from hunger_games_glue_streaming_etl_spark.streaming.ops import stream_stream_join
+
+    src = str(tmp_path / "src")
+    feeder = BatchFeeder(src)
+    stream = spark.readStream.schema(STREAM_SCHEMA).json(src)
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_event_id"),
+    )
+    joined = stream_stream_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="p_ts"
+    ).select("event_id", "p_event_id")
+    q = _start(spark, joined, "ss_join", "append")
+    try:
+        feeder.feed(
+            q,
+            ev(1, "2024-01-01 10:00:00", uid=1, etype="purchase"),
+            ev(2, "2024-01-01 10:10:00", uid=1, etype="click"),      # joins 1
+            ev(3, "2024-01-01 09:00:00", uid=2, etype="purchase"),
+            ev(4, "2024-01-01 10:00:00", uid=2, etype="click"),      # 3 too old (>30m)
+            ev(5, "2024-01-01 10:20:00", uid=3, etype="click"),      # no purchase
+        )
+        feeder.feed(q, ev(6, "2024-01-01 13:00:00", uid=9, etype="view"))  # advance wm
+        pairs = {
+            (r["event_id"], r["p_event_id"])
+            for r in spark.sql("SELECT * FROM ss_join").collect()
+        }
+        assert pairs == {(2, 1)}
+    finally:
+        q.stop()
+
+
+def test_archive_epoch_overwrite_idempotent(spark, tmp_path):
+    """Re-appending the same epoch replaces its output (retry semantics) —
+    no duplicate rows after a simulated foreachBatch retry."""
+    from hunger_games_glue_streaming_etl_spark.sinks import JsonArchiveSink
+
+    sink = JsonArchiveSink(str(tmp_path / "arch"))
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    sink.append(df, epoch_id=0)
+    sink.append(df, epoch_id=0)  # retry of the same epoch
+    sink.append(df, epoch_id=1)  # a genuinely new epoch
+    back = spark.read.json(str(tmp_path / "arch"))
+    assert back.count() == 4  # 2 rows x 2 epochs, not 6
