@@ -203,3 +203,27 @@ def agg_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
     )
+
+
+@register(
+    "agg_percentiles_exact",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.90), 4) AS p90
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont`` — verified value-identical).  Exact percentile sorts
+    per group; at 100 TB prefer ``percentile_approx`` (KLL sketch, in
+    ``agg_approx_distinct``) unless exactness is contractual."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(l_extendedprice, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.90)"), 4).alias("p90"),
+    )

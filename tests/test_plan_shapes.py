@@ -56,3 +56,38 @@ def test_salted_join_correct_and_spreads_keys(spark):
     rows = out.groupBy("name").count().collect()
     counts = {r["name"]: r["count"] for r in rows}
     assert counts == {"hot": 1000, "cold": 10}  # join result identical to plain join
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    """Bucketing both sides on the join key co-locates rows at write time:
+    the sort-merge join then needs NO Exchange — the 100 TB pattern for
+    repeated large-large joins on a stable key.  Broadcast is disabled for
+    the check because at test scale the planner would broadcast (and ignore
+    buckets); at 100 TB neither side fits a broadcast."""
+    import uuid
+
+    suffix = uuid.uuid4().hex[:8]
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    old_threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+            "overwrite"
+        ).saveAsTable(f"orders_b_{suffix}")
+        lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+            "overwrite"
+        ).saveAsTable(f"lineitem_b_{suffix}")
+        ob = spark.table(f"orders_b_{suffix}")
+        lb = spark.table(f"lineitem_b_{suffix}")
+        joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey).select(
+            "o_orderkey", "l_quantity"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucketing removed both shuffles
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_threshold)
+        spark.sql(f"DROP TABLE IF EXISTS orders_b_{suffix}")
+        spark.sql(f"DROP TABLE IF EXISTS lineitem_b_{suffix}")
