@@ -9,6 +9,7 @@ from . import (  # noqa: E402,F401
     dedup_ops,
     event_time,
     scalars,
+    scd_ops,
     setops_sort,
     similarity_ops,
     sources_sql,
