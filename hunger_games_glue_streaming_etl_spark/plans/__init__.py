@@ -16,6 +16,7 @@ from . import (  # noqa: E402,F401
     streaming_queries,
     temporal_ops,
     tribute_parity,
+    udf_ops,
     text_ops,
     windows,
 )

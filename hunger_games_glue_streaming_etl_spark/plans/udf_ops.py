@@ -1,0 +1,102 @@
+"""Python-UDF surface (SURVEY.md §2C: the reference's only user-code path is
+the per-row ``foreach`` sink; the engine's sanctioned Python paths are
+Arrow-vectorized).
+
+Two demonstrations, both oracle-checked:
+
+* a scalar ``pandas_udf`` (Arrow batches, numpy math — the 10-100× path over
+  row-at-a-time UDFs);
+* a Python UDTF (table function, one→many row expansion).
+
+Determinism: the z-score constants (mean/std) are aggregated once and
+ROUNDed before entering the UDF, so the per-row arithmetic is pure
+float ops on identical inputs in both engines.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf, udtf
+
+from ..sources.batch import load_table
+from .registry import register
+
+
+@pandas_udf(T.DoubleType())
+def _zscore(x: pd.Series, mean: pd.Series, std: pd.Series) -> pd.Series:
+    return (x - mean) / std
+
+
+@register(
+    "udf_pandas_zscore",
+    oracle="""
+    WITH stats AS (
+        SELECT ROUND(AVG(o_totalprice), 6) AS m, ROUND(STDDEV_SAMP(o_totalprice), 6) AS s
+        FROM orders
+    )
+    SELECT o_orderkey, ROUND((o_totalprice - m) / s, 6) AS zscore
+    FROM orders CROSS JOIN stats
+    """,
+)
+def udf_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized pandas UDF: per-order z-score against rounded global
+    moments (one agg + broadcast of a 1-row stats frame + Arrow-batched
+    scalar UDF — zero Python row loops)."""
+    orders = load_table(spark, sf_dir, "orders")
+    stats = orders.agg(
+        F.round(F.avg("o_totalprice"), 6).alias("m"),
+        F.round(F.stddev_samp("o_totalprice"), 6).alias("s"),
+    )
+    return (
+        orders.crossJoin(F.broadcast(stats))
+        .select(
+            "o_orderkey",
+            F.round(_zscore("o_totalprice", "m", "s"), 6).alias("zscore"),
+        )
+    )
+
+
+@udtf(returnType="pos int, token string")
+class _TokenPositions:
+    """UDTF: explode a (pre-tokenized) prefix into (position, token) rows."""
+
+    def eval(self, tokens: list):  # noqa: ANN001 — Spark passes the array value
+        if tokens:
+            for i, t in enumerate(tokens[:5]):
+                yield i, t
+
+
+@register(
+    "udtf_token_positions",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')[1:5] AS toks
+        FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM t
+    )
+    SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i] AS token FROM idx
+    """,
+)
+def udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF over the token array (lateral one→many expansion).
+    Equivalent to posexplode — registered through the UDTF surface to pin
+    the table-function API; the oracle uses UNNEST WITH ORDINALITY."""
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.slice(tokens("text"), 1, 5).alias("toks"))
+    view = "udtf_toks_src"
+    toks.createOrReplaceTempView(view)
+    spark.udtf.register("token_positions", _TokenPositions)
+    return spark.sql(
+        f"""
+        SELECT doc_id, t.pos, t.token
+        FROM {view}, LATERAL token_positions(toks) AS t
+        """
+    )
