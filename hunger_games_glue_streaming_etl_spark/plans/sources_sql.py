@@ -141,3 +141,25 @@ def sql_api_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 20
         """
     )
+
+
+@register(
+    "scan_orc_roundtrip",
+    oracle="""
+    SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n_nations,
+           MIN(n_nationkey) AS min_key
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC scan (columnar alternative to parquet; same pushdown/pruning
+    machinery).  Round-trips nation through ORC, then aggregates — the
+    oracle checks against the source-of-truth view, proving the format
+    round-trip is lossless."""
+    nation = load_table(spark, sf_dir, "nation")
+    path = _roundtrip_dir()
+    nation.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("n_regionkey").agg(
+        F.count("*").alias("n_nations"), F.min("n_nationkey").alias("min_key")
+    )

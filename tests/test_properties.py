@@ -1,0 +1,96 @@
+"""Property-based tests (hypothesis): the custom operators against
+independent reference implementations (pandas) on randomized inputs.
+
+Settings note: each example spins Spark jobs, so example counts are small —
+the value is input diversity (ties, empty groups, all-one-key, unordered
+input), not volume.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from hunger_games_glue_streaming_etl_spark.operators.relational import latest_per_key
+from hunger_games_glue_streaming_etl_spark.operators.temporal import asof_join
+
+ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),    # key (few keys -> collisions)
+        st.integers(min_value=0, max_value=20),   # ts (small range -> ties)
+        st.integers(min_value=0, max_value=10_000),  # uid (tiebreak, may repeat)
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=ROWS)
+def test_latest_per_key_matches_pandas(spark_prop, rows):
+    if not rows:
+        return
+    df = spark_prop.createDataFrame(rows, "k int, ts int, uid int")
+    got = {
+        r["k"]: (r["ts"], r["uid"])
+        for r in latest_per_key(df, "k", ["ts", "uid"]).collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["k", "ts", "uid"])
+    expected = {
+        k: (int(g.ts.iloc[0]), int(g.uid.iloc[0]))
+        for k, g in pdf.sort_values(
+            ["ts", "uid"], ascending=False
+        ).groupby("k", sort=False)
+    }
+    assert got == expected
+
+
+LEFT = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=1, max_size=15
+)
+RIGHT = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(0, 100)),
+    min_size=0,
+    max_size=15,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(left=LEFT, right=RIGHT)
+def test_asof_join_matches_merge_asof(spark_prop, left, right):
+    left = [(k, t, i) for i, (k, t) in enumerate(left)]
+    ldf = spark_prop.createDataFrame(left, "k int, t int, lid int")
+    rdf = (
+        spark_prop.createDataFrame(right, "k int, t int, price int")
+        if right
+        else spark_prop.createDataFrame([], "k int, t int, price int")
+    )
+    got = {
+        r["lid"]: r["price_asof"]
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="t", right_ts="t",
+            value_cols=["price"], tiebreak="price",
+        ).collect()
+    }
+    # reference: pandas merge_asof (backward = at-or-before), with max-price
+    # tiebreak inside equal (k, t) groups to match the operator's contract
+    lp = pd.DataFrame(left, columns=["k", "t", "lid"]).sort_values(["t", "lid"])
+    rp = pd.DataFrame(right, columns=["k", "t", "price"])
+    if len(rp):
+        rp = rp.sort_values(["t", "price"]).groupby(["k", "t"], as_index=False).last()
+        rp = rp.sort_values("t")
+        merged = pd.merge_asof(lp, rp, on="t", by="k", direction="backward")
+    else:
+        merged = lp.assign(price=None)
+    expected = {
+        int(r.lid): (None if pd.isna(r.price) else int(r.price))
+        for r in merged.itertuples()
+    }
+    assert got == expected
+
+
+@pytest.fixture(scope="session")
+def spark_prop(spark):
+    return spark
