@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..operators.similarity import (
     cosine_topk,
     embedding_pairs_blas,
+    ivf_ann_topk,
     lsh_ann_topk,
     lsh_bucket_stats,
 )
@@ -62,6 +63,17 @@ def sim_embedding_pairs_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only check (numpy pairwise summation differs in the last ULP from
     sequential); pair-set equality vs the exact path is unit-tested."""
     return embedding_pairs_blas(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("sim_ivf_ann_topk")
+def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-indexed approximate top-k: Lloyd-iterated coarse quantizer (pure
+    DataFrame ops), probe the 4 of 16 cells nearest the query.  Rows-only
+    check; recall vs the exact top-k is asserted in tests/test_similarity
+    (probing all cells ≡ exact scan)."""
+    return ivf_ann_topk(
+        load_table(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=_K
+    )
 
 
 @register("sim_lsh_bucket_stats")

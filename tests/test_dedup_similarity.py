@@ -86,3 +86,37 @@ def test_lsh_ann_results_subset_of_exact_scores(spark):
     for vid, cos in approx.items():
         if vid in exact:
             assert exact[vid] == cos  # identical scoring expression
+
+
+def test_ivf_ann_full_probe_equals_exact(spark):
+    """Probing ALL cells makes IVF an exact scan — same top-k as brute
+    force; probing fewer cells returns a subset with identical scores."""
+    from hunger_games_glue_streaming_etl_spark.operators.similarity import (
+        ivf_ann_topk,
+        ivf_build_centroids,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
+    cents = ivf_build_centroids(emb, n_centroids=8, iterations=1)
+    exact = [
+        (r["vec_id"], r["cosine"]) for r in cosine_topk(emb, q, k=10).collect()
+    ]
+    full = [
+        (r["vec_id"], r["cosine"])
+        for r in ivf_ann_topk(
+            emb, q, k=10, n_centroids=8, n_probe=8, centroids=cents
+        ).collect()
+    ]
+    assert full == exact
+    part = {
+        r["vec_id"]: r["cosine"]
+        for r in ivf_ann_topk(
+            emb, q, k=10, n_centroids=8, n_probe=2, centroids=cents
+        ).collect()
+    }
+    assert 0 in part  # the query vector's own cell is always probed
+    exact_scores = dict(exact)
+    for vid, cos in part.items():
+        if vid in exact_scores:
+            assert cos == exact_scores[vid]
