@@ -173,15 +173,27 @@ def embedding_pairs_blas(
 
 
 def _assign_cluster(df: DataFrame, centroids: list[list[float]], vec_col: str) -> DataFrame:
-    """argmax-dot centroid assignment as a single JVM expression chain."""
-    best_id = F.lit(0)
-    best_dot = dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in centroids[0]]))
-    for cid in range(1, len(centroids)):
-        d = dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in centroids[cid]]))
-        better = d > best_dot
-        best_id = F.when(better, F.lit(cid)).otherwise(best_id)
-        best_dot = F.when(better, d).otherwise(best_dot)
-    return df.withColumn("__cluster", best_id)
+    """argmax-dot centroid assignment.
+
+    The k dot products are materialized as columns FIRST, then the argmax
+    compares column references — folding running-max ``when`` chains over
+    the raw dot expressions instead duplicates each dot into every later
+    branch (O(k²) tree growth; it OOM'd a default-heap driver at k=16).
+    Smallest index wins ties, deterministically.
+    """
+    k = len(centroids)
+    dots = [
+        dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])).alias(f"__d{i}")
+        for i, c in enumerate(centroids)
+    ]
+    with_dots = df.select("*", *dots)
+    best = F.greatest(*[F.col(f"__d{i}") for i in range(k)]) if k > 1 else F.col("__d0")
+    cluster = F.lit(k - 1)
+    for i in reversed(range(k - 1)):
+        cluster = F.when(F.col(f"__d{i}") == best, F.lit(i)).otherwise(cluster)
+    return with_dots.withColumn("__cluster", cluster).drop(
+        *[f"__d{i}" for i in range(k)]
+    )
 
 
 def ivf_build_centroids(
