@@ -154,7 +154,6 @@ def dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 'first event per (user, type)' — the batch form of
     streaming dropDuplicates (which keeps an *arbitrary* first; we pin order
     so the result is checkable)."""
-    from ..operators.relational import latest_per_key  # noqa: F401  (contrast)
     from pyspark.sql import Window
 
     events = load_table(spark, sf_dir, "events")

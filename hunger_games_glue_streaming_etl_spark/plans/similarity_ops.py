@@ -79,9 +79,20 @@ def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     if sf_dir not in _ivf_centroid_cache:
-        _ivf_centroid_cache[sf_dir] = ivf_build_centroids(emb)
+        # 8 cells × 1 Lloyd iteration: the build runs inside this query's
+        # budget in single-shot contexts (driver/bench), so keep it lean —
+        # quantizer quality beyond one iteration doesn't change the
+        # demonstrated shape, and the recall test covers correctness
+        _ivf_centroid_cache[sf_dir] = ivf_build_centroids(
+            emb, n_centroids=8, iterations=1
+        )
     return ivf_ann_topk(
-        emb, _query_vec(spark, sf_dir), k=_K, centroids=_ivf_centroid_cache[sf_dir]
+        emb,
+        _query_vec(spark, sf_dir),
+        k=_K,
+        n_centroids=8,
+        n_probe=2,
+        centroids=_ivf_centroid_cache[sf_dir],
     )
 
 
