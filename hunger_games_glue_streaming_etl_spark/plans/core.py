@@ -249,3 +249,67 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest_per_key(events, "user_id", ["ts", "event_id"]).select(
         "user_id", "event_id", "event_type", "value"
     )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'REGION_0'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-table join (two big facts + four dims) with the
+    same-nation customer/supplier correlation.  Plan shape at scale: the
+    region filter prunes through broadcast nation/region; customer/supplier
+    broadcast; the only large shuffle is orders ⋈ lineitem on orderkey."""
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ("customer", "orders", "lineitem", "supplier", "nation", "region")}
+    return (
+        t["customer"]
+        .join(t["orders"], t["customer"].c_custkey == t["orders"].o_custkey)
+        .join(t["lineitem"], t["orders"].o_orderkey == t["lineitem"].l_orderkey)
+        .join(
+            F.broadcast(t["supplier"]),
+            (t["lineitem"].l_suppkey == t["supplier"].s_suppkey)
+            & (t["customer"].c_nationkey == t["supplier"].s_nationkey),
+        )
+        .join(F.broadcast(t["nation"]), t["supplier"].s_nationkey == t["nation"].n_nationkey)
+        .join(F.broadcast(t["region"]), t["nation"].n_regionkey == t["region"].r_regionkey)
+        .filter(F.col("r_name") == "REGION_0")
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@register(
+    "salted_join_result_parity",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def salted_join_result_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join inside the correctness gate: the salted plan (fact
+    key salted into 8 sub-keys, dim replicated ×8) must aggregate to exactly
+    the plain join's result — the oracle is the unsalted SQL."""
+    from ..operators.relational import salted_join
+
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = salted_join(events, customer, "user_id", "c_custkey", salt_buckets=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

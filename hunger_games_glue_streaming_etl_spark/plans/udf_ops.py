@@ -100,3 +100,50 @@ def udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM {view}, LATERAL token_positions(toks) AS t
         """
     )
+
+
+def _round_half_up6(s: pd.Series) -> pd.Series:
+    """SQL-style ROUND (half away from zero) at 6 dp — numpy's .round is
+    half-to-even, which disagrees with the oracle exactly when a quotient
+    lands on a decimal tie (this data's dyadic values make that real)."""
+    import numpy as np
+
+    return np.sign(s) * np.floor(np.abs(s) * 1e6 + 0.5) / 1e6
+
+
+def _per_user_robust_scale(pdf: pd.DataFrame) -> pd.DataFrame:
+    med = pdf["value"].quantile(0.5)
+    iqr = pdf["value"].quantile(0.75) - pdf["value"].quantile(0.25)
+    out = pdf[["user_id", "event_id"]].copy()
+    out["robust_z"] = _round_half_up6((pdf["value"] - med) / iqr)
+    return out
+
+
+@register(
+    "udf_grouped_map_normalize",
+    oracle="""
+    WITH stats AS (
+        SELECT user_id,
+               quantile_cont(value, 0.5) AS med,
+               quantile_cont(value, 0.75) - quantile_cont(value, 0.25) AS iqr
+        FROM events GROUP BY user_id
+    )
+    SELECT e.user_id, e.event_id, ROUND((e.value - med) / iqr, 6) AS robust_z
+    FROM events e JOIN stats USING (user_id)
+    """,
+)
+def udf_grouped_map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map ``applyInPandas``: per-user robust scaling
+    ((x − median) / IQR) inside each group's pandas frame — the per-entity
+    model-scoring shape.
+
+    Median/IQR, not mean/stddev, deliberately: order statistics involve no
+    summation, so pandas and the SQL oracle derive bit-identical constants.
+    Mean-based constants proved un-oracle-able on this data — 2-decimal
+    values with power-of-2 group sizes put group means *exactly* on decimal
+    rounding boundaries, where the engines' 1e-12 summation differences
+    flip the tie (observed at sf0.01)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("user_id").applyInPandas(
+        _per_user_robust_scale, schema="user_id long, event_id long, robust_z double"
+    )
