@@ -72,14 +72,12 @@ def main(argv: list[str] | None = None) -> int:
         archive_path=os.path.join(args.output_dir, "archive"),
         checkpoint_path=os.path.join(args.output_dir, "checkpoint"),
         max_files_per_trigger=args.max_files_per_trigger,
+        available_now=args.available_now,
     )
+    query.awaitTermination()
     if args.available_now:
-        query.processAllAvailable()
-        query.stop()
         n = latest.read().count()
         print(f"drained; latest table holds {n} keys", file=sys.stderr)
-        return 0
-    query.awaitTermination()
     return 0
 
 

@@ -44,8 +44,14 @@ def start_tribute_stream(
     archive_path: str,
     checkpoint_path: str,
     max_files_per_trigger: int = 1,
+    available_now: bool = False,
 ) -> tuple[StreamingQuery, ParquetLatestSink]:
-    """Start the continuous tribute-status query; returns (query, latest sink)."""
+    """Start the continuous tribute-status query; returns (query, latest sink).
+
+    ``available_now=True`` uses the AvailableNow trigger: process everything
+    currently in the source (respecting ``maxFilesPerTrigger`` batch sizing)
+    and terminate — the idiomatic drain/backfill mode (vs. the default
+    run-forever micro-batch trigger, reference A11)."""
     stream = read_json_stream(
         spark, events_dir, TRIBUTE_STREAM_SCHEMA, max_files_per_trigger=max_files_per_trigger
     )
@@ -56,15 +62,16 @@ def start_tribute_stream(
     latest = ParquetLatestSink(spark, latest_path, keys="tributeId", seq_cols="seq")
     archive = JsonArchiveSink(archive_path)
 
-    query = (
+    writer = (
         derived.writeStream.foreachBatch(
             DualSink(latest, archive, tribute_status_output_with_seq)
         )
         .outputMode("update")
         .option("checkpointLocation", checkpoint_path)
-        .start()
     )
-    return query, latest
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(), latest
 
 
 def tribute_status_output_with_seq(derived: DataFrame) -> DataFrame:
