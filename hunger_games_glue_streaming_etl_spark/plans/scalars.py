@@ -193,3 +193,28 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("first5_sorted"),
         F.when(F.array_contains(toks, "spark"), 1).otherwise(0).alias("mentions_spark"),
     )
+
+
+@register(
+    "scalar_regexp_funcs",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(source, '([0-9]+)$', 1) AS source_num,
+           CASE WHEN regexp_matches(text, 'join .* stream') THEN 1 ELSE 0 END AS has_join_stream,
+           regexp_replace(source, '[0-9]+', '#', 'g') AS source_masked,
+           CAST(len(regexp_extract_all(text, 'spark')) AS INT) AS n_spark
+    FROM documents
+    """,
+)
+def scalar_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp scalar surface: extract (group), match test, global replace,
+    match count.  Patterns stay in the RE2 ∩ Java-regex common subset so
+    both engines agree."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("source", r"([0-9]+)$", 1).alias("source_num"),
+        F.when(F.col("text").rlike("join .* stream"), 1).otherwise(0).alias("has_join_stream"),
+        F.regexp_replace("source", r"[0-9]+", "#").alias("source_masked"),
+        F.size(F.expr("regexp_extract_all(text, 'spark', 0)")).alias("n_spark"),
+    )

@@ -115,3 +115,39 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_k_per_group(
         customer, "c_nationkey", ["c_acctbal", "c_custkey"], k=3
     ).select("c_nationkey", "c_custkey", "c_acctbal")
+
+
+@register(
+    "window_distribution_funcs",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(NTILE(4) OVER w AS INT) AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           FIRST_VALUE(o_orderkey) OVER w AS first_ok,
+           LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ok,
+           NTH_VALUE(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_ok
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution/navigation window functions: ntile, percent_rank,
+    cume_dist, first/last/nth value (full-partition frames for the
+    navigation trio — the default running frame would make last/nth
+    order-dependent)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("o_orderkey").over(w).alias("first_ok"),
+        F.last("o_orderkey").over(wf).alias("last_ok"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_ok"),
+    )
