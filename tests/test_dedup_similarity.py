@@ -120,3 +120,26 @@ def test_ivf_ann_full_probe_equals_exact(spark):
     for vid, cos in part.items():
         if vid in exact_scores:
             assert cos == exact_scores[vid]
+
+
+def test_blocked_exact_pairs_bitwise_equal_codegen(spark):
+    """The numpy column-at-a-time scan must be BIT-identical to the
+    expression-tree brute force (same sequential accumulation order)."""
+    from hunger_games_glue_streaming_etl_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+    from hunger_games_glue_streaming_etl_spark.operators.similarity import (
+        embedding_pairs_exact_blocked,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    a = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs(emb, cosine_threshold=0.2).collect()
+    }
+    b = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_pairs_exact_blocked(emb, cosine_threshold=0.2).collect()
+    }
+    assert set(a) == set(b)
+    assert all(a[k] == b[k] for k in a)  # bitwise, no tolerance
