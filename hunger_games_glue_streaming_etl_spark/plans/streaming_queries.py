@@ -119,3 +119,61 @@ def streaming_keyed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).json(src)
     deduped = dedup_stream(stream, keys=["event_id"], watermark="10 minutes")
     return _run_stream(spark, deduped.select("event_id", "user_id", "event_type"), "dedup")
+
+
+@register("streaming_stream_stream_join")
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream equi-join with event-time bounds, driven through real
+    micro-batches: clicks ⋈ purchases per user, purchase at-or-before the
+    click within 2 hours.  Both sides buffer watermarked state; rows-only
+    check (cross-batch buffering semantics are asserted in
+    tests/test_streaming_depth.py, incl. out-of-order arrival)."""
+    from ..streaming.ops import stream_stream_join
+
+    src = _stage_events_stream(spark, sf_dir)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "maxFilesPerTrigger", "1"
+    ).json(src)
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_event_id"),
+    )
+    joined = stream_stream_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="p_ts",
+        watermark="1 hour",
+        within="2 hours",
+    ).select("event_id", "p_event_id", F.col("__l.user_id").alias("user_id"))
+    return _run_stream(spark, joined, "ssjoin")
+
+
+@register("streaming_running_state")
+def streaming_running_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful processing (applyInPandasWithState): per-user
+    running (count, sum, max) maintained across the replayed micro-batches;
+    update-mode emissions land in the memory sink.  Rows-only check; state
+    persistence across batches is asserted in tests/test_streaming_depth.py."""
+    from ..streaming.ops import running_user_state
+
+    src = _stage_events_stream(spark, sf_dir)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "maxFilesPerTrigger", "1"
+    ).json(src)
+    qname = f"runstate_{uuid.uuid4().hex[:8]}"
+    q = (
+        running_user_state(stream)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(qname)
