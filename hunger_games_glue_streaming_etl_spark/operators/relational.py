@@ -55,7 +55,17 @@ def salted_join(
     or (b) the join is stream-static, where AQE is disabled.  Cost: the dim
     side is replicated ×``salt_buckets``, so use it for genuinely small-ish
     dims with a genuinely hot fact key.
+
+    Only ``inner`` and ``left`` joins are legal: the dim replication would
+    emit every unmatched dim row ``salt_buckets`` times under right/full
+    outer semantics.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            "the replicated dim side would duplicate unmatched rows "
+            "under right/full outer semantics"
+        )
     salted_fact = fact.withColumn(
         "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
     )

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -48,6 +48,14 @@ def scd2_apply(
     is_current); ``updates`` carries (keys, tracked_cols, effective_ts).
     Unchanged keys pass through; updates whose tracked values equal the
     open version are no-ops (no spurious version churn).
+
+    Multiple updates for one key in a single batch are *chained* in
+    ``effective_ts`` order: each intermediate version closes at the next
+    update's effective time (``valid_to = lead(effective_ts)``) and only
+    the final one stays open — so validity intervals never overlap and at
+    most one ``is_current`` row exists per key.  Consecutive updates with
+    identical tracked values collapse to one version.  Ties on
+    ``effective_ts`` are broken deterministically by the tracked values.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
 
@@ -63,6 +71,21 @@ def scd2_apply(
     for c in cmp[1:]:
         cond = cond & c
     changes = updates.join(open_cur, cond, "left_anti")
+
+    # chain intra-batch versions: order each key's changes by effective_ts
+    # (tracked values as deterministic tiebreak), drop consecutive
+    # duplicates, then close each version at the next one's effective time
+    tracked_struct = F.struct(*[F.col(c) for c in tracked_cols])
+    w_key = Window.partitionBy(*keys).orderBy(F.col(effective_col), tracked_struct)
+    changes = (
+        changes.withColumn("__prev", F.lag(tracked_struct).over(w_key))
+        .filter(
+            F.col("__prev").isNull() | ~F.col("__prev").eqNullSafe(tracked_struct)
+        )
+        .drop("__prev")
+    )
+    w_key2 = Window.partitionBy(*keys).orderBy(F.col(effective_col), tracked_struct)
+    changes = changes.withColumn("__next_eff", F.lead(effective_col).over(w_key2))
 
     change_keys = changes.select(*keys).distinct()
     # close open versions for changed keys at the update's effective time
@@ -81,8 +104,8 @@ def scd2_apply(
         *keys,
         *tracked_cols,
         F.col(effective_col).alias(valid_from),
-        F.lit(None).cast(current.schema[valid_to].dataType).alias(valid_to),
-        F.lit(True).alias(is_current),
+        F.col("__next_eff").cast(current.schema[valid_to].dataType).alias(valid_to),
+        F.col("__next_eff").isNull().alias(is_current),
     )
     return (
         closed_cur.unionByName(unchanged_open)

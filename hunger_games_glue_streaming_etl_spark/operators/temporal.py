@@ -47,24 +47,27 @@ def asof_join(
     row wins when several share one timestamp — max tiebreak, matching
     ``ORDER BY ts DESC, tiebreak DESC LIMIT 1``.  Left rows with no earlier
     right row keep nulls — left-outer as-of semantics.
+
+    All right-side value columns are carried as ONE struct through a single
+    ``last(ignorenulls=True)``, so the output always reflects exactly one
+    right row — a null in the winning row stays null rather than being
+    back-filled from an earlier row (which per-column carries would do).
     """
     if tiebreak is not None and tiebreak not in value_cols:
         value_cols = [*value_cols, tiebreak]
     lt = left.withColumn("__t", F.col(left_ts)).withColumn("__side", F.lit(1))
-    rt = (
-        right.select(
-            F.col(on),
-            F.col(right_ts).alias("__t"),
-            F.lit(0).alias("__side"),
-            *[F.col(c).alias(f"__r_{c}") for c in value_cols],
-        )
+    rt = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.struct(*[F.col(c) for c in value_cols]).alias("__r"),
     )
     lt_cols = [F.col(c) for c in left.columns]
     unioned = lt.select(
         *lt_cols,
         "__t",
         "__side",
-        *[F.lit(None).cast(rt.schema[f"__r_{c}"].dataType).alias(f"__r_{c}") for c in value_cols],
+        F.lit(None).cast(rt.schema["__r"].dataType).alias("__r"),
     ).unionByName(
         rt.select(
             *[
@@ -75,14 +78,17 @@ def asof_join(
             ],
             "__t",
             "__side",
-            *[F.col(f"__r_{c}") for c in value_cols],
+            "__r",
         )
     )
     # right rows (side 0) sort before left rows (side 1) at equal time →
     # a right row AT the left timestamp is visible to it ("at-or-before");
     # among right rows sharing a timestamp the max-tiebreak row sorts last
-    # and wins the carry-forward
-    order_cols = ["__t", "__side"] + ([f"__r_{tiebreak}"] if tiebreak else [])
+    # and wins the carry-forward (the struct is null on left rows, so the
+    # tiebreak field only orders right rows, which all carry it non-null)
+    order_cols = [F.col("__t"), F.col("__side")] + (
+        [F.col("__r").getField(tiebreak)] if tiebreak else []
+    )
     w = (
         Window.partitionBy(on)
         .orderBy(*order_cols)
@@ -91,12 +97,12 @@ def asof_join(
     carried = unioned.select(
         *[F.col(c) for c in left.columns],
         "__side",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in value_cols
-        ],
+        F.last("__r", ignorenulls=True).over(w).alias("__rc"),
     )
-    return carried.filter(F.col("__side") == 1).drop("__side")
+    return carried.filter(F.col("__side") == 1).select(
+        *[F.col(c) for c in left.columns],
+        *[F.col("__rc").getField(c).alias(f"{c}{suffix}") for c in value_cols],
+    )
 
 
 def range_join_buckets(

@@ -58,11 +58,19 @@ class ParquetLatestSink:
             )
         else:
             merged = latest
+        # write new view aside, move the old one out of the way, rename the
+        # new one in, THEN delete the old — a crash at any point leaves a
+        # complete view on disk (either at `path` or at `path + ".old"`)
         tmp = self.path + ".tmp"
+        old = self.path + ".old"
         merged.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
         if os.path.isdir(self.path):
-            shutil.rmtree(self.path)
+            os.rename(self.path, old)
         os.rename(tmp, self.path)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
 
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.path)

@@ -58,6 +58,18 @@ def test_salted_join_correct_and_spreads_keys(spark):
     assert counts == {"hot": 1000, "cold": 10}  # join result identical to plain join
 
 
+def test_salted_join_rejects_outer_how(spark):
+    """Right/full outer would emit each unmatched dim row salt_buckets
+    times (the dim side is replicated) — must be rejected up front."""
+    import pytest
+
+    fact = spark.createDataFrame([(1, 1)], ["k", "v"])
+    dim = spark.createDataFrame([(1, "a")], ["k", "name"])
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(fact, dim, "k", "k", how=how)
+
+
 def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
     """Bucketing both sides on the join key co-locates rows at write time:
     the sort-merge join then needs NO Exchange — the 100 TB pattern for

@@ -47,3 +47,54 @@ def test_scd2_close_and_version(spark):
 
     assert len(by_key[2]) == 1  # no version churn for a no-op update
     assert by_key[2][0]["is_current"] and by_key[2][0]["addr"] == "addr_keep"
+
+
+def test_scd2_multiple_updates_one_key_chain(spark):
+    """Two updates for one key in a single batch chain by effective_ts:
+    non-overlapping validity, exactly one is_current row per key."""
+    current = spark.createDataFrame(
+        [(1, "v0", _ts("2024-01-01"), None, True)],
+        "k int, addr string, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, "v1", _ts("2024-03-01")),
+            (1, "v2", _ts("2024-06-01")),
+        ],
+        "k int, addr string, effective_ts timestamp",
+    )
+    out = sorted(
+        scd2_apply(current, updates, "k", ["addr"]).collect(),
+        key=lambda r: r["valid_from"],
+    )
+    assert [(r["addr"], r["valid_to"], r["is_current"]) for r in out] == [
+        ("v0", _ts("2024-03-01"), False),
+        ("v1", _ts("2024-06-01"), False),
+        ("v2", None, True),
+    ]
+    # intervals tile with no overlap
+    assert out[0]["valid_to"] == out[1]["valid_from"]
+    assert out[1]["valid_to"] == out[2]["valid_from"]
+
+
+def test_scd2_consecutive_duplicate_updates_collapse(spark):
+    """Updates with identical tracked values back-to-back collapse to one
+    version instead of emitting a zero-width churn version."""
+    current = spark.createDataFrame(
+        [(1, "v0", _ts("2024-01-01"), None, True)],
+        "k int, addr string, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, "v1", _ts("2024-03-01")),
+            (1, "v1", _ts("2024-04-01")),  # duplicate of the previous update
+            (1, "v2", _ts("2024-06-01")),
+        ],
+        "k int, addr string, effective_ts timestamp",
+    )
+    out = sorted(
+        scd2_apply(current, updates, "k", ["addr"]).collect(),
+        key=lambda r: r["valid_from"],
+    )
+    assert [r["addr"] for r in out] == ["v0", "v1", "v2"]
+    assert sum(r["is_current"] for r in out) == 1

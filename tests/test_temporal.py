@@ -50,6 +50,28 @@ def test_asof_join_golden(spark):
     assert out == {1: 100, 2: 300, 3: None}
 
 
+def test_asof_join_null_in_winning_row_not_backfilled(spark):
+    """A null value in the winning right row must surface as null — not be
+    silently replaced by a stale value from an earlier right row (the
+    per-column-carry bug: all value columns must come from ONE right row)."""
+    left = spark.createDataFrame(
+        [(1, "u1", _ts("2024-01-01T12:00:00"))], ["lid", "user", "ts"]
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01T10:00:00"), 100, "first"),
+            ("u1", _ts("2024-01-01T11:00:00"), None, "second"),  # winner, price null
+        ],
+        "user string, ts timestamp, price int, tag string",
+    )
+    row = asof_join(
+        left, right, on="user", left_ts="ts", right_ts="ts",
+        value_cols=["price", "tag"], tiebreak="tag",
+    ).collect()[0]
+    assert row["tag_asof"] == "second"
+    assert row["price_asof"] is None  # NOT 100
+
+
 def test_range_join_golden(spark):
     points = spark.createDataFrame([(1, 5.0), (2, 25.0), (3, 99.9)], ["pid", "v"])
     intervals = spark.createDataFrame(
