@@ -123,11 +123,166 @@ def lsh_ann_topk(
     )
 
 
+def _hamming_ball_masks(n_planes: int, radius: int) -> list[int]:
+    """All XOR masks within Hamming distance ``radius`` of 0 over
+    ``n_planes`` bits (the multi-probe neighborhood), smallest weight
+    first.  radius = n_planes enumerates every bucket (exact scan)."""
+    from itertools import combinations
+
+    masks = [0]
+    for r in range(1, radius + 1):
+        for bits in combinations(range(n_planes), r):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
+    return masks
+
+
+def lsh_bucket_pairs(
+    embeddings: DataFrame,
+    cosine_threshold: float = 0.35,
+    n_planes: int = 8,
+    probe_radius: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """Bucketed embedding near-dup pairs — the 100 TB scale path for
+    ``dedup.embedding_near_dup_pairs``: candidates come from random-
+    hyperplane LSH buckets, never from an all-pairs product, and nothing
+    is collected to the driver.
+
+    Shape (mirrors the MinHash-LSH pattern): bucket each vector by the
+    sign pattern of ``n_planes`` deterministic hyperplanes; one side
+    multi-probes every bucket within Hamming distance ``probe_radius`` of
+    its home bucket (id+bucket keys only — the vector payload is NOT
+    replicated); the bucket-keyed self-join yields each candidate pair
+    exactly once (probe masks are distinct, the other side stays home);
+    the bit-exact sequential dot verifies candidates after re-attaching
+    vectors by id.  Work scales with bucket occupancy × ball size, not n².
+
+    A pair is found iff its two buckets differ in ≤ ``probe_radius``
+    plane signs — recall rises with the radius; ``probe_radius =
+    n_planes`` degenerates to the exact scan (every pair is a candidate).
+    """
+    if dim is None:
+        dim = embeddings.select(F.size(vec_col)).first()[0]
+    planes = hyperplanes(n_planes, dim)
+    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = embeddings.select(
+        F.col(id_col),
+        dbl.alias("__v"),
+        lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
+    ).persist()
+    masks = _hamming_ball_masks(n_planes, probe_radius)
+    probes = base.select(
+        F.col(id_col).alias("id_a"),
+        F.explode(
+            F.array(*[F.col("__bucket").bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("__bucket"),
+    )
+    home = base.select(F.col(id_col).alias("id_b"), "__bucket")
+    candidates = (
+        probes.join(home, "__bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    pairs = candidates.join(
+        base.select(F.col(id_col).alias("id_a"), F.col("__v").alias("va")), "id_a"
+    ).join(base.select(F.col(id_col).alias("id_b"), F.col("__v").alias("vb")), "id_b")
+    dot_expr = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        pairs.select("id_a", "id_b", F.round(dot_expr, 6).alias("cosine"))
+        .filter(F.col("cosine") >= cosine_threshold)
+    )
+
+
+def embedding_pairs_exact_tiled(
+    embeddings: DataFrame,
+    cosine_threshold: float = 0.35,
+    n_blocks: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exact_accumulation: bool = True,
+) -> DataFrame:
+    """Exact all-pairs cosine WITHOUT any driver-side materialization:
+    rows are hashed into ``n_blocks`` blocks, each block packs its
+    (id, vector) rows into one aggregated row, and the ``B(B+1)/2``
+    block-pair cells fan out across executors; each cell computes its
+    pair block in numpy.  Total data movement is n × B rows (choose
+    B ≈ √(cluster cores)); the driver only coordinates.
+
+    ``exact_accumulation=True`` keeps the column-at-a-time sequential
+    accumulation (bit-identical to the expression-tree form and DuckDB's
+    ``list_dot_product``); ``False`` uses one BLAS matmul per cell
+    (faster, last-ULP differences).  Pair orientation is normalized to
+    id_a < id_b — dot is commutative and the per-dimension accumulation
+    order is identical either way, so orientation never affects bits.
+    """
+    import numpy as np
+
+    blocks = embeddings.select(
+        F.pmod(F.crc32(F.col(id_col).cast("string")), F.lit(n_blocks)).alias("__g"),
+        F.col(id_col),
+        F.col(vec_col),
+    )
+    packed = blocks.groupBy("__g").agg(
+        F.collect_list(F.struct(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))).alias(
+            "rows"
+        )
+    ).persist()
+    cells = (
+        packed.select(F.col("__g").alias("ga"), F.col("rows").alias("rows_a"))
+        .crossJoin(packed.select(F.col("__g").alias("gb"), F.col("rows").alias("rows_b")))
+        .filter(F.col("ga") <= F.col("gb"))
+        # one cell per task: the pair block is the unit of work
+        .repartition(max(n_blocks * (n_blocks + 1) // 2, 1))
+    )
+
+    def per_cell(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for _, cell in pdf.iterrows():
+                rows_a, rows_b = cell["rows_a"], cell["rows_b"]
+                ids_a = np.array([r["id"] for r in rows_a], dtype=np.int64)
+                ids_b = np.array([r["id"] for r in rows_b], dtype=np.int64)
+                A = np.array([list(r["v"]) for r in rows_a], dtype=np.float64)
+                B = np.array([list(r["v"]) for r in rows_b], dtype=np.float64)
+                if exact_accumulation:
+                    sims = np.zeros((len(A), len(B)))
+                    for d in range(A.shape[1]):
+                        sims += A[:, d, None] * B[None, :, d]
+                    sims = np.sign(sims) * np.floor(np.abs(sims) * 1e6 + 0.5) / 1e6
+                else:
+                    sims = np.round(A @ B.T, 6)
+                li, ri = np.nonzero(sims >= cosine_threshold)
+                la, ra = ids_a[li], ids_b[ri]
+                if cell["ga"] == cell["gb"]:
+                    keep = la < ra  # one orientation, drop self-pairs
+                    la, ra, cs = la[keep], ra[keep], sims[li, ri][keep]
+                else:
+                    cs = sims[li, ri]
+                    la, ra = np.minimum(la, ra), np.maximum(la, ra)
+                yield pd.DataFrame({"id_a": la, "id_b": ra, "cosine": cs})
+
+    return cells.mapInPandas(per_cell, schema="id_a long, id_b long, cosine double")
+
+
+# beyond this many vectors the collect-and-broadcast fast path would
+# materialize the table on the driver — fall back to the tiled plan
+MAX_BROADCAST_VECTORS = 200_000
+
+
 def embedding_pairs_exact_blocked(
     embeddings: DataFrame,
     cosine_threshold: float = 0.35,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_broadcast_rows: int = MAX_BROADCAST_VECTORS,
 ) -> DataFrame:
     """Brute-force cosine pairs, numpy-blocked AND bit-exact.
 
@@ -139,12 +294,18 @@ def embedding_pairs_exact_blocked(
     (verified bit-equal on 6,903 pairs).  Rounding is SQL HALF_UP, applied
     the same way the exact path rounds.  ~10× the codegen throughput.
 
-    The right side broadcasts as one float64 matrix (n×dim — tile beyond
-    ~10⁶×64); each Arrow batch of left rows emits only its above-threshold
-    pairs with id_a < id_b.
+    The right side broadcasts as one float64 matrix only while the table
+    fits ``max_broadcast_rows``; above that the computation switches to
+    ``embedding_pairs_exact_tiled`` (distributed block pairs, no driver
+    materialization) with identical bit-exact accumulation.
     """
     import numpy as np
 
+    if embeddings.count() > max_broadcast_rows:
+        return embedding_pairs_exact_tiled(
+            embeddings, cosine_threshold, vec_col=vec_col, id_col=id_col,
+            exact_accumulation=True,
+        )
     spark = embeddings.sparkSession
     rows = embeddings.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
@@ -183,19 +344,25 @@ def embedding_pairs_blas(
     cosine_threshold: float = 0.35,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_broadcast_rows: int = MAX_BROADCAST_VECTORS,
 ) -> DataFrame:
     """Brute-force cosine pairs via blocked BLAS matmul (``mapInPandas``).
 
-    The whole right side is broadcast as one float64 matrix (n×dim — at
-    n = 10⁶, dim = 64 that's 512 MB, the practical ceiling; beyond that,
-    tile the right side); each Arrow batch of left rows computes a
-    block × matrix product in numpy and emits only above-threshold pairs.
-    ~100× the per-pair throughput of expression-tree dot products, at the
-    cost of last-ULP summation differences vs the sequential form (numpy
-    uses pairwise/SIMD summation) — hence rows-only oracle status.
+    While the table fits ``max_broadcast_rows`` the whole right side is
+    broadcast as one float64 matrix (n×dim); beyond that the computation
+    switches to ``embedding_pairs_exact_tiled`` (distributed block pairs,
+    BLAS per cell, no driver materialization).  ~100× the per-pair
+    throughput of expression-tree dot products, at the cost of last-ULP
+    summation differences vs the sequential form (numpy uses
+    pairwise/SIMD summation) — hence rows-only oracle status.
     """
     import numpy as np
 
+    if embeddings.count() > max_broadcast_rows:
+        return embedding_pairs_exact_tiled(
+            embeddings, cosine_threshold, vec_col=vec_col, id_col=id_col,
+            exact_accumulation=False,
+        )
     spark = embeddings.sparkSession
     rows = embeddings.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)

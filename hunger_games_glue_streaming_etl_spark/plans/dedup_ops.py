@@ -238,3 +238,52 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import embedding_pairs_exact_blocked
 
     return embedding_pairs_exact_blocked(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---- LSH-bucketed embedding near-dup (the 100 TB scale path) ---------------
+# The hyperplanes are deterministic integer-hash functions of (plane, dim),
+# so the oracle reproduces the bucketing exactly: same sign tests on the
+# same literal plane vectors, candidates = bucket Hamming distance <= 1.
+
+def _lsh_bucket_sql(vec_expr: str, n_planes: int, dim: int) -> str:
+    from ..operators.similarity import hyperplanes
+
+    terms = []
+    for p, plane in enumerate(hyperplanes(n_planes, dim)):
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec_expr}, {lit}) > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+_LSH_PAIRS_ORACLE = f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+    ),
+    b AS (
+        SELECT vec_id, vec, {_lsh_bucket_sql("vec", 8, 64)} AS bucket FROM v
+    )
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           ROUND(list_dot_product(a.vec, c.vec), 6) AS cosine
+    FROM b a JOIN b c ON a.vec_id < c.vec_id
+    WHERE bit_count(CAST(xor(a.bucket, c.bucket) AS BIGINT)) <= 1
+      AND ROUND(list_dot_product(a.vec, c.vec), 6) >= 0.35
+"""
+
+
+@register("dedup_embedding_lsh_pairs", oracle=_LSH_PAIRS_ORACLE)
+def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via random-hyperplane LSH buckets — the
+    scale path for ``dedup_embedding_cosine_pairs``: candidates are pairs
+    whose 8-plane sign buckets differ in ≤ 1 bit (one-side multi-probe),
+    verified with the bit-exact sequential dot.  Nothing is collected to
+    the driver; work scales with bucket occupancy, not n².  Recall vs the
+    exact scan rises with probe radius (radius = n_planes ≡ exact; the
+    ⊇/⊆ relations are unit-tested)."""
+    from ..operators.similarity import lsh_bucket_pairs
+
+    return lsh_bucket_pairs(
+        load_table(spark, sf_dir, "embeddings"), n_planes=8, probe_radius=1, dim=64
+    )

@@ -143,3 +143,60 @@ def test_blocked_exact_pairs_bitwise_equal_codegen(spark):
     }
     assert set(a) == set(b)
     assert all(a[k] == b[k] for k in a)  # bitwise, no tolerance
+
+
+def test_lsh_bucket_pairs_full_probe_equals_exact(spark):
+    """probe_radius = n_planes makes every pair a candidate — the bucketed
+    scale path must then reproduce the exact scan bit-for-bit; a partial
+    radius must return a subset with identical cosines."""
+    from hunger_games_glue_streaming_etl_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+    from hunger_games_glue_streaming_etl_spark.operators.similarity import (
+        lsh_bucket_pairs,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs(emb).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in lsh_bucket_pairs(emb, n_planes=4, probe_radius=4).collect()
+    }
+    assert full == exact  # recall 1 at full probe, bit-identical cosines
+    partial = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in lsh_bucket_pairs(emb, n_planes=4, probe_radius=1).collect()
+    }
+    assert partial  # non-vacuous on the fixture corpus
+    assert set(partial) <= set(exact)
+    assert all(partial[k] == exact[k] for k in partial)
+
+
+def test_tiled_exact_pairs_bitwise_equal_and_no_driver_collect(spark):
+    """The distributed block-pair plan (no driver materialization) must be
+    bit-identical to the broadcast fast path, and the dispatcher must
+    route to it above the row ceiling."""
+    from hunger_games_glue_streaming_etl_spark.operators.similarity import (
+        embedding_pairs_exact_blocked,
+        embedding_pairs_exact_tiled,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    fast = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_pairs_exact_blocked(emb).collect()
+    }
+    tiled = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_pairs_exact_tiled(emb).collect()
+    }
+    assert tiled == fast  # bitwise, no tolerance
+    # dispatcher: a tiny ceiling forces the tiled plan — same result
+    routed = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_pairs_exact_blocked(emb, max_broadcast_rows=10).collect()
+    }
+    assert routed == fast
