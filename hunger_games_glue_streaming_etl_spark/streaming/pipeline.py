@@ -45,14 +45,20 @@ def start_tribute_stream(
     checkpoint_path: str,
     max_files_per_trigger: int = 1,
     available_now: bool = False,
+    source: DataFrame | None = None,
 ) -> tuple[StreamingQuery, ParquetLatestSink]:
     """Start the continuous tribute-status query; returns (query, latest sink).
 
     ``available_now=True`` uses the AvailableNow trigger: process everything
     currently in the source (respecting ``maxFilesPerTrigger`` batch sizing)
     and terminate — the idiomatic drain/backfill mode (vs. the default
-    run-forever micro-batch trigger, reference A11)."""
-    stream = read_json_stream(
+    run-forever micro-batch trigger, reference A11).
+
+    ``source`` injects any unbounded DataFrame with the tribute stream
+    schema in place of the default file stream — e.g.
+    ``sources.streaming.read_kafka_stream(...)`` in production; everything
+    downstream (joins, derivations, dual sink) is source-agnostic."""
+    stream = source if source is not None else read_json_stream(
         spark, events_dir, TRIBUTE_STREAM_SCHEMA, max_files_per_trigger=max_files_per_trigger
     )
     derived = derive_tribute_status(
