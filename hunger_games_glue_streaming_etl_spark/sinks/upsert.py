@@ -8,23 +8,32 @@ rank (deterministic last-writer-wins via an explicit sequence column —
 SURVEY.md §7 hard part (a)), then merged into the materialized "latest" view
 as a whole partition-parallel DataFrame operation.
 
-The local materialization is a parquet directory swapped atomically; on a
-real deployment the same ``merge`` body is a Delta/Iceberg ``MERGE INTO``
-(keyed storage is pluggable — the reference's DynamoDB table is semantically
-just a keyed parquet view).  Scale note: the merge shuffles on the key
-columns only; the running state stays partitioned by key, and AQE coalesces
-the small post-merge output.
+**Incremental merge shape**: the view is hash-partitioned into
+``n_buckets`` key buckets (``__bucket=<i>/`` subdirs, standard Spark
+partition layout).  A micro-batch only reads and rewrites the buckets its
+keys hash into — dynamic partition overwrite leaves every other bucket's
+files untouched, so per-batch cost is O(touched buckets), not O(total
+keys) (the reference's ``put_item`` is O(batch); the previous full-rewrite
+form here was O(table)).  On a real deployment the same ``upsert`` body is
+a Delta/Iceberg ``MERGE INTO``; partition replacement uses Spark's staged
+commit protocol, so readers never see a half-written bucket.
+
+Scale note: the merge shuffles on the key columns only; raise
+``n_buckets`` with key cardinality so one bucket's rows fit an executor
+(buckets also bound AQE's coalesce floor for the post-merge output).
 """
 
 from __future__ import annotations
 
 import os
-import shutil
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.relational import latest_per_key
+
+_BUCKET_COL = "__bucket"
 
 
 class ParquetLatestSink:
@@ -40,37 +49,48 @@ class ParquetLatestSink:
         path: str,
         keys: str | Sequence[str],
         seq_cols: str | Sequence[str],
+        n_buckets: int = 16,
     ) -> None:
         self.spark = spark
         self.path = path
         self.keys = [keys] if isinstance(keys, str) else list(keys)
         self.seq_cols = [seq_cols] if isinstance(seq_cols, str) else list(seq_cols)
+        self.n_buckets = n_buckets
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         self.upsert(batch_df)
 
+    def _bucket_expr(self):
+        key = F.concat_ws("\x1f", *[F.col(k).cast("string") for k in self.keys])
+        return F.pmod(F.crc32(key), F.lit(self.n_buckets)).cast("int")
+
     def upsert(self, batch_df: DataFrame) -> None:
-        latest = latest_per_key(batch_df, self.keys, self.seq_cols)
-        if os.path.isdir(self.path):
-            current = self.spark.read.parquet(self.path)
+        latest = latest_per_key(batch_df, self.keys, self.seq_cols).withColumn(
+            _BUCKET_COL, self._bucket_expr()
+        )
+        if os.path.isdir(self.path) and any(
+            e.startswith(f"{_BUCKET_COL}=") for e in os.listdir(self.path)
+        ):
+            # merge ONLY the buckets this batch touches: the isin filter
+            # partition-prunes the read, dynamic overwrite replaces just
+            # the written partitions — untouched buckets' files stay put
+            touched = [
+                r[0] for r in latest.select(_BUCKET_COL).distinct().collect()
+            ]
+            current = self.spark.read.parquet(self.path).filter(
+                F.col(_BUCKET_COL).isin(touched)
+            )
             merged = latest_per_key(
                 current.unionByName(latest), self.keys, self.seq_cols
             )
         else:
             merged = latest
-        # write new view aside, move the old one out of the way, rename the
-        # new one in, THEN delete the old — a crash at any point leaves a
-        # complete view on disk (either at `path` or at `path + ".old"`)
-        tmp = self.path + ".tmp"
-        old = self.path + ".old"
-        merged.write.mode("overwrite").parquet(tmp)
-        if os.path.isdir(old):
-            shutil.rmtree(old)
-        if os.path.isdir(self.path):
-            os.rename(self.path, old)
-        os.rename(tmp, self.path)
-        if os.path.isdir(old):
-            shutil.rmtree(old)
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(_BUCKET_COL)
+            .parquet(self.path)
+        )
 
     def read(self) -> DataFrame:
-        return self.spark.read.parquet(self.path)
+        return self.spark.read.parquet(self.path).drop(_BUCKET_COL)

@@ -1,0 +1,82 @@
+"""ParquetLatestSink unit tests: keyed last-writer-wins semantics plus the
+incremental-merge guarantee (a batch only rewrites the hash buckets its
+keys land in — reference A8 is O(batch), the sink must not be O(table))."""
+
+from __future__ import annotations
+
+import os
+import zlib
+
+from hunger_games_glue_streaming_etl_spark.sinks.upsert import ParquetLatestSink
+
+
+def _bucket(key: str, n_buckets: int = 16) -> int:
+    return zlib.crc32(str(key).encode()) % n_buckets
+
+
+def _bucket_state(path: str) -> dict[str, dict[str, float]]:
+    """{bucket_dir: {file: mtime}} snapshot of the on-disk layout."""
+    out = {}
+    for d in os.listdir(path):
+        if d.startswith("__bucket="):
+            full = os.path.join(path, d)
+            out[d] = {
+                f: os.path.getmtime(os.path.join(full, f))
+                for f in os.listdir(full)
+                if f.endswith(".parquet")
+            }
+    return out
+
+
+def test_upsert_last_writer_wins_and_persistence(spark, tmp_path):
+    sink = ParquetLatestSink(spark, str(tmp_path / "latest"), keys="k", seq_cols="seq")
+    sink.upsert(spark.createDataFrame([("a", 1, "v1"), ("a", 2, "v2"), ("b", 1, "w1")],
+                                      "k string, seq long, v string"))
+    st = {r["k"]: r["v"] for r in sink.read().collect()}
+    assert st == {"a": "v2", "b": "w1"}  # seq 2 wins within the batch
+
+    sink.upsert(spark.createDataFrame([("b", 5, "w5"), ("c", 1, "x1")],
+                                      "k string, seq long, v string"))
+    st = {r["k"]: r["v"] for r in sink.read().collect()}
+    assert st == {"a": "v2", "b": "w5", "c": "x1"}  # a persists untouched
+
+
+def test_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    """Files in buckets not hit by a batch's keys must remain byte-for-byte
+    in place (same names, same mtimes) after an upsert."""
+    path = str(tmp_path / "latest")
+    sink = ParquetLatestSink(spark, path, keys="k", seq_cols="seq")
+
+    # two keys guaranteed to land in different buckets
+    keys = [f"key{i}" for i in range(40)]
+    k_a = keys[0]
+    k_b = next(k for k in keys if _bucket(k) != _bucket(k_a))
+
+    sink.upsert(spark.createDataFrame([(k_a, 1, "a1"), (k_b, 1, "b1")],
+                                      "k string, seq long, v string"))
+    before = _bucket_state(path)
+    bucket_a, bucket_b = f"__bucket={_bucket(k_a)}", f"__bucket={_bucket(k_b)}"
+    assert bucket_a in before and bucket_b in before
+
+    sink.upsert(spark.createDataFrame([(k_b, 2, "b2")], "k string, seq long, v string"))
+    after = _bucket_state(path)
+    # untouched bucket: identical files, identical mtimes
+    assert after[bucket_a] == before[bucket_a]
+    # touched bucket: rewritten
+    assert after[bucket_b] != before[bucket_b]
+    st = {r["k"]: r["v"] for r in sink.read().collect()}
+    assert st == {k_a: "a1", k_b: "b2"}
+
+
+def test_upsert_multi_column_keys(spark, tmp_path):
+    sink = ParquetLatestSink(
+        spark, str(tmp_path / "latest"), keys=["k1", "k2"], seq_cols="seq"
+    )
+    sink.upsert(spark.createDataFrame(
+        [("a", 1, 1, "x"), ("a", 2, 1, "y")], "k1 string, k2 int, seq long, v string"
+    ))
+    sink.upsert(spark.createDataFrame(
+        [("a", 1, 2, "x2")], "k1 string, k2 int, seq long, v string"
+    ))
+    st = {(r["k1"], r["k2"]): r["v"] for r in sink.read().collect()}
+    assert st == {("a", 1): "x2", ("a", 2): "y"}
