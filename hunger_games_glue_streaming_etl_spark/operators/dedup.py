@@ -169,19 +169,45 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     jaccard_threshold: float = 0.5,
     k: int = 3,
+    df_cap: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via the shared-shingle join (no
-    LSH screen — candidates are every pair sharing ≥1 shingle).  Correctness
-    baseline for ``minhash_lsh_pairs``.
+    """Exact n-gram Jaccard near-dup pairs via the shared-shingle join.
+    Correctness baseline for ``minhash_lsh_pairs``.
 
-    Single pass: the shared-shingle join streams straight into the
-    (id_a, id_b) count aggregate — no materialized candidate set, no second
-    pair explosion.  Still quadratic in bucket size per shingle (that's the
-    definition of 'exact'); at scale it runs only behind the LSH screen.
+    ``df_cap=None`` is the fully exact form: candidates are every pair
+    sharing ≥1 shingle, and the shared-shingle join streams straight into
+    the (id_a, id_b) count aggregate — quadratic in the per-shingle bucket
+    size (one stopword-like shingle shared by f docs creates f² join rows).
+
+    ``df_cap=c`` is the hot-shingle-guarded form for scale: shingles with
+    document frequency > c are excluded from *candidate generation* (their
+    join contribution is bounded by c² rows), then every candidate's
+    Jaccard is recomputed exactly over ALL its shingles — so reported
+    values are identical to the exact form; the only possible difference
+    is a missed pair whose every shared shingle is hotter than the cap,
+    which at any useful threshold is a pair dominated by boilerplate.
     """
     # persist: the exploded shingles feed both self-join sides + the sizes agg
     sh = shingle_sets(docs, text_col, id_col, k).persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    if df_cap is not None:
+        rare = sh.join(
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= df_cap)
+            .select("shingle"),
+            "shingle",
+        )
+        candidates = (
+            rare.select(F.col(id_col).alias("id_a"), "shingle")
+            .join(rare.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        return _jaccard_verify_candidates(docs, candidates, text_col, id_col, k).filter(
+            F.col("jaccard") >= jaccard_threshold
+        )
     shared = (
         sh.select(F.col(id_col).alias("id_a"), "shingle")
         .join(sh.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")

@@ -167,9 +167,14 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard pairs (no LSH screen) — the ground truth the
-    LSH pipeline's recall is measured against (see unit test)."""
-    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+    """Exact n-gram Jaccard pairs — the ground truth the LSH pipeline's
+    recall is measured against (see unit test).  Runs with the hot-shingle
+    guard (df_cap=64): shingles in >64 docs are dropped from candidate
+    generation, bounding the self-join at c² per shingle, while every
+    candidate's Jaccard is recomputed over all its shingles — on this
+    corpus (max shingle DF = 25) the result is provably identical to the
+    uncapped form, which the plain-SQL oracle computes."""
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), df_cap=64)
 
 
 def _simhash_sql() -> str:

@@ -145,6 +145,40 @@ def test_blocked_exact_pairs_bitwise_equal_codegen(spark):
     assert all(a[k] == b[k] for k in a)  # bitwise, no tolerance
 
 
+def test_ngram_jaccard_df_cap_adversarial_stopword_corpus(spark):
+    """Every doc shares a boilerplate phrase (its shingles have DF = n_docs,
+    the f² join-blowup case).  With a cap below that DF the boilerplate is
+    excluded from candidate generation, yet reported pairs and Jaccard
+    values stay identical to the uncapped exact form, because verification
+    recomputes over ALL shingles."""
+    from hunger_games_glue_streaming_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    boiler = "this document is provided as is without warranty"
+    # unique tail long enough that boilerplate-only overlap stays < 0.5
+    docs = [
+        (i, boiler + " " + " ".join(f"tok{i}x{j}" for j in range(12)))
+        for i in range(40)
+    ]
+    # planted near-dup: docs 100/101 differ by one trailing word
+    docs += [
+        (100, f"{boiler} the quick brown fox jumps over the lazy dog today"),
+        (101, f"{boiler} the quick brown fox jumps over the lazy dog tonight"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, jaccard_threshold=0.5).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, jaccard_threshold=0.5, df_cap=10).collect()
+    }
+    assert (100, 101) in exact  # the planted pair clears the threshold
+    assert capped == exact  # same pairs, bit-identical jaccard values
+
+
 def test_lsh_bucket_pairs_full_probe_equals_exact(spark):
     """probe_radius = n_planes makes every pair a candidate — the bucketed
     scale path must then reproduce the exact scan bit-for-bit; a partial
