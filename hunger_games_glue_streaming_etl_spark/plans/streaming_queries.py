@@ -19,6 +19,7 @@ from __future__ import annotations
 import os
 import tempfile
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -78,18 +79,38 @@ def _stage_events_stream_impl(spark: SparkSession, sf_dir: str, n_batches: int) 
     return dst
 
 
-def _run_stream(spark: SparkSession, transformed, name: str) -> DataFrame:
-    qname = f"{name}_{uuid.uuid4().hex[:8]}"
-    q = (
-        transformed.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .start()
-    )
+@contextmanager
+def _lean_state_partitions(spark: SparkSession, n: int = 8):
+    """Stateful streaming operators allocate one state-store instance per
+    shuffle partition *per trigger* — at contract/bench scale that fixed
+    cost (32 mostly-empty state tasks × stages × triggers) dwarfs the data
+    path.  Pin a small partition count for the duration of the query
+    start; the setting is captured at query planning, so restoring it
+    after the run never affects other queries.  (At 100 TB you'd raise
+    it; it's the state-parallelism knob, per-query by design.)"""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:
-        q.processAllAvailable()
+        yield
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def _run_stream(
+    spark: SparkSession, transformed, name: str, output_mode: str = "append"
+) -> DataFrame:
+    qname = f"{name}_{uuid.uuid4().hex[:8]}"
+    with _lean_state_partitions(spark):
+        q = (
+            transformed.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode(output_mode)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(qname)
 
 
@@ -102,7 +123,7 @@ def streaming_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``tumbling_window_agg``)."""
     src = _stage_events_stream(spark, sf_dir)
     stream = spark.readStream.schema(EVENTS_SCHEMA).option(
-        "maxFilesPerTrigger", "1"
+        "maxFilesPerTrigger", "2"
     ).json(src)
     return _run_stream(
         spark, windowed_agg(stream, watermark="10 minutes"), "tumbling"
@@ -115,7 +136,7 @@ def streaming_keyed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     state) — the streaming form of exact dedup."""
     src = _stage_events_stream(spark, sf_dir)
     stream = spark.readStream.schema(EVENTS_SCHEMA).option(
-        "maxFilesPerTrigger", "1"
+        "maxFilesPerTrigger", "2"
     ).json(src)
     deduped = dedup_stream(stream, keys=["event_id"], watermark="10 minutes")
     return _run_stream(spark, deduped.select("event_id", "user_id", "event_type"), "dedup")
@@ -132,7 +153,7 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = _stage_events_stream(spark, sf_dir)
     stream = spark.readStream.schema(EVENTS_SCHEMA).option(
-        "maxFilesPerTrigger", "1"
+        "maxFilesPerTrigger", "2"
     ).json(src)
     clicks = stream.filter(F.col("event_type") == "click")
     purchases = stream.filter(F.col("event_type") == "purchase").select(
@@ -162,18 +183,6 @@ def streaming_running_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = _stage_events_stream(spark, sf_dir)
     stream = spark.readStream.schema(EVENTS_SCHEMA).option(
-        "maxFilesPerTrigger", "1"
+        "maxFilesPerTrigger", "2"
     ).json(src)
-    qname = f"runstate_{uuid.uuid4().hex[:8]}"
-    q = (
-        running_user_state(stream)
-        .writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("update")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(qname)
+    return _run_stream(spark, running_user_state(stream), "runstate", output_mode="update")
