@@ -97,15 +97,19 @@ def lsh_ann_topk(
     query_vec: list[float],
     k: int = 10,
     n_planes: int = 8,
+    probe_radius: int = 0,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Approximate top-k: score only vectors in the query's LSH bucket.
+    """Approximate top-k: score only vectors in the query's LSH bucket
+    neighborhood.
 
     With 8 planes the table splits into ≤256 buckets → ~1/256 of the scan at
     uniform load; recall is probabilistic (same-bucket ⇔ same side of all 8
-    planes).  The recall/cost trade is the plane count; multi-probe extends
-    recall without rebucketing (flip lowest-margin bits).
+    planes).  ``probe_radius`` is the multi-probe dial: also scan buckets
+    whose sign pattern differs in ≤ radius bits, trading scan fraction for
+    recall without rebucketing; ``probe_radius = n_planes`` scans every
+    bucket and reproduces the exact top-k.
     """
     dim = len(query_vec)
     planes = hyperplanes(n_planes, dim)
@@ -113,10 +117,11 @@ def lsh_ann_topk(
     for p, plane in enumerate(planes):
         if sum(a * b for a, b in zip(plane, query_vec)) > 0:
             q_bucket |= 1 << p
+    probe = [q_bucket ^ m for m in _hamming_ball_masks(n_planes, probe_radius)]
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     bucketed = embeddings.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes))
     return (
-        bucketed.filter(F.col("__bucket") == q_bucket)
+        bucketed.filter(F.col("__bucket").isin(probe))
         .select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)

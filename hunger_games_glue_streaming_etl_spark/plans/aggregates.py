@@ -93,6 +93,41 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_approx_distinct_error",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS within_tolerance
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_approx_distinct_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked companion to ``agg_approx_distinct``: emits the exact
+    distinct count next to a boolean asserting HyperLogLog++ landed within
+    ±5% of it.  The oracle pins the boolean to TRUE, so an estimator drift
+    beyond the band fails the value-hash gate — the strongest check an
+    engine-specific sketch admits (the raw estimate itself can never be
+    oracle-identical across engines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("__approx"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("__approx") - F.col("exact_parts"))
+                <= F.col("exact_parts") * 0.05
+            ).alias("within_tolerance"),
+        )
+    )
+
+
+@register(
     "agg_rollup",
     oracle="""
     SELECT n_name, c_mktsegment,

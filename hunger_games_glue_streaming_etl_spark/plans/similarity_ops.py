@@ -20,16 +20,7 @@ from .registry import register
 _QUERY_VEC_ID = 0
 _K = 10
 
-
-def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
-    emb = load_table(spark, sf_dir, "embeddings")
-    row = emb.filter(emb.vec_id == _QUERY_VEC_ID).select("embedding").head()
-    return list(row[0])
-
-
-@register(
-    "sim_cosine_topk",
-    oracle=f"""
+_EXACT_TOPK_ORACLE = f"""
     SELECT a.vec_id,
            ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
                                   CAST(q.embedding AS DOUBLE[])), 6) AS cosine
@@ -37,8 +28,16 @@ def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}) q
     ORDER BY cosine DESC, a.vec_id
     LIMIT {_K}
-    """,
-)
+    """
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    emb = load_table(spark, sf_dir, "embeddings")
+    row = emb.filter(emb.vec_id == _QUERY_VEC_ID).select("embedding").head()
+    return list(row[0])
+
+
+@register("sim_cosine_topk", oracle=_EXACT_TOPK_ORACLE)
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact ANN baseline: brute-force cosine top-10 for the vec_id-0 query
     vector (TakeOrderedAndProject — per-partition heaps, k-row merge; no
@@ -53,6 +52,22 @@ def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall vs the exact top-k is asserted in tests/test_similarity.py."""
     return lsh_ann_topk(
         load_table(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=_K, n_planes=4
+    )
+
+
+@register("sim_lsh_ann_topk_fullprobe", oracle=_EXACT_TOPK_ORACLE)
+def sim_lsh_ann_topk_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-probe dial at its endpoint: probe_radius = n_planes scans
+    every bucket, so the LSH plan must reproduce the exact top-k — hash-
+    checked against the brute-force oracle.  This pins the recall
+    semantics of the dial itself (partial radii are strict subsets of this
+    scan), turning the former rows-only status into a value check."""
+    return lsh_ann_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        _query_vec(spark, sf_dir),
+        k=_K,
+        n_planes=4,
+        probe_radius=4,
     )
 
 
@@ -96,7 +111,45 @@ def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_lsh_bucket_stats")
+@register("sim_ivf_ann_topk_fullprobe", oracle=_EXACT_TOPK_ORACLE)
+def sim_ivf_ann_topk_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with every cell probed (n_probe = n_centroids) — by definition
+    the exact scan, so the IVF assignment/probe machinery is hash-checked
+    against the brute-force oracle (the partial-probe entry above stays
+    rows-only; this pins its mechanics)."""
+    from ..operators.similarity import ivf_build_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    if sf_dir not in _ivf_centroid_cache:
+        _ivf_centroid_cache[sf_dir] = ivf_build_centroids(
+            emb, n_centroids=8, iterations=1
+        )
+    return ivf_ann_topk(
+        emb,
+        _query_vec(spark, sf_dir),
+        k=_K,
+        n_centroids=8,
+        n_probe=8,
+        centroids=_ivf_centroid_cache[sf_dir],
+    )
+
+
+def _bucket_stats_oracle() -> str:
+    from .dedup_ops import _lsh_bucket_sql
+
+    return f"""
+    SELECT CAST({_lsh_bucket_sql("CAST(embedding AS DOUBLE[])", 4, 64)} AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM embeddings
+    GROUP BY 1
+    """
+
+
+@register("sim_lsh_bucket_stats", oracle=_bucket_stats_oracle())
 def sim_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucket-occupancy histogram for the ANN index (skew diagnostic)."""
-    return lsh_bucket_stats(load_table(spark, sf_dir, "embeddings"), n_planes=4)
+    """Bucket-occupancy histogram for the ANN index (skew diagnostic).
+    Hash-checked: the deterministic hyperplanes are reproduced literally
+    in the oracle, so bucket ids and occupancies must match exactly."""
+    return lsh_bucket_stats(
+        load_table(spark, sf_dir, "embeddings"), n_planes=4
+    ).withColumnRenamed("__bucket", "bucket")

@@ -60,11 +60,24 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("text_bpe_token_estimate")
+@register(
+    "text_bpe_token_estimate",
+    oracle="""
+    SELECT doc_id,
+           CAST(COALESCE(list_sum(list_transform(
+               list_filter(
+                   string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+                   w -> length(w) > 0),
+               w -> GREATEST(1, CAST(CEIL(length(w) / 4.0) AS BIGINT)))), 0)
+           AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
 def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sub-word (BPE-ish) token-count estimate — rows-only check (the
-    regex-split + per-word ceil composition has no clean single-statement
-    SQL twin; value correctness is unit-tested)."""
+    """Sub-word (BPE-ish) token-count estimate: per word,
+    max(1, ceil(len/4)) — the oracle mirrors the regex split, empty-word
+    filter, and per-word ceiling exactly (integer arithmetic throughout,
+    so the twin is value-identical, not just approximate)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", bpe_ish_token_count("text").alias("n_bpe_tokens"))
 
