@@ -191,30 +191,54 @@ def ngram_jaccard_pairs(
     sh = shingle_sets(docs, text_col, id_col, k).persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     if df_cap is not None:
-        rare = sh.join(
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("__df"))
-            .filter(F.col("__df") <= df_cap)
-            .select("shingle"),
-            "shingle",
-        )
-        candidates = (
-            rare.select(F.col(id_col).alias("id_a"), "shingle")
-            .join(rare.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
+        from pyspark.sql import Window
+
+        # per-shingle document frequency via a window over the SAME
+        # shuffle-by-shingle the self-join needs — no extra aggregation
+        # job, no broadcast collect; the plan stays one lazy DAG and
+        # Spark's ReuseExchange shares the shuffle between the join sides
+        w_sh = Window.partitionBy("shingle")
+        sh_df = sh.withColumn("__df", F.count("*").over(w_sh))
+        sh_rare = sh_df.filter(F.col("__df") <= df_cap).drop("__df")
+        # same single-pass join→count as the exact form, minus hot
+        # shingles: per-shingle contribution is bounded at df_cap²
+        shared_rare = (
+            sh_rare.select(F.col(id_col).alias("id_a"), "shingle")
+            .join(sh_rare.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
             .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .distinct()
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("__shared_rare"))
+            .persist()  # feeds both the hot correction and the final merge
         )
-        return _jaccard_verify_candidates(docs, candidates, text_col, id_col, k).filter(
-            F.col("jaccard") >= jaccard_threshold
+        # exact correction: add each candidate pair's hot-shingle overlap
+        # (hot shingles per doc are few, candidates are few — tiny joins;
+        # with no hot shingles this arm is an empty-relation no-op)
+        sh_hot = sh_df.filter(F.col("__df") > df_cap).drop("__df")
+        shared_hot = (
+            shared_rare.select("id_a", "id_b")
+            .join(sh_hot.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
+            .join(sh_hot.select(F.col(id_col).alias("id_b"), "shingle"), ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("__shared_hot"))
         )
-    shared = (
-        sh.select(F.col(id_col).alias("id_a"), "shingle")
-        .join(sh.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("shared"))
-    )
+        shared = (
+            shared_rare.join(shared_hot, ["id_a", "id_b"], "left")
+            .select(
+                "id_a",
+                "id_b",
+                (
+                    F.col("__shared_rare") + F.coalesce(F.col("__shared_hot"), F.lit(0))
+                ).alias("shared"),
+            )
+        )
+    else:
+        shared = (
+            sh.select(F.col(id_col).alias("id_a"), "shingle")
+            .join(sh.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("shared"))
+        )
     return _jaccard_from_shared(shared, sizes).filter(
         F.col("jaccard") >= jaccard_threshold
     )
