@@ -281,6 +281,58 @@ def _jaccard_from_shared(shared: DataFrame, sizes: DataFrame) -> DataFrame:
     )
 
 
+def fuzzy_levenshtein_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_distance: int = 24,
+    prefix_len: int = 16,
+) -> DataFrame:
+    """Edit-distance near-dup pairs with prefix blocking: pairs whose
+    normalized texts share the first ``prefix_len`` characters and differ
+    by ≤ ``max_distance`` edits.
+
+    Blocking keeps this far from O(n²): the equi-join on the prefix bucket
+    shuffles once and pairs only within buckets (typo-class duplicates —
+    OCR noise, template fills, trailing edits — rarely touch the opening
+    characters; a shifted-prefix variant can be unioned in for insertions
+    at the front).  Two lossless pre-filters run before the O(d·m) DP:
+    the length band (|len_a − len_b| ≤ d is a lower bound on edit
+    distance) and Spark's thresholded ``levenshtein(…, threshold)``,
+    which abandons a pair's DP as soon as the distance provably exceeds
+    the cap.
+    """
+    norm = normalized_text(text_col)
+    base = docs.select(
+        F.col(id_col),
+        norm.alias("__t"),
+        F.substring(norm, 1, prefix_len).alias("__pfx"),
+        F.length(norm).alias("__len"),
+    )
+    a = base.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__t").alias("__ta"),
+        "__pfx",
+        F.col("__len").alias("__la"),
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__t").alias("__tb"),
+        "__pfx",
+        F.col("__len").alias("__lb"),
+    )
+    dist = F.levenshtein("__ta", "__tb", max_distance)
+    return (
+        a.join(b, "__pfx")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("__la") - F.col("__lb")) <= max_distance)
+        )
+        .select("id_a", "id_b", dist.cast("long").alias("distance"))
+        .filter((F.col("distance") >= 0) & (F.col("distance") <= max_distance))
+    )
+
+
 SIMHASH_BITS = 32
 _SIMHASH_CHUNKS = 4  # 4 × 8-bit chunks — exact screen for Hamming ≤ 3
 

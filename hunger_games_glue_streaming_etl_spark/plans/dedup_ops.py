@@ -245,6 +245,32 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_pairs_exact_blocked(load_table(spark, sf_dir, "embeddings"))
 
 
+@register(
+    "dedup_fuzzy_levenshtein_pairs",
+    oracle=f"""
+    WITH n AS (
+        SELECT doc_id, {_NORM} AS t FROM documents
+    ),
+    b AS (SELECT doc_id, t, substr(t, 1, 16) AS pfx, length(t) AS len FROM n)
+    SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+           CAST(levenshtein(a.t, c.t) AS BIGINT) AS distance
+    FROM b a JOIN b c
+      ON a.pfx = c.pfx AND a.doc_id < c.doc_id
+     AND abs(a.len - c.len) <= 24
+    WHERE levenshtein(a.t, c.t) <= 24
+    """,
+)
+def dedup_fuzzy_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-match dedup: edit-distance ≤ 24 within 16-char-prefix blocks
+    (typo/OCR-class duplicates).  The oracle mirrors the blocking exactly;
+    both engines compute standard Levenshtein, so distances are
+    value-identical.  Spark-side the DP is thresholded (abandons a pair
+    once the distance provably exceeds the cap)."""
+    from ..operators.dedup import fuzzy_levenshtein_pairs
+
+    return fuzzy_levenshtein_pairs(load_table(spark, sf_dir, "documents"))
+
+
 # ---- LSH-bucketed embedding near-dup (the 100 TB scale path) ---------------
 # The hyperplanes are deterministic integer-hash functions of (plane, dim),
 # so the oracle reproduces the bucketing exactly: same sign tests on the

@@ -179,6 +179,32 @@ def test_ngram_jaccard_df_cap_adversarial_stopword_corpus(spark):
     assert capped == exact  # same pairs, bit-identical jaccard values
 
 
+def test_fuzzy_levenshtein_pairs_golden_and_blocking(spark):
+    from hunger_games_glue_streaming_etl_spark.operators.dedup import (
+        fuzzy_levenshtein_pairs,
+    )
+
+    common = "the quick brown fox jumps over the lazy dog and keeps running"
+    docs = spark.createDataFrame(
+        [
+            (1, common + " tonight"),
+            (2, common + " tonite"),          # distance 3 from doc 1
+            (3, "Z" + common),                 # different prefix -> blocked out
+            (4, common + " " + "x" * 60),      # same prefix, distance > cap
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["distance"]
+        for r in fuzzy_levenshtein_pairs(docs, max_distance=10).collect()
+    }
+    assert out == {(1, 2): 3}
+    # on the fixture corpus: non-vacuous, and every pair is a true near-dup
+    fixture = load_table(spark, SF_DIR, "documents")
+    pairs = fuzzy_levenshtein_pairs(fixture).collect()
+    assert pairs and all(0 <= r["distance"] <= 24 for r in pairs)
+
+
 def test_lsh_bucket_pairs_full_probe_equals_exact(spark):
     """probe_radius = n_planes makes every pair a candidate — the bucketed
     scale path must then reproduce the exact scan bit-for-bit; a partial
