@@ -68,6 +68,42 @@ def test_upsert_rewrites_only_touched_buckets(spark, tmp_path):
     assert st == {k_a: "a1", k_b: "b2"}
 
 
+def test_delta_sink_gated_or_parity(spark, tmp_path):
+    """Without delta-spark the transactional sink must fail at construction
+    with a typed error naming the dependency; with it, semantics must match
+    ParquetLatestSink.  The MERGE predicates are pure builders, checked
+    either way."""
+    import pytest
+
+    from hunger_games_glue_streaming_etl_spark.sinks.delta import (
+        DeltaLatestSink,
+        TableFormatUnavailable,
+        delta_available,
+        merge_key_condition,
+        newer_than_condition,
+    )
+
+    assert merge_key_condition(["k1", "k2"]) == "t.k1 <=> s.k1 AND t.k2 <=> s.k2"
+    assert newer_than_condition(["seq"]) == "struct(s.seq) > struct(t.seq)"
+    assert (
+        newer_than_condition(["batch", "seq"])
+        == "struct(s.batch, s.seq) > struct(t.batch, t.seq)"
+    )
+
+    if not delta_available():
+        with pytest.raises(TableFormatUnavailable, match="delta-spark"):
+            DeltaLatestSink(spark, str(tmp_path / "d"), keys="k", seq_cols="seq")
+        return
+
+    sink = DeltaLatestSink(spark, str(tmp_path / "d"), keys="k", seq_cols="seq")
+    sink.upsert(spark.createDataFrame([("a", 1, "v1")], "k string, seq long, v string"))
+    sink.upsert(spark.createDataFrame(
+        [("a", 0, "stale"), ("a", 2, "v2"), ("b", 1, "w1")], "k string, seq long, v string"
+    ))
+    st = {r["k"]: r["v"] for r in sink.read().collect()}
+    assert st == {"a": "v2", "b": "w1"}
+
+
 def test_upsert_multi_column_keys(spark, tmp_path):
     sink = ParquetLatestSink(
         spark, str(tmp_path / "latest"), keys=["k1", "k2"], seq_cols="seq"
