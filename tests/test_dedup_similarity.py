@@ -122,6 +122,39 @@ def test_ivf_ann_full_probe_equals_exact(spark):
             assert cos == exact_scores[vid]
 
 
+def test_pq_ann_full_refine_equals_exact_and_partial_overlaps(spark):
+    """refine×k covering the table makes PQ re-rank everything with the
+    exact dot — must equal the brute-force top-k; at partial refine the
+    returned cosines must agree with exact wherever ids overlap."""
+    from hunger_games_glue_streaming_etl_spark.operators.similarity import (
+        cosine_topk,
+        pq_ann_topk,
+        pq_build_codebooks,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = list(emb.filter(emb.vec_id == 0).select("embedding").head()[0])
+    cb = pq_build_codebooks(emb)
+    exact = [
+        (r["vec_id"], r["cosine"]) for r in cosine_topk(emb, q, k=10).collect()
+    ]
+    n = emb.count()
+    full = [
+        (r["vec_id"], r["cosine"])
+        for r in pq_ann_topk(emb, q, k=10, refine=n, codebooks=cb).collect()
+    ]
+    assert full == exact
+    part = {
+        r["vec_id"]: r["cosine"]
+        for r in pq_ann_topk(emb, q, k=10, refine=4, codebooks=cb).collect()
+    }
+    assert 0 in part and part[0] == 1.0  # the query vector always survives
+    exact_scores = dict(exact)
+    for vid, cos in part.items():
+        if vid in exact_scores:
+            assert cos == exact_scores[vid]
+
+
 def test_blocked_exact_pairs_bitwise_equal_codegen(spark):
     """The numpy column-at-a-time scan must be BIT-identical to the
     expression-tree brute force (same sequential accumulation order)."""
