@@ -103,3 +103,20 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_threshold)
         spark.sql(f"DROP TABLE IF EXISTS orders_b_{suffix}")
         spark.sql(f"DROP TABLE IF EXISTS lineitem_b_{suffix}")
+
+
+def test_fuzzy_pairs_is_equi_join_not_cartesian(spark):
+    """The prefix block must plan as an equi-join on the block key —
+    a CartesianProduct or BroadcastNestedLoopJoin would be the O(n²)
+    all-pairs scan the blocking exists to avoid."""
+    plan = _plan(QUERIES["dedup_fuzzy_levenshtein_pairs"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_bucket_pairs_no_cartesian_no_driver_collect(spark):
+    """Candidate generation must be a bucket-keyed equi-join; the vector
+    payload re-attaches by id join — never a cross join."""
+    plan = _plan(QUERIES["dedup_embedding_lsh_pairs"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

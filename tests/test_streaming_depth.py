@@ -198,3 +198,30 @@ def test_archive_epoch_overwrite_idempotent(spark, tmp_path):
     sink.append(df, epoch_id=1)  # a genuinely new epoch
     back = spark.read.json(str(tmp_path / "arch"))
     assert back.count() == 4  # 2 rows x 2 epochs, not 6
+
+
+def test_streaming_tumbling_finalized_prefix_of_batch_twin(spark):
+    """Every window the streaming query finalizes (append mode under the
+    watermark) must appear in the batch twin with IDENTICAL aggregate
+    values — streaming is a prefix of batch, never a divergence."""
+    from hunger_games_glue_streaming_etl_spark.plans.event_time import (
+        tumbling_window_agg,
+    )
+    from hunger_games_glue_streaming_etl_spark.plans.streaming_queries import (
+        streaming_tumbling_agg,
+    )
+
+    from conftest import SF_DIR
+
+    stream_rows = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in streaming_tumbling_agg(spark, SF_DIR).collect()
+    }
+    batch_rows = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in tumbling_window_agg(spark, SF_DIR).collect()
+    }
+    assert stream_rows  # the watermark finalized a non-trivial prefix
+    assert set(stream_rows) <= set(batch_rows)
+    for key, vals in stream_rows.items():
+        assert vals == batch_rows[key]
