@@ -191,3 +191,45 @@ def simhash(col: str | Column = "text", bits: int = 32) -> Column:
 
 def simhash16(col: str | Column = "text") -> Column:
     return simhash(col, bits=16)
+
+
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken) are split into two
+# column stages that the caller MUST separate with a materialization
+# barrier (persist/cache of the intermediate hash-array column):
+# referencing the gram-hash transform inside the window-minimum lambda
+# would re-evaluate ALL gram hashes per window (O(n²) md5 calls per
+# document — measured 60× slower).  With the barrier, `slice` reads a
+# plain array attribute and the pass is O(n · window).
+
+
+def winnowing_gram_hashes(tokens_col: Column, k: int = 3) -> Column:
+    """Stage 1: portable 48-bit hash of every ORDERED token k-gram of the
+    (already-materialized) token array — array<long>, one element per
+    position (unlike ``shingles``, order is kept and duplicates are not
+    collapsed: winnowing needs the positional sequence).  ``F.get`` reads
+    past-the-end positions as null and ``concat_ws`` drops them, so
+    documents shorter than k tokens contribute their full text as the
+    single gram.  Token grams (~hundreds/doc) rather than char grams
+    (~thousands/doc) keep the md5 count per document small."""
+    n_grams = F.greatest(F.size(tokens_col) - k + 1, F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: portable_hash64(
+            F.concat_ws(
+                " ", *[F.get(tokens_col, i + off - 1) for off in range(k)]
+            )
+        ),
+    )
+
+
+def winnowing_window_minima(hashes_col: Column, window: int = 8) -> Column:
+    """Stage 2: the deduplicated minimum of each sliding ``window`` over
+    the gram-hash array — the compact, position-robust fingerprint set
+    whose overlap estimates document overlap even under reordering."""
+    n_windows = F.greatest(F.size(hashes_col) - window + 1, F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda j: F.array_min(F.slice(hashes_col, j, window)),
+        )
+    )

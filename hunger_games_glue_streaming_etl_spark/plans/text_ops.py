@@ -207,3 +207,53 @@ def wordcount_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "token")
         .limit(20)
     )
+
+
+@register(
+    "text_winnowing_fingerprints",
+    oracle=f"""
+    WITH n AS (
+        SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               list_transform(
+                   range(1, GREATEST(len(w) - 3 + 1, 1) + 1),
+                   i -> CAST(('0x' || substr(md5('0:' ||
+                            concat_ws(' ', w[i], w[i+1], w[i+2])), 1, 12))
+                        AS BIGINT)) AS hs
+        FROM n
+    ),
+    w AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, GREATEST(len(hs) - 8 + 1, 1) + 1),
+                   j -> list_min(hs[j:j+7]))) AS fps
+        FROM h
+    )
+    SELECT doc_id, unnest(fps) AS fingerprint FROM w
+    """,
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint set per document (ordered token 3-gram
+    hashes, per-8-window minima — Schleimer/Wilkerson/Aiken) — the
+    overlap-detection fingerprint for plagiarism/contamination checks.
+    The oracle reproduces the identical gram hash (shared 48-bit
+    md5-prefix, same null-dropping tail behavior) and window minima, so
+    fingerprints match bit-for-bit.  The persists between stages are the
+    mandatory O(n²)-avoidance barriers (see functions/text.py)."""
+    from ..functions.text import (
+        tokens,
+        winnowing_gram_hashes,
+        winnowing_window_minima,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokenized = docs.select("doc_id", tokens("text").alias("__w")).persist()
+    hashed = tokenized.select(
+        "doc_id", winnowing_gram_hashes(F.col("__w")).alias("__hs")
+    ).persist()
+    return hashed.select(
+        "doc_id",
+        F.explode(winnowing_window_minima(F.col("__hs"))).alias("fingerprint"),
+    )

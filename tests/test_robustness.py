@@ -106,3 +106,43 @@ def test_portable_hash_matches_duckdb(spark, oracle_con):
             "SELECT CAST(('0x' || substr(md5('0:' || ?), 1, 12)) AS BIGINT)", [v]
         ).fetchone()[0]
         assert spark_hashes[v] == duck, v
+
+
+def test_winnowing_overlap_detects_shared_passage(spark):
+    """Two documents sharing a long passage must share winnowing
+    fingerprints; unrelated documents must share (almost) none — the
+    overlap property the fingerprint exists for.  Also: edge cases
+    (short/empty docs) produce exactly one fingerprint, not errors."""
+    from pyspark.sql import functions as F
+
+    from hunger_games_glue_streaming_etl_spark.functions.text import (
+        tokens,
+        winnowing_gram_hashes,
+        winnowing_window_minima,
+    )
+
+    passage = " ".join(f"shared{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, passage + " " + " ".join(f"a{i}" for i in range(20))),
+            (2, " ".join(f"b{i}" for i in range(20)) + " " + passage),
+            (3, " ".join(f"c{i}" for i in range(60))),
+            (4, "tiny"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    tokenized = docs.select("doc_id", tokens("text").alias("__w")).persist()
+    hashed = tokenized.select(
+        "doc_id", winnowing_gram_hashes(F.col("__w")).alias("__hs")
+    ).persist()
+    fps = {
+        r["doc_id"]: set(r["fps"])
+        for r in hashed.select(
+            "doc_id", winnowing_window_minima(F.col("__hs")).alias("fps")
+        ).collect()
+    }
+    overlap_12 = len(fps[1] & fps[2])
+    assert overlap_12 >= 3  # the shared passage survives winnowing
+    assert len(fps[1] & fps[3]) == 0 and len(fps[2] & fps[3]) == 0
+    assert len(fps[4]) == 1 and len(fps[5]) == 1
