@@ -32,8 +32,17 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark(app_name="hg-spark-bench")
 
-    # warmup: JVM, codegen, parquet footer caches
+    # warmup: JVM, codegen, parquet footer caches — plus the two lazily
+    # initialized paths that otherwise bill their startup to whichever
+    # query hits them first: higher-order-function codegen and the
+    # Python-worker/Arrow pool (fork + Arrow init costs seconds once)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.range(1_000).selectExpr(
+        "aggregate(sequence(1, 16), 0L, (acc, x) -> acc + x) AS s"
+    ).collect()
+    spark.range(1_000).selectExpr("id", "cast(id AS double) AS v").mapInPandas(
+        lambda it: it, schema="id long, v double"
+    ).write.mode("overwrite").format("noop").save()
     execute_fully(QUERIES["flagship_user_status"](spark, sf_dir))
 
     timings: dict[str, float] = {}
