@@ -147,3 +147,36 @@ def udf_grouped_map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy("user_id").applyInPandas(
         _per_user_robust_scale, schema="user_id long, event_id long, robust_z double"
     )
+
+
+# NB: pass a DataType object, not a DDL string — string return types are
+# parsed through the active session, which doesn't exist yet at import
+@pandas_udf(T.DoubleType())
+def _median_udaf(v: pd.Series) -> float:
+    """Grouped-agg pandas UDAF (whole group's Series → one scalar)."""
+    import numpy as np
+
+    return float(np.median(v))
+
+
+@register(
+    "udaf_grouped_agg_median",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def udaf_grouped_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined AGGREGATE via a grouped-agg pandas_udf: per-group
+    median price computed in numpy over each group's Arrow batch — the
+    UDAF leg of the UDF surface (scalar pandas_udf, grouped-map, UDTF,
+    and stateful already covered).  Median, not mean, so the oracle's
+    quantile_cont derives the bit-identical constant (np.median's
+    midpoint average is the same IEEE op in both engines); rounded at
+    4 dp like the percentile queries."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(_median_udaf("l_extendedprice"), 4).alias("median_price")
+    )
