@@ -186,3 +186,20 @@ def streaming_running_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "maxFilesPerTrigger", "2"
     ).json(src)
     return _run_stream(spark, running_user_state(stream), "runstate", output_mode="update")
+
+
+@register("streaming_session_window")
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows under a watermark (gap-close semantics) through real
+    micro-batches — the streaming twin of ``sessionize_batch``.  Append
+    mode emits sessions the watermark has closed; merging/extension across
+    batches is asserted in tests/test_streaming_depth.py."""
+    from ..streaming.ops import sessionize_stream
+
+    src = _stage_events_stream(spark, sf_dir)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "maxFilesPerTrigger", "2"
+    ).json(src)
+    return _run_stream(
+        spark, sessionize_stream(stream, gap="30 minutes"), "sessionw"
+    )
