@@ -47,3 +47,40 @@ def scd2_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("2024-06-01").cast("timestamp").alias("effective_ts"),
     )
     return scd2_apply(current, updates, "k", ["bal"])
+
+
+@register(
+    "merge_upsert_customer",
+    oracle="""
+    WITH src AS (
+        SELECT c_custkey, ROUND(c_acctbal + 100, 2) AS c_acctbal
+        FROM customer WHERE c_custkey % 10 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000, ROUND(c_acctbal, 2)
+        FROM customer WHERE c_custkey % 97 = 0
+    )
+    SELECT t.c_custkey, ROUND(t.c_acctbal, 2) AS c_acctbal
+    FROM customer t
+    WHERE t.c_custkey NOT IN (SELECT c_custkey FROM src)
+    UNION ALL
+    SELECT c_custkey, c_acctbal FROM src
+    """,
+)
+def merge_upsert_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE semantics as a checked contract query: a source batch updates
+    every 10th customer's balance and inserts synthetic new keys; matched
+    target rows are replaced, unmatched persist, new keys insert
+    (operators/scd.merge_upsert — anti-join + union, one shuffle on the
+    key; with Delta on the classpath the same call site is MERGE INTO)."""
+    from ..operators.scd import merge_upsert
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.round("c_acctbal", 2).alias("c_acctbal")
+    )
+    updates = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", F.round(F.col("c_acctbal") + 100, 2).alias("c_acctbal")
+    )
+    inserts = cust.filter(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"), "c_acctbal"
+    )
+    return merge_upsert(cust, updates.unionByName(inserts), "c_custkey")
