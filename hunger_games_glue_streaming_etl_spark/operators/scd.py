@@ -62,28 +62,28 @@ def scd2_apply(
     open_cur = current.filter(F.col(is_current))
     closed_cur = current.filter(~F.col(is_current))
 
-    # real changes only: anti-join updates against open versions on
-    # key + every tracked value (null-safe)
-    cmp = [open_cur[k].eqNullSafe(updates[k]) for k in keys] + [
-        open_cur[c].eqNullSafe(updates[c]) for c in tracked_cols
-    ]
-    cond = cmp[0]
-    for c in cmp[1:]:
-        cond = cond & c
-    changes = updates.join(open_cur, cond, "left_anti")
-
-    # chain intra-batch versions: order each key's changes by effective_ts
-    # (tracked values as deterministic tiebreak), drop consecutive
-    # duplicates, then close each version at the next one's effective time
+    # chain-aware no-op collapse: each update compares against its
+    # EFFECTIVE predecessor — the previous update in the batch's chain, or
+    # the open version for the chain's first element.  (An up-front
+    # anti-join against the open version would be wrong: it drops ANY
+    # update equal to the open values, silently losing a revert like
+    # open=X, batch=[Y@t1, X@t2] — X@t2 is a real change after Y.)
     tracked_struct = F.struct(*[F.col(c) for c in tracked_cols])
+    open_vals = open_cur.select(
+        *keys,
+        F.struct(*[F.col(c) for c in tracked_cols]).alias("__open_vals"),
+    )
     w_key = Window.partitionBy(*keys).orderBy(F.col(effective_col), tracked_struct)
     changes = (
-        changes.withColumn("__prev", F.lag(tracked_struct).over(w_key))
-        .filter(
-            F.col("__prev").isNull() | ~F.col("__prev").eqNullSafe(tracked_struct)
+        updates.join(open_vals, keys, "left")
+        .withColumn(
+            "__prev",
+            F.coalesce(F.lag(tracked_struct).over(w_key), F.col("__open_vals")),
         )
-        .drop("__prev")
+        .filter(F.col("__prev").isNull() | ~F.col("__prev").eqNullSafe(tracked_struct))
+        .drop("__prev", "__open_vals")
     )
+    # close each surviving version at the next survivor's effective time
     w_key2 = Window.partitionBy(*keys).orderBy(F.col(effective_col), tracked_struct)
     changes = changes.withColumn("__next_eff", F.lead(effective_col).over(w_key2))
 

@@ -172,7 +172,12 @@ def lsh_bucket_pairs(
     n_planes`` degenerates to the exact scan (every pair is a candidate).
     """
     if dim is None:
-        dim = embeddings.select(F.size(vec_col)).first()[0]
+        first = embeddings.select(F.size(vec_col)).first()
+        if first is None:  # empty input -> empty pair set, like the peers
+            return embeddings.sparkSession.createDataFrame(
+                [], "id_a long, id_b long, cosine double"
+            )
+        dim = first[0]
     planes = hyperplanes(n_planes, dim)
     dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = embeddings.select(
@@ -306,7 +311,8 @@ def embedding_pairs_exact_blocked(
     """
     import numpy as np
 
-    if embeddings.count() > max_broadcast_rows:
+    # bounded probe: scans at most ceiling+1 rows, not the whole table
+    if embeddings.limit(max_broadcast_rows + 1).count() > max_broadcast_rows:
         return embedding_pairs_exact_tiled(
             embeddings, cosine_threshold, vec_col=vec_col, id_col=id_col,
             exact_accumulation=True,
@@ -363,7 +369,8 @@ def embedding_pairs_blas(
     """
     import numpy as np
 
-    if embeddings.count() > max_broadcast_rows:
+    # bounded probe: scans at most ceiling+1 rows, not the whole table
+    if embeddings.limit(max_broadcast_rows + 1).count() > max_broadcast_rows:
         return embedding_pairs_exact_tiled(
             embeddings, cosine_threshold, vec_col=vec_col, id_col=id_col,
             exact_accumulation=False,
@@ -556,16 +563,19 @@ def pq_build_codebooks(
     single posexplode→groupBy shuffle for ALL subspaces at once).  Only
     the n_subspaces × n_codes × sub_d codebook floats reach the driver."""
     sub_d = dim // n_subspaces
+    # seed from the n_codes smallest ids — no density/0-base assumption;
+    # tables with fewer rows than codes repeat seeds cyclically (argmax
+    # ties resolve to the smallest index, so duplicates are harmless)
     seed_rows = (
-        embeddings.filter(F.col(id_col) < n_codes)
-        .orderBy(id_col)
-        .select(vec_col)
-        .collect()
+        embeddings.orderBy(id_col).select(vec_col).limit(n_codes).collect()
     )
+    if not seed_rows:
+        raise ValueError("pq_build_codebooks: embeddings table is empty")
+    seeds = [seed_rows[c % len(seed_rows)] for c in range(n_codes)]
     codebooks = [
         [
             [float(x) for x in list(r[0])[s * sub_d : (s + 1) * sub_d]]
-            for r in seed_rows
+            for r in seeds
         ]
         for s in range(n_subspaces)
     ]

@@ -26,6 +26,7 @@ Scale note: the merge shuffles on the key columns only; raise
 from __future__ import annotations
 
 import os
+import shutil
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -64,33 +65,79 @@ class ParquetLatestSink:
         key = F.concat_ws("\x1f", *[F.col(k).cast("string") for k in self.keys])
         return F.pmod(F.crc32(key), F.lit(self.n_buckets)).cast("int")
 
-    def upsert(self, batch_df: DataFrame) -> None:
-        latest = latest_per_key(batch_df, self.keys, self.seq_cols).withColumn(
-            _BUCKET_COL, self._bucket_expr()
-        )
-        if os.path.isdir(self.path) and any(
-            e.startswith(f"{_BUCKET_COL}=") for e in os.listdir(self.path)
-        ):
-            # merge ONLY the buckets this batch touches: the isin filter
-            # partition-prunes the read, dynamic overwrite replaces just
-            # the written partitions — untouched buckets' files stay put
-            touched = [
-                r[0] for r in latest.select(_BUCKET_COL).distinct().collect()
-            ]
-            current = self.spark.read.parquet(self.path).filter(
-                F.col(_BUCKET_COL).isin(touched)
-            )
-            merged = latest_per_key(
-                current.unionByName(latest), self.keys, self.seq_cols
-            )
-        else:
-            merged = latest
+    def _marker_path(self) -> str:
+        return os.path.join(self.path, "_n_buckets")
+
+    def _layout(self) -> str:
+        """'absent' | 'bucketed' (this sink's layout, same n_buckets) |
+        'legacy' (an unbucketed view, or a different bucket count) —
+        legacy views are migrated with ONE full merge-rewrite rather than
+        silently orphaned next to new bucket dirs."""
+        if not os.path.isdir(self.path):
+            return "absent"
+        try:
+            with open(self._marker_path()) as f:
+                if int(f.read().strip()) == self.n_buckets:
+                    return "bucketed"
+        except (OSError, ValueError):
+            pass
+        return "legacy"
+
+    def _write_bucketed(self, df: DataFrame, path: str) -> None:
         (
-            merged.write.mode("overwrite")
+            df.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(_BUCKET_COL)
-            .parquet(self.path)
+            .parquet(path)
         )
+        with open(os.path.join(path, "_n_buckets"), "w") as f:
+            f.write(str(self.n_buckets))
+
+    def upsert(self, batch_df: DataFrame) -> None:
+        # persist: the batch's latest view feeds both the touched-bucket
+        # collect and the merge write — one window pass, not two
+        latest = latest_per_key(batch_df, self.keys, self.seq_cols).withColumn(
+            _BUCKET_COL, self._bucket_expr()
+        ).persist()
+        try:
+            layout = self._layout()
+            if layout == "bucketed":
+                # merge ONLY the buckets this batch touches: the isin
+                # filter partition-prunes the read, dynamic overwrite
+                # replaces just the written partitions — untouched
+                # buckets' files stay put
+                touched = [
+                    r[0] for r in latest.select(_BUCKET_COL).distinct().collect()
+                ]
+                current = self.spark.read.parquet(self.path).filter(
+                    F.col(_BUCKET_COL).isin(touched)
+                )
+                merged = latest_per_key(
+                    current.unionByName(latest), self.keys, self.seq_cols
+                )
+                self._write_bucketed(merged, self.path)
+            elif layout == "legacy":
+                # one-time migration: merge the ENTIRE old view into the
+                # bucketed layout and swap it in atomically (rename-aside)
+                current = (
+                    self.spark.read.parquet(self.path)
+                    .drop(_BUCKET_COL)
+                    .withColumn(_BUCKET_COL, self._bucket_expr())
+                )
+                merged = latest_per_key(
+                    current.unionByName(latest), self.keys, self.seq_cols
+                )
+                tmp, old = self.path + ".tmp", self.path + ".old"
+                self._write_bucketed(merged, tmp)
+                if os.path.isdir(old):
+                    shutil.rmtree(old)
+                os.rename(self.path, old)
+                os.rename(tmp, self.path)
+                shutil.rmtree(old)
+            else:
+                self._write_bucketed(latest, self.path)
+        finally:
+            latest.unpersist()
 
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.path).drop(_BUCKET_COL)

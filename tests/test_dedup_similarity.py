@@ -122,6 +122,30 @@ def test_ivf_ann_full_probe_equals_exact(spark):
             assert cos == exact_scores[vid]
 
 
+def test_pq_and_lsh_pairs_robust_to_sparse_ids_and_empty_input(spark):
+    """PQ codebooks must not assume dense 0-based ids (seed from the
+    n_codes smallest ids, cycle when the table is small); lsh_bucket_pairs
+    must return empty, not crash, on an empty table."""
+    from hunger_games_glue_streaming_etl_spark.operators.similarity import (
+        lsh_bucket_pairs,
+        pq_ann_topk,
+        pq_build_codebooks,
+    )
+
+    dim = 8
+    rows = [(1000 + 7 * i, [float(i == j) for j in range(dim)]) for i in range(5)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb = pq_build_codebooks(emb, n_subspaces=2, n_codes=16, dim=dim)
+    assert len(cb) == 2 and all(len(c) == 16 for c in cb)  # cycled seeds
+    out = pq_ann_topk(
+        emb, rows[0][1], k=3, n_subspaces=2, n_codes=16, refine=5, codebooks=cb
+    ).collect()
+    assert out[0]["vec_id"] == 1000 and out[0]["cosine"] == 1.0
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert lsh_bucket_pairs(empty).collect() == []
+
+
 def test_pq_ann_full_refine_equals_exact_and_partial_overlaps(spark):
     """refine×k covering the table makes PQ re-rank everything with the
     exact dot — must equal the brute-force top-k; at partial refine the

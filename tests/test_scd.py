@@ -77,6 +77,29 @@ def test_scd2_multiple_updates_one_key_chain(spark):
     assert out[1]["valid_to"] == out[2]["valid_from"]
 
 
+def test_scd2_intra_batch_revert_to_open_value_is_kept(spark):
+    """open=X, batch=[Y@t1, X@t2]: the revert to X is a REAL change after Y
+    and must survive — only the chain's first element compares against the
+    open version (an up-front anti-join would silently drop it)."""
+    current = spark.createDataFrame(
+        [(1, "X", _ts("2024-01-01"), None, True)],
+        "k int, addr string, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [(1, "Y", _ts("2024-02-01")), (1, "X", _ts("2024-03-01"))],
+        "k int, addr string, effective_ts timestamp",
+    )
+    out = sorted(
+        scd2_apply(current, updates, "k", ["addr"]).collect(),
+        key=lambda r: r["valid_from"],
+    )
+    assert [(r["addr"], r["valid_to"], r["is_current"]) for r in out] == [
+        ("X", _ts("2024-02-01"), False),
+        ("Y", _ts("2024-03-01"), False),
+        ("X", None, True),  # the revert IS the current version
+    ]
+
+
 def test_scd2_consecutive_duplicate_updates_collapse(spark):
     """Updates with identical tracked values back-to-back collapse to one
     version instead of emitting a zero-width churn version."""

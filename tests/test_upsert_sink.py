@@ -104,6 +104,34 @@ def test_delta_sink_gated_or_parity(spark, tmp_path):
     assert st == {"a": "v2", "b": "w1"}
 
 
+def test_upsert_migrates_legacy_unbucketed_layout(spark, tmp_path):
+    """A pre-existing view written as plain root-level parquet (the old
+    full-rewrite layout, no _n_buckets marker) must be merged into the
+    bucketed layout on first upsert — not orphaned next to bucket dirs."""
+    path = str(tmp_path / "latest")
+    spark.createDataFrame(
+        [("old1", 1, "o1"), ("old2", 1, "o2")], "k string, seq long, v string"
+    ).write.parquet(path)
+
+    sink = ParquetLatestSink(spark, path, keys="k", seq_cols="seq")
+    sink.upsert(spark.createDataFrame(
+        [("old2", 5, "o2new"), ("new1", 1, "n1")], "k string, seq long, v string"
+    ))
+    st = {r["k"]: r["v"] for r in sink.read().collect()}
+    assert st == {"old1": "o1", "old2": "o2new", "new1": "n1"}
+    # migrated: marker present, no stray root-level data files
+    assert os.path.exists(os.path.join(path, "_n_buckets"))
+    root_parquet = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert not root_parquet
+    # and a different bucket count on the same path also migrates cleanly
+    sink8 = ParquetLatestSink(spark, path, keys="k", seq_cols="seq", n_buckets=8)
+    sink8.upsert(spark.createDataFrame(
+        [("new2", 1, "n2")], "k string, seq long, v string"
+    ))
+    st = {r["k"]: r["v"] for r in sink8.read().collect()}
+    assert st == {"old1": "o1", "old2": "o2new", "new1": "n1", "new2": "n2"}
+
+
 def test_upsert_multi_column_keys(spark, tmp_path):
     sink = ParquetLatestSink(
         spark, str(tmp_path / "latest"), keys=["k1", "k2"], seq_cols="seq"
