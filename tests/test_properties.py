@@ -94,3 +94,66 @@ def test_asof_join_matches_merge_asof(spark_prop, left, right):
 @pytest.fixture(scope="session")
 def spark_prop(spark):
     return spark
+
+
+SCD_UPDATES = st.lists(
+    st.tuples(
+        st.integers(0, 2),       # key (few keys -> multi-update chains)
+        st.integers(1, 8),       # effective day (ties possible)
+        st.sampled_from("ABC"),  # tracked value (small alphabet -> no-ops)
+    ),
+    min_size=0,
+    max_size=10,
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(updates=SCD_UPDATES)
+def test_scd2_chain_invariants(spark_prop, updates):
+    """SCD2 under arbitrary multi-update batches must keep the dimension
+    consistent: ≤1 open version per key, validity intervals tile without
+    overlap, the open version equals the key's LAST effective update (or
+    the prior open value if every update was a no-op), and no zero-width
+    or duplicated consecutive versions exist."""
+    from datetime import datetime
+
+    from hunger_games_glue_streaming_etl_spark.operators.scd import scd2_apply
+
+    def ts(day):
+        return datetime(2024, 1, day)
+
+    current = spark_prop.createDataFrame(
+        [(k, "A", ts(1), None, True) for k in range(3)],
+        "k int, addr string, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    upd_rows = [(k, "XABC"[ord(v) - ord("A") + 1], ts(d)) for k, d, v in updates]
+    # keep effective times unique per key (the operator documents ties as
+    # value-ordered; the pandas reference below would need the same rule)
+    seen = set()
+    upd_rows = [
+        r for r in upd_rows if (r[0], r[2]) not in seen and not seen.add((r[0], r[2]))
+    ]
+    updates_df = (
+        spark_prop.createDataFrame(upd_rows, "k int, addr string, effective_ts timestamp")
+        if upd_rows
+        else spark_prop.createDataFrame([], "k int, addr string, effective_ts timestamp")
+    )
+    out = scd2_apply(current, updates_df, "k", ["addr"]).collect()
+
+    by_key: dict[int, list] = {}
+    for r in out:
+        by_key.setdefault(r["k"], []).append(r)
+    for k in range(3):
+        versions = sorted(by_key[k], key=lambda r: r["valid_from"])
+        opens = [r for r in versions if r["is_current"]]
+        assert len(opens) == 1  # exactly one open version
+        assert opens[0]["valid_to"] is None
+        for a, b in zip(versions, versions[1:]):
+            assert a["valid_to"] == b["valid_from"]  # tiling, no overlap
+            assert a["addr"] != b["addr"]  # no-op versions collapsed
+        # the open version reflects the key's last effective state
+        chain = sorted((r for r in upd_rows if r[0] == k), key=lambda r: r[2])
+        expected_final = "A"
+        for _, v, _t in [(c[0], c[1], c[2]) for c in chain]:
+            expected_final = v
+        assert opens[0]["addr"] == expected_final
