@@ -6,6 +6,7 @@ from .registry import ORACLE, QUERIES, register
 from . import (  # noqa: E402,F401
     aggregates,
     core,
+    curation,
     dedup_ops,
     event_time,
     multimodal_ops,
