@@ -45,11 +45,31 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(load_table(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=_K)
 
 
-@register("sim_lsh_ann_topk")
+def _lsh_ann_oracle() -> str:
+    from .dedup_ops import _lsh_bucket_sql
+
+    return f"""
+    WITH b AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               {_lsh_bucket_sql("CAST(embedding AS DOUBLE[])", 4, 64)} AS bucket
+        FROM embeddings
+    )
+    SELECT a.vec_id, ROUND(list_dot_product(a.v, q.v), 6) AS cosine
+    FROM b a JOIN (SELECT * FROM b WHERE vec_id = {_QUERY_VEC_ID}) q
+      ON a.bucket = q.bucket
+    ORDER BY cosine DESC, a.vec_id
+    LIMIT {_K}
+    """
+
+
+@register("sim_lsh_ann_topk", oracle=_lsh_ann_oracle())
 def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k: scan only the query's
-    random-hyperplane bucket (~1/2^planes of the table).  Rows-only check;
-    recall vs the exact top-k is asserted in tests/test_similarity.py."""
+    random-hyperplane bucket (~1/2^planes of the table).  Even the
+    PARTIAL probe is deterministic — the oracle rebuilds the buckets from
+    the literal hyperplanes and joins on the query vector's own bucket,
+    so the approximate result itself is hash-checked (recall vs exact is
+    additionally asserted in tests)."""
     return lsh_ann_topk(
         load_table(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=_K, n_planes=4
     )
