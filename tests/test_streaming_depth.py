@@ -225,3 +225,55 @@ def test_streaming_tumbling_finalized_prefix_of_batch_twin(spark):
     assert set(stream_rows) <= set(batch_rows)
     for key, vals in stream_rows.items():
         assert vals == batch_rows[key]
+
+
+def test_stream_stream_left_outer_join_emits_null_after_watermark(spark, tmp_path):
+    """Left-outer stream-stream join: an unmatched left row is NOT emitted
+    immediately (a match could still arrive) — the null-padded row appears
+    only after the watermark passes the join window, when Spark can prove
+    no match can come.  Matched rows behave like the inner join."""
+    from hunger_games_glue_streaming_etl_spark.streaming.ops import stream_stream_join
+
+    src = str(tmp_path / "src")
+    feeder = BatchFeeder(src)
+    stream = spark.readStream.schema(STREAM_SCHEMA).json(src)
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("ts").alias("p_ts"), F.col("event_id").alias("p_event_id")
+    )
+    joined = stream_stream_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="p_ts",
+        watermark="10 minutes", within="30 minutes", how="left_outer",
+    ).select("event_id", "p_event_id")
+    q = _start(spark, joined, "ss_left_join", "append")
+    try:
+        feeder.feed(
+            q,
+            ev(1, "2024-01-01 10:00:00", uid=1, etype="purchase"),
+            ev(2, "2024-01-01 10:10:00", uid=1, etype="click"),   # matched
+            ev(3, "2024-01-01 10:20:00", uid=2, etype="click"),   # no purchase
+        )
+        rows = {
+            (r["event_id"], r["p_event_id"])
+            for r in spark.sql("SELECT * FROM ss_left_join").collect()
+        }
+        assert (2, 1) in rows
+        assert (3, None) not in rows  # unmatched row still pending
+        # advance the watermark far past click 3's join window.  The
+        # advancing events must pass BOTH input filters (the global
+        # watermark is the min over the two watermark nodes, and filtered
+        # rows never reach them); null emission happens on state
+        # EVICTION, which lags the advance by a micro-batch.
+        for i, ts in enumerate(["13:00:00", "14:00:00", "15:00:00"], start=9):
+            feeder.feed(
+                q,
+                ev(2 * i, f"2024-01-01 {ts}", uid=9, etype="click"),
+                ev(2 * i + 1, f"2024-01-01 {ts}", uid=8, etype="purchase"),
+            )
+        rows = {
+            (r["event_id"], r["p_event_id"])
+            for r in spark.sql("SELECT * FROM ss_left_join").collect()
+        }
+        assert (3, None) in rows  # null-padded emission after expiry
+    finally:
+        q.stop()
