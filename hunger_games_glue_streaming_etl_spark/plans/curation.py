@@ -81,7 +81,11 @@ def curation_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     stages in SQL, so stage ordering and interactions are value-checked
     end to end."""
     docs = load_table(spark, sf_dir, "documents")
-    passing = docs.filter(quality_score("text") >= _QUALITY_THRESHOLD)
+    # persist: the quality-gated set feeds the fingerprint groupBy, the
+    # canonical join, and the survivor join — without pinning it the
+    # regex-heavy quality expression re-runs per consumer (27 scans of
+    # the parquet observed in the unpinned plan)
+    passing = docs.filter(quality_score("text") >= _QUALITY_THRESHOLD).persist()
     groups = exact_dedup_groups(passing)
     canonical_ids = groups.filter(F.col("doc_id") == F.col("canonical_id")).select(
         "doc_id"
