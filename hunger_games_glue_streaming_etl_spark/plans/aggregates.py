@@ -93,6 +93,41 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_approx_percentile_error",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS exact_median,
+           TRUE AS within_tolerance
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_approx_percentile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked companion for the KLL percentile sketch, same pattern
+    as ``agg_approx_distinct_error``: the exact median is emitted next to
+    a boolean asserting ``percentile_approx`` landed within ±2% of it —
+    the oracle pins the boolean, so sketch drift fails the value hash."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias(
+                "exact_median"
+            ),
+            F.expr("percentile_approx(l_extendedprice, 0.5)").alias("__approx"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_median",
+            (
+                F.abs(F.col("__approx") - F.col("exact_median"))
+                <= F.col("exact_median") * 0.02
+            ).alias("within_tolerance"),
+        )
+    )
+
+
+@register(
     "agg_approx_distinct_error",
     oracle="""
     SELECT l_returnflag,

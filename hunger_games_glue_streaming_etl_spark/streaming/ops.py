@@ -65,6 +65,23 @@ def dedup_stream(
     return stream.withWatermark(ts_col, watermark).dropDuplicates([*keys, ts_col])
 
 
+def dedup_stream_within_watermark(
+    stream: DataFrame,
+    keys: Sequence[str] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Key-only dedup with watermark-bounded state
+    (``dropDuplicatesWithinWatermark``): a redelivered record is dropped
+    even when its event time differs from the first delivery (retries
+    restamp timestamps — the case plain ``dropDuplicates`` on (key, ts)
+    misses), and the key is re-admitted once the watermark passes.  The
+    exact shape of at-least-once source retry dedup."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def sessionize_stream(
     stream: DataFrame,
     ts_col: str = "ts",

@@ -277,3 +277,41 @@ def test_stream_stream_left_outer_join_emits_null_after_watermark(spark, tmp_pat
         assert (3, None) in rows  # null-padded emission after expiry
     finally:
         q.stop()
+
+
+def test_dedup_within_watermark_drops_restamped_retries(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a redelivery with a DIFFERENT event
+    time is still dropped (plain dropDuplicates on (key, ts) would pass
+    it), and the key is re-admitted after the watermark moves on."""
+    from hunger_games_glue_streaming_etl_spark.streaming.ops import (
+        dedup_stream_within_watermark,
+    )
+
+    src = str(tmp_path / "src")
+    feeder = BatchFeeder(src)
+    stream = spark.readStream.schema(STREAM_SCHEMA).json(src)
+    deduped = dedup_stream_within_watermark(
+        stream, keys=["user_id"], watermark="10 minutes"
+    ).select("user_id", "ts")
+    q = _start(spark, deduped, "dedup_wm2", "append")
+    try:
+        feeder.feed(
+            q,
+            ev(1, "2024-01-01 10:00:00", uid=1),
+            ev(2, "2024-01-01 10:00:30", uid=1),  # retry, restamped ts -> dropped
+        )
+        assert spark.sql("SELECT count(*) FROM dedup_wm2").head()[0] == 1
+        # 13:00 redelivery: watermark (09:50) hasn't passed the state's
+        # expiry (10:00:30 + 10 min) when this batch runs -> still dropped,
+        # but it advances the watermark to 12:50 for the NEXT batch
+        feeder.feed(q, ev(3, "2024-01-01 13:00:00", uid=1))
+        assert spark.sql(
+            "SELECT count(*) FROM dedup_wm2 WHERE user_id = 1"
+        ).head()[0] == 1
+        # now the state is expired: the key is re-admitted
+        feeder.feed(q, ev(5, "2024-01-01 14:30:00", uid=1))
+        assert spark.sql(
+            "SELECT count(*) FROM dedup_wm2 WHERE user_id = 1"
+        ).head()[0] == 2
+    finally:
+        q.stop()
