@@ -101,3 +101,30 @@ def curation_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.join(near_dropped, "doc_id", "left_anti").select(
         "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
     )
+
+@register(
+    "split_train_holdout",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 12))
+                     AS BIGINT) % 100 < 90
+                THEN 'train' ELSE 'holdout' END AS split
+    FROM documents
+    """,
+)
+def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 train/holdout assignment by portable key hash —
+    the reproducible split every training-data pipeline needs: stable
+    across runs, engines, and partitionings (hash of the KEY, never
+    rand()/sample(), which reshuffle membership on every execution and
+    leak holdout docs into training).  Hash-checked: DuckDB reproduces
+    the identical 48-bit md5-prefix hash, so both engines assign every
+    document to the same side."""
+    from ..functions.text import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(portable_hash64(F.col("doc_id").cast("string")), F.lit(100))
+    return docs.select(
+        "doc_id",
+        F.when(bucket < 90, "train").otherwise("holdout").alias("split"),
+    )
