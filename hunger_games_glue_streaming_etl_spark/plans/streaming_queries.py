@@ -203,3 +203,35 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream(
         spark, sessionize_stream(stream, gap="30 minutes"), "sessionw"
     )
+
+
+@register("streaming_left_outer_join")
+def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer stream-stream join: clicks with their matching purchase
+    where one exists, null-padded once the watermark PROVES no match can
+    arrive (null emission is driven by state eviction, not arrival).  The
+    distinct capability vs the inner form; expiry semantics are asserted
+    in tests/test_streaming_depth.py."""
+    from ..streaming.ops import stream_stream_join
+
+    src = _stage_events_stream(spark, sf_dir)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "maxFilesPerTrigger", "2"
+    ).json(src)
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_event_id"),
+    )
+    joined = stream_stream_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="p_ts",
+        watermark="1 hour",
+        within="2 hours",
+        how="left_outer",
+    ).select("event_id", "p_event_id", F.col("__l.user_id").alias("user_id"))
+    return _run_stream(spark, joined, "ssleftjoin")
