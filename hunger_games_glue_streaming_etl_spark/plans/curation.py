@@ -79,8 +79,16 @@ def curation_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     guard on).  Returns the clean corpus roster.  All three stages are
     the registered operators, composed; the oracle runs the same three
     stages in SQL, so stage ordering and interactions are value-checked
-    end to end."""
-    docs = load_table(spark, sf_dir, "documents")
+    end to end.  (The fixture corpus has no exact duplicates, so stage 2
+    is additionally pinned on a planted-duplicate corpus in
+    tests/test_core_queries.py.)"""
+    return clean_corpus(load_table(spark, sf_dir, "documents"))
+
+
+def clean_corpus(docs: DataFrame) -> DataFrame:
+    """The three-stage flow on any (doc_id, lang, n_chars, text) frame —
+    separated from the registry entry so synthetic corpora can exercise
+    every stage (incl. exact-dup groups absent from the fixtures)."""
     # persist: the quality-gated set feeds the fingerprint groupBy, the
     # canonical join, and the survivor join — without pinning it the
     # regex-heavy quality expression re-runs per consumer (27 scans of

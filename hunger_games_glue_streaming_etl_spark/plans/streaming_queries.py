@@ -142,13 +142,10 @@ def streaming_keyed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream(spark, deduped.select("event_id", "user_id", "event_type"), "dedup")
 
 
-@register("streaming_stream_stream_join")
-def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-stream equi-join with event-time bounds, driven through real
-    micro-batches: clicks ⋈ purchases per user, purchase at-or-before the
-    click within 2 hours.  Both sides buffer watermarked state; rows-only
-    check (cross-batch buffering semantics are asserted in
-    tests/test_streaming_depth.py, incl. out-of-order arrival)."""
+def _clicks_purchases_join(spark: SparkSession, sf_dir: str, how: str) -> DataFrame:
+    """Shared plumbing for the stream-stream join entries: clicks ⋈
+    purchases per user, purchase at-or-before the click within 2 hours,
+    1-hour watermarks both sides."""
     from ..streaming.ops import stream_stream_join
 
     src = _stage_events_stream(spark, sf_dir)
@@ -161,7 +158,7 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("p_ts"),
         F.col("event_id").alias("p_event_id"),
     )
-    joined = stream_stream_join(
+    return stream_stream_join(
         clicks,
         purchases,
         on="user_id",
@@ -169,8 +166,18 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="p_ts",
         watermark="1 hour",
         within="2 hours",
+        how=how,
     ).select("event_id", "p_event_id", F.col("__l.user_id").alias("user_id"))
-    return _run_stream(spark, joined, "ssjoin")
+
+
+@register("streaming_stream_stream_join")
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream equi-join with event-time bounds, driven through real
+    micro-batches: clicks ⋈ purchases per user, purchase at-or-before the
+    click within 2 hours.  Both sides buffer watermarked state; rows-only
+    check (cross-batch buffering semantics are asserted in
+    tests/test_streaming_depth.py, incl. out-of-order arrival)."""
+    return _run_stream(spark, _clicks_purchases_join(spark, sf_dir, "inner"), "ssjoin")
 
 
 @register("streaming_running_state")
@@ -212,26 +219,6 @@ def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrive (null emission is driven by state eviction, not arrival).  The
     distinct capability vs the inner form; expiry semantics are asserted
     in tests/test_streaming_depth.py."""
-    from ..streaming.ops import stream_stream_join
-
-    src = _stage_events_stream(spark, sf_dir)
-    stream = spark.readStream.schema(EVENTS_SCHEMA).option(
-        "maxFilesPerTrigger", "2"
-    ).json(src)
-    clicks = stream.filter(F.col("event_type") == "click")
-    purchases = stream.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id"),
-        F.col("ts").alias("p_ts"),
-        F.col("event_id").alias("p_event_id"),
+    return _run_stream(
+        spark, _clicks_purchases_join(spark, sf_dir, "left_outer"), "ssleftjoin"
     )
-    joined = stream_stream_join(
-        clicks,
-        purchases,
-        on="user_id",
-        left_ts="ts",
-        right_ts="p_ts",
-        watermark="1 hour",
-        within="2 hours",
-        how="left_outer",
-    ).select("event_id", "p_event_id", F.col("__l.user_id").alias("user_id"))
-    return _run_stream(spark, joined, "ssleftjoin")

@@ -111,10 +111,12 @@ SCD_UPDATES = st.lists(
 @given(updates=SCD_UPDATES)
 def test_scd2_chain_invariants(spark_prop, updates):
     """SCD2 under arbitrary multi-update batches must keep the dimension
-    consistent: ≤1 open version per key, validity intervals tile without
-    overlap, the open version equals the key's LAST effective update (or
-    the prior open value if every update was a no-op), and no zero-width
-    or duplicated consecutive versions exist."""
+    consistent: exactly one open version per key, validity intervals tile
+    without overlap (a zero-width closed version is legitimate when an
+    update supersedes at the open version's own instant), consecutive
+    versions never repeat a value, and the open version equals the key's
+    LAST effective update (or the prior open value if every update was a
+    no-op)."""
     from datetime import datetime
 
     from hunger_games_glue_streaming_etl_spark.operators.scd import scd2_apply
@@ -126,7 +128,7 @@ def test_scd2_chain_invariants(spark_prop, updates):
         [(k, "A", ts(1), None, True) for k in range(3)],
         "k int, addr string, valid_from timestamp, valid_to timestamp, is_current boolean",
     )
-    upd_rows = [(k, "XABC"[ord(v) - ord("A") + 1], ts(d)) for k, d, v in updates]
+    upd_rows = [(k, v, ts(d)) for k, d, v in updates]
     # keep effective times unique per key (the operator documents ties as
     # value-ordered; the pandas reference below would need the same rule)
     seen = set()
@@ -144,7 +146,13 @@ def test_scd2_chain_invariants(spark_prop, updates):
     for r in out:
         by_key.setdefault(r["k"], []).append(r)
     for k in range(3):
-        versions = sorted(by_key[k], key=lambda r: r["valid_from"])
+        # deterministic order even when an update lands exactly on the
+        # open version's valid_from (zero-width closed row ties on
+        # valid_from with the new open row — closed sorts first)
+        versions = sorted(
+            by_key[k],
+            key=lambda r: (r["valid_from"], r["valid_to"] is None, r["valid_to"] or ts(1)),
+        )
         opens = [r for r in versions if r["is_current"]]
         assert len(opens) == 1  # exactly one open version
         assert opens[0]["valid_to"] is None
@@ -153,7 +161,5 @@ def test_scd2_chain_invariants(spark_prop, updates):
             assert a["addr"] != b["addr"]  # no-op versions collapsed
         # the open version reflects the key's last effective state
         chain = sorted((r for r in upd_rows if r[0] == k), key=lambda r: r[2])
-        expected_final = "A"
-        for _, v, _t in [(c[0], c[1], c[2]) for c in chain]:
-            expected_final = v
+        expected_final = chain[-1][1] if chain else "A"
         assert opens[0]["addr"] == expected_final
