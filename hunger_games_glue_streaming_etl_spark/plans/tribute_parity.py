@@ -6,9 +6,13 @@ derivations + sink projection — ``script/TributeStreamingJob.py:106-135,
 it with the set-oriented latest-per-key operator (the deterministic form of
 the reference's DynamoDB last-writer-wins sink, A8).
 
-Rows-only check: the corpus lives outside the driver's oracle tables.  Exact
-golden-outcome parity (deaths, injuries, boundary states per scenario) is
-asserted in ``tests/test_tribute_batch.py`` and the streaming replay e2e.
+Hash-checked since round 2: the corpus lives outside the driver's oracle
+VIEWS, but DuckDB reads the same reference files directly (read_json /
+read_csv on absolute paths), so the oracle replays the identical pipeline —
+scenario order, intra-scenario event sequence, joins, all five CASE rules,
+last-writer-wins, and the stringified sink projection.  Exact golden-outcome
+parity is additionally asserted in ``tests/test_tribute_batch.py`` and the
+streaming replay e2e.
 """
 
 from __future__ import annotations
@@ -28,7 +32,75 @@ from ..operators.tribute import derive_tribute_status, join_dimensions, tribute_
 from .registry import register
 
 
-@register("tribute_status_reference_corpus")
+_EVENT_COLS = (
+    "{'streamingeventid':'VARCHAR','gameid':'VARCHAR','tributeid':'VARCHAR',"
+    "'heartrate':'DOUBLE','painlevel':'DOUBLE','hydrationlevel':'DOUBLE',"
+    "'hungerlevel':'DOUBLE','xcoordinate':'DOUBLE','ycoordinate':'DOUBLE'}"
+)
+
+_REF = "/root/reference"
+
+_EV_UNION = "\n        UNION ALL\n".join(
+    f"""        SELECT *, {i} AS scen
+        FROM read_json('{_REF}/streamingData/{name}.json',
+                       format='array', columns={_EVENT_COLS})"""
+    for i, name in enumerate(SCENARIO_ORDER)
+)
+
+_CORPUS_ORACLE = f"""
+    WITH ev AS (
+{_EV_UNION}
+    ),
+    ev2 AS (
+        SELECT *, CAST(regexp_extract(streamingeventid, '(\\d+)$', 1) AS INT) AS eseq
+        FROM ev
+    ),
+    trib AS (
+        SELECT CAST(tributeId AS VARCHAR) AS tid, district, firstName, age,
+               minHydrationThreshold, maxHungerThreshold, maxPainThreshold
+        FROM read_csv('{_REF}/staticData/s3/tributeData.csv', header=true)
+    ),
+    game AS (SELECT * FROM read_json('{_REF}/staticData/dynamo/gameData.json')),
+    d AS (
+        SELECT e.tributeid, e.scen, e.eseq, e.heartrate,
+               e.xcoordinate, e.ycoordinate,
+               t.firstName, t.district, t.age,
+               CASE WHEN e.hydrationlevel < t.minHydrationThreshold THEN 'DEHYDRATED'
+                    WHEN (e.hydrationlevel - t.minHydrationThreshold) < 0.5 THEN 'APPROACHING DEHYDRATION'
+                    ELSE 'OK' END AS hydrationstatus,
+               CASE WHEN e.hungerlevel > t.maxHungerThreshold THEN 'HUNGRY'
+                    WHEN (t.maxHungerThreshold - e.hungerlevel) < 0.5 THEN 'GETTING HUNGRY'
+                    ELSE 'OK' END AS hungerstatus,
+               CASE WHEN e.painlevel > t.maxPainThreshold THEN 'INJURED' ELSE 'OK' END AS painstatus,
+               CASE WHEN e.heartrate = 0 THEN 'DEAD' ELSE 'ALIVE' END AS status,
+               CASE WHEN e.xcoordinate > g.maxXCoordinate OR e.xcoordinate < g.minXCoordinate
+                      OR e.ycoordinate > g.maxYCoordinate OR e.ycoordinate < g.minYCoordinate
+                    THEN 'OUT OF BOUNDS'
+                    WHEN (g.maxXCoordinate - e.xcoordinate) < 5 OR (g.maxYCoordinate - e.ycoordinate) < 5
+                      OR (e.xcoordinate - g.minXCoordinate) < 5 OR (e.ycoordinate - g.minYCoordinate) < 5
+                    THEN 'APPROACHING THE BOUNDARY'
+                    ELSE 'IN BOUNDS' END AS locationstatus
+        FROM ev2 e
+        JOIN trib t ON e.tributeid = t.tid
+        JOIN game g ON e.gameid = g.gameid
+    ),
+    latest AS (
+        SELECT *, row_number() OVER (PARTITION BY tributeid ORDER BY scen DESC, eseq DESC) AS rn
+        FROM d
+    )
+    SELECT tributeid AS tributeId, firstName AS name,
+           CAST(district AS INT) AS district, CAST(age AS INT) AS age, status,
+           CAST(heartrate AS VARCHAR) AS heartRate,
+           painstatus AS painStatus, hydrationstatus AS hydrationStatus,
+           hungerstatus AS hungerStatus,
+           CAST(xcoordinate AS VARCHAR) AS xCoordinate,
+           CAST(ycoordinate AS VARCHAR) AS yCoordinate,
+           locationstatus AS locationStatus
+    FROM latest WHERE rn = 1
+"""
+
+
+@register("tribute_status_reference_corpus", oracle=_CORPUS_ORACLE)
 def tribute_status_reference_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Final tribute-status table after replaying all 9 scenarios in story
     order — the reference's end state (tributes 8 and 9 ALIVE, all others
