@@ -156,35 +156,62 @@ def quality_score(col: str | Column = "text") -> Column:
     )
 
 
-def simhash(col: str | Column = "text", bits: int = 32) -> Column:
+def simhash(col: str | Column = "text", bits: int = 64) -> Column:
     """SimHash over whitespace tokens (portable-hash bit votes).
 
     For each bit k: sum ±1 votes across tokens (positive when bit k of the
-    token hash is set); the sign of the sum sets bit k of the fingerprint.
-    32 bits discriminates well on shared-vocabulary corpora (16 bits is
-    false-positive-heavy) while keeping the oracle SQL tractable; the
-    production form is 64-bit ``xxhash64`` — identical operator shape.
+    token's hash material is set); the sign of the sum sets bit k of the
+    fingerprint.  Up to 64 bits: ``portable_hash64`` yields 48 usable bits
+    per seed, so bit k draws from bit (k mod 32) of the token's
+    seed-(k//32) hash — every tested power stays ≤ 2^31 (no shift/FP edge
+    cases) and both engines reproduce the words exactly.  Bit 63, when
+    set, contributes the *negative* two's-complement term (−2^63): the
+    fingerprint is the signed 64-bit value, identical in Spark and DuckDB
+    BIGINTs, and XOR/bit_count Hamming math is unaffected by sign.  The
+    production form is ``xxhash64`` — identical operator shape.
     """
-    # hash each token ONCE (md5 is the expensive step), then fold the long
-    # hashes: one aggregate pass carrying all per-bit vote counters as an
-    # array accumulator — not `bits` separate aggregates re-hashing tokens.
-    # Bit k is tested as floor(h / 2^k) % 2 against a literal powers array
-    # (shiftright needs a literal count; division by 2^k is exact in FP).
-    hashed = F.transform(tokens(col), lambda t: portable_hash64(t))
-    powers = F.array(*[F.lit(1 << k).cast("long") for k in range(bits)])
+    # hash each token ONCE per word (md5 is the expensive step), then fold:
+    # one aggregate pass carrying all per-bit vote counters as an array
+    # accumulator — not `bits` separate aggregates re-hashing tokens.  Bit
+    # k is tested as floor(word / 2^(k mod 32)) % 2; the (word index,
+    # test power) pairs ride a literal struct array zipped against the
+    # accumulator, and `h[...]` indexes the lambda-bound word array (a
+    # bound value, NOT a re-evaluated source expression).
+    n_words = (bits + 31) // 32
+    hashed = F.transform(
+        tokens(col),
+        lambda t: F.array(*[portable_hash64(t, seed=w) for w in range(n_words)]),
+    )
+    test_info = F.array(
+        *[
+            F.struct(
+                F.lit(k // 32 + 1).alias("w"),  # 1-based for element_at
+                F.lit(1 << (k % 32)).cast("long").alias("p"),
+            )
+            for k in range(bits)
+        ]
+    )
     zero_votes = F.array_repeat(F.lit(0).cast("long"), bits)
     votes = F.aggregate(
         hashed,
         zero_votes,
         lambda acc, h: F.zip_with(
-            powers,
+            test_info,
             acc,
-            lambda p, a: a
-            + F.when(F.floor(h / p).cast("long") % 2 == 1, 1).otherwise(-1),
+            lambda ti, a: a
+            + F.when(
+                F.floor(F.element_at(h, ti["w"]) / ti["p"]).cast("long") % 2 == 1, 1
+            ).otherwise(-1),
         ),
     )
+    signed_terms = F.array(
+        *[
+            F.lit((1 << k) if k < 63 else -(1 << 63)).cast("long")
+            for k in range(bits)
+        ]
+    )
     weighted = F.zip_with(
-        powers, votes, lambda p, v: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))
+        signed_terms, votes, lambda s, v: F.when(v > 0, s).otherwise(F.lit(0).cast("long"))
     )
     return F.aggregate(weighted, F.lit(0).cast("long"), lambda acc, x: acc + x)
 

@@ -287,6 +287,7 @@ def fuzzy_levenshtein_pairs(
     id_col: str = "doc_id",
     max_distance: int = 24,
     prefix_len: int = 16,
+    salt_cap: int | None = 1024,
 ) -> DataFrame:
     """Edit-distance near-dup pairs with prefix blocking: pairs whose
     normalized texts share the first ``prefix_len`` characters and differ
@@ -301,6 +302,18 @@ def fuzzy_levenshtein_pairs(
     distance) and Spark's thresholded ``levenshtein(…, threshold)``,
     which abandons a pair's DP as soon as the distance provably exceeds
     the cap.
+
+    ``salt_cap`` is the hot-bucket guard for templated corpora (f docs
+    sharing one opening → an f-row join key).  Each doc has exactly ONE
+    prefix, so — unlike the shingle ``df_cap`` — dropping hot buckets
+    would lose their pairs outright; instead hot buckets are *salted*:
+    docs split into ⌈f/cap⌉ groups of ≤ cap, one side explodes to every
+    group, and the join runs on (prefix, group).  Results are identical
+    (every in-bucket pair still meets exactly once); what changes is the
+    plan shape — no single join key ever carries more than ``salt_cap``
+    build-side rows, so the bucket's inherent f² comparisons spread
+    across f/cap × f/cap tasks instead of one straggler.  ``None``
+    disables salting (plain prefix equi-join).
     """
     norm = normalized_text(text_col)
     base = docs.select(
@@ -309,22 +322,52 @@ def fuzzy_levenshtein_pairs(
         F.substring(norm, 1, prefix_len).alias("__pfx"),
         F.length(norm).alias("__len"),
     )
-    a = base.select(
-        F.col(id_col).alias("id_a"),
-        F.col("__t").alias("__ta"),
-        "__pfx",
-        F.col("__len").alias("__la"),
-    )
-    b = base.select(
-        F.col(id_col).alias("id_b"),
-        F.col("__t").alias("__tb"),
-        "__pfx",
-        F.col("__len").alias("__lb"),
-    )
+    if salt_cap is None:
+        a = base.select(
+            F.col(id_col).alias("id_a"),
+            F.col("__t").alias("__ta"),
+            "__pfx",
+            F.col("__len").alias("__la"),
+        )
+        b = base.select(
+            F.col(id_col).alias("id_b"),
+            F.col("__t").alias("__tb"),
+            "__pfx",
+            F.col("__len").alias("__lb"),
+        )
+        joined = a.join(b, "__pfx")
+    else:
+        from pyspark.sql import Window
+
+        # group index + group count via windows over the SAME
+        # shuffle-by-prefix the join needs (id orders deterministically);
+        # cold buckets (f ≤ cap) get one group and degenerate to the
+        # plain equi-join with a single-element explode
+        w_pfx = Window.partitionBy("__pfx")
+        w_rn = w_pfx.orderBy(id_col)
+        grouped = base.withColumn(
+            "__g", ((F.row_number().over(w_rn) - 1) / salt_cap).cast("int")
+        ).withColumn(
+            "__ng", F.ceil(F.count("*").over(w_pfx) / salt_cap).cast("int")
+        )
+        a = grouped.select(
+            F.col(id_col).alias("id_a"),
+            F.col("__t").alias("__ta"),
+            "__pfx",
+            F.col("__len").alias("__la"),
+            F.explode(F.sequence(F.lit(0), F.col("__ng") - 1)).alias("__g"),
+        )
+        b = grouped.select(
+            F.col(id_col).alias("id_b"),
+            F.col("__t").alias("__tb"),
+            "__pfx",
+            F.col("__len").alias("__lb"),
+            "__g",
+        )
+        joined = a.join(b, ["__pfx", "__g"])
     dist = F.levenshtein("__ta", "__tb", max_distance)
     return (
-        a.join(b, "__pfx")
-        .filter(
+        joined.filter(
             (F.col("id_a") < F.col("id_b"))
             & (F.abs(F.col("__la") - F.col("__lb")) <= max_distance)
         )
@@ -333,13 +376,25 @@ def fuzzy_levenshtein_pairs(
     )
 
 
-SIMHASH_BITS = 32
-_SIMHASH_CHUNKS = 4  # 4 × 8-bit chunks — exact screen for Hamming ≤ 3
+SIMHASH_BITS = 64
 
 
 def simhash_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, simhash) 32-bit fingerprints."""
+    """(doc_id, simhash) 64-bit fingerprints (signed two's-complement
+    value — bit 63 set ⇒ negative; XOR/bit_count Hamming is sign-safe)."""
     return docs.select(F.col(id_col), simhash(text_col, SIMHASH_BITS).alias("simhash"))
+
+
+def _chunk_bounds(bits: int, n_chunks: int) -> list[tuple[int, int]]:
+    """(start_bit, width) of ``n_chunks`` disjoint chunks covering ``bits``
+    (widths differ by ≤1 when they don't divide evenly)."""
+    base, rem = divmod(bits, n_chunks)
+    bounds, start = [], 0
+    for p in range(n_chunks):
+        width = base + (1 if p < rem else 0)
+        bounds.append((start, width))
+        start += width
+    return bounds
 
 
 def simhash_near_pairs(
@@ -348,14 +403,17 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Pairs with Hamming(simhash_a, simhash_b) ≤ max_hamming (≤ 3).
+    """Pairs with Hamming(simhash_a, simhash_b) ≤ max_hamming.
 
-    Screen-then-verify, and the screen is *exact*: with 4 disjoint 8-bit
-    chunks, any pair differing in ≤ 3 bits must share at least one identical
-    chunk (pigeonhole), so candidate generation loses nothing and the
-    Hamming verify runs only on chunk-collision pairs — never O(n²)."""
-    chunk_bits = SIMHASH_BITS // _SIMHASH_CHUNKS
-    mask = (1 << chunk_bits) - 1
+    Screen-then-verify, and the screen is *exact*: with ``max_hamming+1``
+    disjoint chunks, any pair differing in ≤ max_hamming bits must share
+    at least one identical chunk (pigeonhole), so candidate generation
+    loses nothing and the Hamming verify runs only on chunk-collision
+    pairs — never O(n²).  64-bit fingerprints in 4×16-bit chunks give 65k
+    bucket values per chunk: at 10⁹ docs a bucket holds ~n/65536 docs, vs
+    ~n/256 with the old 32-bit/8-bit-chunk layout whose candidate volume
+    re-approached n² (the round-2 scale flag)."""
+    n_chunks = max_hamming + 1
     # persist: the fingerprint aggregation feeds both self-join sides
     # (measured 3.4× at sf0.1 — n_docs rows of (id, long), tiny to cache)
     fp = simhash_fingerprints(docs, text_col, id_col).persist()
@@ -363,11 +421,12 @@ def simhash_near_pairs(
         *[
             F.struct(
                 F.lit(p).alias("part"),
-                F.shiftright(F.col("simhash"), p * chunk_bits)
-                .bitwiseAND(F.lit(mask))
+                # unsigned shift + mask: correct for the sign-bit chunk too
+                F.shiftrightunsigned(F.col("simhash"), start)
+                .bitwiseAND(F.lit((1 << width) - 1))
                 .alias("chunk"),
             )
-            for p in range(_SIMHASH_CHUNKS)
+            for p, (start, width) in enumerate(_chunk_bounds(SIMHASH_BITS, n_chunks))
         ]
     )
     exploded = fp.select(id_col, "simhash", F.explode(chunks).alias("pc")).select(

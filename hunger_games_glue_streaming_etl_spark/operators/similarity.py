@@ -286,6 +286,33 @@ def embedding_pairs_exact_tiled(
 # materialize the table on the driver — fall back to the tiled plan
 MAX_BROADCAST_VECTORS = 200_000
 
+# bounded-probe results keyed by (session, analyzed-plan semantic hash,
+# ceiling): the probe is its own Spark action (scan + count of ceiling+1
+# rows), and re-running it on every call doubled the warm cost of
+# sim_embedding_pairs_blas.  One probe per distinct input plan per session
+# is enough — if the files under an identical plan change mid-session the
+# cached verdict can go stale, which only mis-picks the strategy (both
+# paths are value-identical), never the answer.
+_broadcast_probe_cache: dict[tuple[int, int, int], bool] = {}
+
+
+def _fits_broadcast(df: DataFrame, ceiling: int, known_row_count: int | None) -> bool:
+    """True iff ``df`` is small enough for the collect-and-broadcast path.
+
+    Callers that already know the table size pass ``known_row_count`` and
+    no job runs at all; otherwise a bounded ``limit(ceiling+1).count()``
+    probe runs once per (session, plan) and is cached."""
+    if known_row_count is not None:
+        return known_row_count <= ceiling
+    key = (id(df.sparkSession), df.semanticHash(), ceiling)
+    hit = _broadcast_probe_cache.get(key)
+    if hit is None:
+        hit = df.limit(ceiling + 1).count() <= ceiling
+        if len(_broadcast_probe_cache) > 256:  # unbounded sessions shouldn't leak
+            _broadcast_probe_cache.clear()
+        _broadcast_probe_cache[key] = hit
+    return hit
+
 
 def embedding_pairs_exact_blocked(
     embeddings: DataFrame,
@@ -293,6 +320,7 @@ def embedding_pairs_exact_blocked(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_broadcast_rows: int = MAX_BROADCAST_VECTORS,
+    known_row_count: int | None = None,
 ) -> DataFrame:
     """Brute-force cosine pairs, numpy-blocked AND bit-exact.
 
@@ -311,8 +339,8 @@ def embedding_pairs_exact_blocked(
     """
     import numpy as np
 
-    # bounded probe: scans at most ceiling+1 rows, not the whole table
-    if embeddings.limit(max_broadcast_rows + 1).count() > max_broadcast_rows:
+    # bounded probe (cached per plan; zero jobs when known_row_count given)
+    if not _fits_broadcast(embeddings, max_broadcast_rows, known_row_count):
         return embedding_pairs_exact_tiled(
             embeddings, cosine_threshold, vec_col=vec_col, id_col=id_col,
             exact_accumulation=True,
@@ -356,6 +384,7 @@ def embedding_pairs_blas(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_broadcast_rows: int = MAX_BROADCAST_VECTORS,
+    known_row_count: int | None = None,
 ) -> DataFrame:
     """Brute-force cosine pairs via blocked BLAS matmul (``mapInPandas``).
 
@@ -369,8 +398,8 @@ def embedding_pairs_blas(
     """
     import numpy as np
 
-    # bounded probe: scans at most ceiling+1 rows, not the whole table
-    if embeddings.limit(max_broadcast_rows + 1).count() > max_broadcast_rows:
+    # bounded probe (cached per plan; zero jobs when known_row_count given)
+    if not _fits_broadcast(embeddings, max_broadcast_rows, known_row_count):
         return embedding_pairs_exact_tiled(
             embeddings, cosine_threshold, vec_col=vec_col, id_col=id_col,
             exact_accumulation=False,
@@ -445,13 +474,16 @@ def ivf_build_centroids(
     Only the k centroid vectors ever reach the driver; assignments and
     means stay distributed, so the build scales with the table.
     """
+    # seed from the n_centroids smallest ids — no density/0-base assumption
+    # (a `filter(id < k)` seed came up empty on sparse/UUID-keyed tables);
+    # tables with fewer rows than centroids repeat seeds cyclically, and
+    # argmax ties resolve to the smallest index, so duplicates are harmless
     seed_rows = (
-        embeddings.filter(F.col(id_col) < n_centroids)
-        .orderBy(id_col)
-        .select(vec_col)
-        .collect()
+        embeddings.orderBy(id_col).select(vec_col).limit(n_centroids).collect()
     )
-    centroids = [list(r[0]) for r in seed_rows]
+    if not seed_rows:
+        raise ValueError("ivf_build_centroids: embeddings table is empty")
+    centroids = [list(seed_rows[c % len(seed_rows)][0]) for c in range(n_centroids)]
     for _ in range(iterations):
         assigned = _assign_cluster(embeddings, centroids, vec_col)
         means = (

@@ -178,12 +178,23 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_sql() -> str:
-    tok_hash = "CAST(('0x' || substr(md5('0:' || t.tok), 1, 12)) AS BIGINT)"
-    bits = " + ".join(
-        f"(CASE WHEN SUM(CASE WHEN ({tok_hash} >> {k}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
-        f"THEN {1 << k}::BIGINT ELSE 0 END)"
-        for k in range(32)
-    )
+    # 64-bit portable simhash: bit k votes from bit (k mod 32) of the
+    # token's seed-(k//32) 48-bit md5-prefix hash — exactly
+    # functions.text.simhash(bits=64).  Bit 63's term is the negative
+    # two's-complement value so the signed BIGINTs match Spark's long;
+    # positives sum to ≤ 2^63−1 before the one negative term, no overflow.
+    def tok_hash(seed: int) -> str:
+        return f"CAST(('0x' || substr(md5('{seed}:' || t.tok), 1, 12)) AS BIGINT)"
+
+    terms = []
+    for k in range(64):
+        h, bit = tok_hash(k // 32), k % 32
+        val = f"{1 << k}::BIGINT" if k < 63 else "(-9223372036854775808)::BIGINT"
+        terms.append(
+            f"(CASE WHEN SUM(CASE WHEN ({h} >> {bit}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+            f"THEN {val} ELSE 0::BIGINT END)"
+        )
+    bits = " + ".join(terms)
     return f"""
     WITH toks AS (
         SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok FROM documents
@@ -195,7 +206,7 @@ def _simhash_sql() -> str:
 
 @register("dedup_simhash_fingerprints", oracle=_simhash_sql())
 def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash fingerprints (token-hash bit votes) — near-dups land
+    """64-bit SimHash fingerprints (token-hash bit votes) — near-dups land
     within small Hamming distance."""
     return simhash_fingerprints(load_table(spark, sf_dir, "documents"))
 
@@ -211,11 +222,12 @@ def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-pairs (Hamming ≤ 3 over 32 bits), screen-then-verify
-    via 4 disjoint 8-bit chunks.  The screen is EXACT by pigeonhole (≤ 3
+    """SimHash near-pairs (Hamming ≤ 3 over 64 bits), screen-then-verify
+    via 4 disjoint 16-bit chunks.  The screen is EXACT by pigeonhole (≤ 3
     differing bits can't touch all 4 chunks), so the Spark plan — which
     never goes O(n²) — returns identical pairs to the oracle's brute-force
-    Hamming join."""
+    Hamming join; 65k bucket values per chunk keep bucket occupancy
+    ~n/65536 at extreme corpus sizes."""
     return simhash_near_pairs(load_table(spark, sf_dir, "documents"))
 
 

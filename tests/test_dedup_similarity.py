@@ -74,6 +74,71 @@ def test_simhash_identical_docs_zero_hamming(spark):
     assert pairs.get((1, 2)) == 0
 
 
+def test_fuzzy_salting_losslessly_splits_hot_prefix_bucket(spark):
+    """A templated corpus puts f docs behind ONE 16-char prefix (the f²
+    join-key blowup).  Salting must (a) keep results identical to the
+    plain equi-join — every in-bucket pair still meets exactly once — and
+    (b) split the hot bucket into ⌈f/cap⌉ bounded groups."""
+    from hunger_games_glue_streaming_etl_spark.operators.dedup import (
+        fuzzy_levenshtein_pairs,
+    )
+
+    template = "dear valued customer thank you for contacting support about "
+    rows = [(i, template + f"issue number {i} case") for i in range(40)]
+    rows += [(100 + i, f"unrelated document {i} with its own opening line") for i in range(5)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def pairset(salt_cap):
+        return {
+            (r["id_a"], r["id_b"]): r["distance"]
+            for r in fuzzy_levenshtein_pairs(
+                docs, max_distance=12, salt_cap=salt_cap
+            ).collect()
+        }
+
+    plain, salted = pairset(None), pairset(8)
+    assert plain == salted
+    assert len(plain) > 0  # the template pairs are within 12 edits
+    # the 40-doc bucket splits into ceil(40/8)=5 groups of ≤8: the salted
+    # per-key build side is bounded at salt_cap even though f=40
+    assert len({(a, b) for a, b in plain if a < 40 and b < 40}) > 0
+
+
+def test_simhash_chunk_occupancy_at_sf01(spark):
+    """64-bit fingerprints must actually spread across the 16-bit chunk
+    space — the round-2 scale flag was 32-bit/8-bit chunks giving only 256
+    bucket values per chunk.  At sf0.1 (5k docs) the four chunk parts
+    together must occupy ≥4096 distinct (part, chunk) buckets."""
+    from hunger_games_glue_streaming_etl_spark.operators.dedup import (
+        SIMHASH_BITS,
+        _chunk_bounds,
+        simhash_fingerprints,
+    )
+
+    assert SIMHASH_BITS == 64
+    bounds = _chunk_bounds(SIMHASH_BITS, 4)
+    assert bounds == [(0, 16), (16, 16), (32, 16), (48, 16)]
+    docs = load_table(spark, "/root/testdata/sf0.1", "documents")
+    fp = simhash_fingerprints(docs)
+    chunks = fp.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).alias("part"),
+                        F.shiftrightunsigned("simhash", start)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("chunk"),
+                    )
+                    for p, (start, width) in enumerate(bounds)
+                ]
+            )
+        ).alias("pc")
+    ).select("pc.part", "pc.chunk")
+    occupancy = chunks.distinct().count()
+    assert occupancy >= 4096, f"only {occupancy} distinct (part, chunk) buckets"
+
+
 def test_lsh_ann_results_subset_of_exact_scores(spark):
     """ANN results must score identically to the exact path (same verify
     expression) and achieve reasonable recall on the bucketed subset."""
@@ -120,6 +185,51 @@ def test_ivf_ann_full_probe_equals_exact(spark):
     for vid, cos in part.items():
         if vid in exact_scores:
             assert cos == exact_scores[vid]
+
+
+def test_ivf_seeds_robust_to_sparse_string_ids(spark):
+    """IVF seeding must not assume dense 0-based ids: UUID-style string
+    keys (where ``id < k`` matches nothing) must still seed a working
+    index, cycling seeds when the table is smaller than n_centroids."""
+    from hunger_games_glue_streaming_etl_spark.operators.similarity import (
+        ivf_ann_topk,
+        ivf_build_centroids,
+    )
+
+    dim = 8
+    rows = [
+        (f"doc-{i * 7919 % 97:02x}-uuid", [float(i == j) for j in range(dim)])
+        for i in range(5)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    cents = ivf_build_centroids(emb, n_centroids=8, iterations=1)
+    assert len(cents) == 8 and all(len(c) == dim for c in cents)
+    out = ivf_ann_topk(
+        emb, rows[0][1], k=2, n_centroids=8, n_probe=8, centroids=cents
+    ).collect()
+    assert out[0]["vec_id"] == rows[0][0] and out[0]["cosine"] == 1.0
+
+
+def test_broadcast_probe_cached_and_bypassable(spark):
+    """The bounded broadcast-ceiling probe must run at most one job per
+    distinct plan per session (it regressed pair queries 2× when paid per
+    call), and a caller-supplied row count must skip the probe entirely."""
+    from hunger_games_glue_streaming_etl_spark.operators.similarity import (
+        _broadcast_probe_cache,
+        _fits_broadcast,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    _broadcast_probe_cache.clear()
+    assert _fits_broadcast(emb, 200_000, None)
+    assert len(_broadcast_probe_cache) == 1
+    assert _fits_broadcast(emb, 200_000, None)  # second call is a cache hit
+    assert len(_broadcast_probe_cache) == 1
+    assert not _fits_broadcast(emb, 10, None)  # over-ceiling probe says no
+    _broadcast_probe_cache.clear()
+    assert not _fits_broadcast(emb, 10, 11)  # known count: no probe, no entry
+    assert _fits_broadcast(emb, 10, 10)
+    assert len(_broadcast_probe_cache) == 0
 
 
 def test_pq_and_lsh_pairs_robust_to_sparse_ids_and_empty_input(spark):
