@@ -3,11 +3,28 @@ micro-batch Structured Streaming query to completion (file source over the
 events fixture → watermarked transform → memory sink) and returns the final
 result as a DataFrame.
 
-These are rows-only entries: streaming semantics (watermark cutoffs,
-incremental state) have no single-statement batch-SQL twin — the *batch*
-equivalents of the same windows live in ``plans.event_time`` with full
-oracles, and the late-data/ordering behavior is asserted in
-``tests/test_streaming_depth.py``.
+All six entries are HASH-CHECKED: the replay is fully deterministic (4
+event-id-quartile JSON batches × maxFilesPerTrigger=2 → exactly 2 triggers,
+monotone-but-jittered event time), so the memory sink's final content — the
+*finalized prefix* the watermark allows — is reproducible in closed-form
+batch SQL.  Each oracle models the replay explicitly:
+
+* watermark after the last trigger = max event time − delay, so append-mode
+  window/session entries keep groups with ``end ≤ final watermark``;
+* the watermark DURING trigger 2 is trigger 1's max − delay, so rows older
+  than that are dropped on arrival (late data) — the stream-stream oracles
+  admit rows per-trigger before joining, and the global watermark is the
+  MIN over both sides' watermark nodes (clicks and purchases track separate
+  maxima);
+* update-mode state emissions are one row per (key, trigger-with-data) with
+  running aggregates over all triggers ≤ t — expressible as a grouped join
+  on the trigger assignment (``FLOOR`` — DuckDB CAST rounds, Spark's cast
+  truncates).
+
+Live cross-batch semantics that no final-state SQL can see (state eviction
+timing, out-of-order arrival, null-emission lag) stay pinned in
+``tests/test_streaming_depth.py``; the batch twins of the same windows live
+in ``plans.event_time``.
 
 The stream is staged from the parquet fixture into JSON-lines batches so the
 run is deterministic and self-contained per invocation (fresh temp dirs, no
@@ -114,13 +131,67 @@ def _run_stream(
     return spark.table(qname)
 
 
-@register("streaming_tumbling_agg")
+# µs truncation identical to load_table's `ts div 1000` nanos read
+_TS = "CAST(ts AS TIMESTAMP)"
+
+# the staging's batch assignment (4 event-id quartiles; triggers read 2
+# files each) — FLOOR because Spark's cast-to-int truncates where DuckDB's
+# CAST rounds
+_EVENTS_WITH_TRIGGER = f"""
+    e AS (
+        SELECT event_id, user_id, event_type, value, {_TS} AS ts,
+               CASE WHEN CAST(FLOOR(event_id * 4.0 /
+                         (SELECT MAX(event_id) + 1 FROM events)) AS INT) + 1 <= 2
+                    THEN 1 ELSE 2 END AS trg
+        FROM events
+    )
+"""
+
+# the stream-stream entries share one admission + match model: per-side
+# watermark nodes track clicks/purchases maxima separately, the global
+# watermark is their MIN, and trigger-2 rows older than trigger-1's
+# watermark are dropped on arrival (observed: a 2.9 h event-time jitter in
+# the fixture makes exactly this case real)
+_JOIN_ADMISSION = f"""
+    WITH {_EVENTS_WITH_TRIGGER},
+    c0 AS (SELECT * FROM e WHERE event_type = 'click'),
+    p0 AS (SELECT * FROM e WHERE event_type = 'purchase'),
+    wm2 AS (SELECT LEAST((SELECT MAX(ts) FROM c0 WHERE trg = 1),
+                         (SELECT MAX(ts) FROM p0 WHERE trg = 1))
+                   - INTERVAL 1 HOUR AS w),
+    wmf AS (SELECT LEAST((SELECT MAX(ts) FROM c0),
+                         (SELECT MAX(ts) FROM p0)) - INTERVAL 1 HOUR AS w),
+    c AS (SELECT * FROM c0 WHERE trg = 1 OR ts >= (SELECT w FROM wm2)),
+    p AS (SELECT * FROM p0 WHERE trg = 1 OR ts >= (SELECT w FROM wm2)),
+    matched AS (
+        SELECT c.event_id, p.event_id AS p_event_id, c.user_id
+        FROM c JOIN p ON c.user_id = p.user_id
+         AND p.ts <= c.ts AND p.ts >= c.ts - INTERVAL 2 HOUR
+    )
+"""
+
+
+@register(
+    "streaming_tumbling_agg",
+    oracle=f"""
+    WITH e AS (SELECT event_type, value, {_TS} AS ts FROM events),
+    wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM e)
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM e GROUP BY 1, 2, 3
+    HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+    """,
+)
 def streaming_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference category A5/A11 generalized: unbounded source → event-time
     tumbling window agg under a watermark, driven through real micro-batches.
-    Append mode emits only watermark-finalized windows — the late tail stays
-    open, so the result is a prefix of the batch twin
-    (``tumbling_window_agg``)."""
+    Append mode emits only watermark-finalized windows (end ≤ max event time
+    − 10 min after the last trigger) — the late tail stays open, so the
+    result is the finalized prefix of the batch twin
+    (``tumbling_window_agg``), which the oracle reproduces exactly."""
     src = _stage_events_stream(spark, sf_dir)
     stream = spark.readStream.schema(EVENTS_SCHEMA).option(
         "maxFilesPerTrigger", "2"
@@ -130,10 +201,17 @@ def streaming_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("streaming_keyed_dedup")
+@register(
+    "streaming_keyed_dedup",
+    oracle="SELECT event_id, user_id, event_type FROM events",
+)
 def streaming_keyed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked dropDuplicates over the replayed stream (bounded keyed
-    state) — the streaming form of exact dedup."""
+    state) — the streaming form of exact dedup.  The fixture's event_ids
+    are unique and the replay is monotone enough that nothing is dropped
+    late, so the finalized output is exactly one row per event — which the
+    oracle states directly (the *semantics* — 3 copies → 1, watermark
+    re-admission — are pinned in tests/test_streaming_depth.py)."""
     src = _stage_events_stream(spark, sf_dir)
     stream = spark.readStream.schema(EVENTS_SCHEMA).option(
         "maxFilesPerTrigger", "2"
@@ -170,22 +248,45 @@ def _clicks_purchases_join(spark: SparkSession, sf_dir: str, how: str) -> DataFr
     ).select("event_id", "p_event_id", F.col("__l.user_id").alias("user_id"))
 
 
-@register("streaming_stream_stream_join")
+@register(
+    "streaming_stream_stream_join",
+    oracle=_JOIN_ADMISSION + "SELECT event_id, p_event_id, user_id FROM matched",
+)
 def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream equi-join with event-time bounds, driven through real
     micro-batches: clicks ⋈ purchases per user, purchase at-or-before the
-    click within 2 hours.  Both sides buffer watermarked state; rows-only
-    check (cross-batch buffering semantics are asserted in
-    tests/test_streaming_depth.py, incl. out-of-order arrival)."""
+    click within 2 hours.  Matched pairs emit as both sides arrive, so the
+    finalized output is the batch join over the per-trigger-admitted rows —
+    the oracle's admission model (cross-batch buffering semantics are
+    asserted in tests/test_streaming_depth.py, incl. out-of-order
+    arrival)."""
     return _run_stream(spark, _clicks_purchases_join(spark, sf_dir, "inner"), "ssjoin")
 
 
-@register("streaming_running_state")
+@register(
+    "streaming_running_state",
+    oracle=f"""
+    WITH {_EVENTS_WITH_TRIGGER},
+    pts AS (SELECT DISTINCT user_id, trg FROM e),
+    runs AS (
+        SELECT p.user_id, p.trg,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(t.value), 2) AS total_value,
+               MAX(t.value) AS max_value
+        FROM pts p JOIN e t ON t.user_id = p.user_id AND t.trg <= p.trg
+        GROUP BY p.user_id, p.trg
+    )
+    SELECT user_id, n_events, total_value, max_value FROM runs
+    """,
+)
 def streaming_running_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary stateful processing (applyInPandasWithState): per-user
     running (count, sum, max) maintained across the replayed micro-batches;
-    update-mode emissions land in the memory sink.  Rows-only check; state
-    persistence across batches is asserted in tests/test_streaming_depth.py."""
+    update-mode emissions land in the memory sink — one row per (user,
+    trigger-with-data) carrying the running aggregate over every trigger so
+    far, which the oracle reproduces from the deterministic trigger
+    assignment.  Live state persistence across batches is asserted in
+    tests/test_streaming_depth.py."""
     from ..streaming.ops import running_user_state
 
     src = _stage_events_stream(spark, sf_dir)
@@ -195,12 +296,40 @@ def streaming_running_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream(spark, running_user_state(stream), "runstate", output_mode="update")
 
 
-@register("streaming_session_window")
+@register(
+    "streaming_session_window",
+    oracle=f"""
+    WITH e AS (SELECT event_id, user_id, value, {_TS} AS ts FROM events),
+    wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM e),
+    gaps AS (
+        SELECT user_id, ts, value,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id)
+                         > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM e
+    ), sess AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+        FROM gaps
+    )
+    SELECT MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS session_value
+    FROM sess GROUP BY user_id, sid
+    HAVING MAX(ts) + INTERVAL 30 MINUTE <= (SELECT w FROM wm)
+    """,
+)
 def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows under a watermark (gap-close semantics) through real
     micro-batches — the streaming twin of ``sessionize_batch``.  Append
-    mode emits sessions the watermark has closed; merging/extension across
-    batches is asserted in tests/test_streaming_depth.py."""
+    mode emits sessions the watermark has closed (session end = last event
+    + 30-min gap ≤ final watermark) — the finalized prefix the oracle
+    rebuilds via lag/gap/cumsum; merging/extension across batches is
+    asserted in tests/test_streaming_depth.py."""
     from ..streaming.ops import sessionize_stream
 
     src = _stage_events_stream(spark, sf_dir)
@@ -212,13 +341,26 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("streaming_left_outer_join")
+@register(
+    "streaming_left_outer_join",
+    oracle=_JOIN_ADMISSION
+    + """
+    SELECT event_id, p_event_id, user_id FROM matched
+    UNION ALL
+    SELECT c.event_id, NULL AS p_event_id, c.user_id FROM c
+    WHERE c.event_id NOT IN (SELECT event_id FROM matched)
+      AND c.ts <= (SELECT w FROM wmf)
+    """,
+)
 def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-outer stream-stream join: clicks with their matching purchase
     where one exists, null-padded once the watermark PROVES no match can
-    arrive (null emission is driven by state eviction, not arrival).  The
-    distinct capability vs the inner form; expiry semantics are asserted
-    in tests/test_streaming_depth.py."""
+    arrive (null emission is driven by state eviction, not arrival — the
+    final no-data batch evicts with the final watermark, so nulls appear
+    exactly for admitted unmatched clicks at-or-below it, which the oracle
+    states; late-admission matters here — a click dropped on arrival never
+    null-pads).  Expiry semantics are asserted in
+    tests/test_streaming_depth.py."""
     return _run_stream(
         spark, _clicks_purchases_join(spark, sf_dir, "left_outer"), "ssleftjoin"
     )
