@@ -1,0 +1,34 @@
+"""Session-scoped tracking of persisted intermediates.
+
+Operators pin intermediates (``.persist()``) to avoid recomputing
+expensive stages that feed multiple consumers (self-joins, hot-shingle
+corrections, winnowing barriers).  A pinned frame can't be unpersisted
+inside the operator — the caller hasn't materialized the result yet — so
+an untracked ``persist`` leaks: across a 90+-query contract run on the
+driver's default-1g heap, cached blocks accumulate until LRU eviction
+(ADVICE r2).
+
+``pin`` persists AND records the frame; ``release_pins`` drops every
+recorded pin.  The query registry calls ``release_pins`` at the start of
+each registered query, so each query's intermediates live exactly until
+the next query begins (the driver materializes results between calls).
+Unpersisting is always correctness-safe — a released frame recomputes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_PINNED: list[DataFrame] = []
+
+
+def pin(df: DataFrame) -> DataFrame:
+    """Persist ``df`` and track it for the next ``release_pins``."""
+    _PINNED.append(df.persist())
+    return df
+
+
+def release_pins() -> None:
+    """Unpersist every tracked intermediate (non-blocking)."""
+    while _PINNED:
+        _PINNED.pop().unpersist()

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import pin
 from ..functions.text import (
     normalized_text,
     portable_hash64,
@@ -149,7 +150,7 @@ def minhash_lsh_pairs(
     """
     # persist: both sides of the self-join (and nothing upstream) read the
     # computed buckets — without it the signature aggregation runs twice
-    buckets = minhash_band_buckets(docs, text_col, id_col, num_hashes, bands, k).persist()
+    buckets = pin(minhash_band_buckets(docs, text_col, id_col, num_hashes, bands, k))
     a = buckets.select(F.col(id_col).alias("id_a"), "band", "band_hash")
     b = buckets.select(F.col(id_col).alias("id_b"), "band", "band_hash")
     candidates = (
@@ -187,8 +188,8 @@ def ngram_jaccard_pairs(
     is a missed pair whose every shared shingle is hotter than the cap,
     which at any useful threshold is a pair dominated by boilerplate.
     """
-    # persist: the exploded shingles feed both self-join sides + the sizes agg
-    sh = shingle_sets(docs, text_col, id_col, k).persist()
+    # pin: the exploded shingles feed both self-join sides + the sizes agg
+    sh = pin(shingle_sets(docs, text_col, id_col, k))
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     if df_cap is not None:
         from pyspark.sql import Window
@@ -208,8 +209,9 @@ def ngram_jaccard_pairs(
             .filter(F.col("id_a") < F.col("id_b"))
             .groupBy("id_a", "id_b")
             .agg(F.count("*").alias("__shared_rare"))
-            .persist()  # feeds both the hot correction and the final merge
         )
+        # pin: feeds both the hot correction and the final merge
+        shared_rare = pin(shared_rare)
         # exact correction: add each candidate pair's hot-shingle overlap
         # (hot shingles per doc are few, candidates are few — tiny joins;
         # with no hot shingles this arm is an empty-relation no-op)
@@ -251,7 +253,7 @@ def _jaccard_verify_candidates(
     shingles to each candidate (broadcast the pairs), then count matches
     against id_b's shingle set.  Work scales with |candidates| × shingles
     per doc — never with the full pair space."""
-    sh = shingle_sets(docs, text_col, id_col, k).persist()
+    sh = pin(shingle_sets(docs, text_col, id_col, k))
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     cand_shingles = F.broadcast(candidates).join(
         sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a"
@@ -414,9 +416,9 @@ def simhash_near_pairs(
     ~n/256 with the old 32-bit/8-bit-chunk layout whose candidate volume
     re-approached n² (the round-2 scale flag)."""
     n_chunks = max_hamming + 1
-    # persist: the fingerprint aggregation feeds both self-join sides
+    # pin: the fingerprint aggregation feeds both self-join sides
     # (measured 3.4× at sf0.1 — n_docs rows of (id, long), tiny to cache)
-    fp = simhash_fingerprints(docs, text_col, id_col).persist()
+    fp = pin(simhash_fingerprints(docs, text_col, id_col))
     chunks = F.array(
         *[
             F.struct(

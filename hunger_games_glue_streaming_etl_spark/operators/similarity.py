@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import pin
+
 
 def dot(a: Column | str, b: Column | str) -> Column:
     """Dot product of two float-array columns, JVM-side.
@@ -184,7 +186,8 @@ def lsh_bucket_pairs(
         F.col(id_col),
         dbl.alias("__v"),
         lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
-    ).persist()
+    )
+    base = pin(base)
     masks = _hamming_ball_masks(n_planes, probe_radius)
     probes = base.select(
         F.col(id_col).alias("id_a"),
@@ -243,7 +246,8 @@ def embedding_pairs_exact_tiled(
         F.collect_list(F.struct(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))).alias(
             "rows"
         )
-    ).persist()
+    )
+    packed = pin(packed)
     cells = (
         packed.select(F.col("__g").alias("ga"), F.col("rows").alias("rows_a"))
         .crossJoin(packed.select(F.col("__g").alias("gb"), F.col("rows").alias("rows_b")))

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import pin
 from ..functions.text import quality_score
 from ..operators.dedup import exact_dedup_groups, ngram_jaccard_pairs
 from ..sources.batch import load_table
@@ -93,12 +94,12 @@ def clean_corpus(docs: DataFrame) -> DataFrame:
     # canonical join, and the survivor join — without pinning it the
     # regex-heavy quality expression re-runs per consumer (27 scans of
     # the parquet observed in the unpinned plan)
-    passing = docs.filter(quality_score("text") >= _QUALITY_THRESHOLD).persist()
+    passing = pin(docs.filter(quality_score("text") >= _QUALITY_THRESHOLD))
     groups = exact_dedup_groups(passing)
     canonical_ids = groups.filter(F.col("doc_id") == F.col("canonical_id")).select(
         "doc_id"
     )
-    survivors = passing.join(canonical_ids, "doc_id").persist()
+    survivors = pin(passing.join(canonical_ids, "doc_id"))
     near_dropped = (
         ngram_jaccard_pairs(
             survivors, jaccard_threshold=_JACCARD_THRESHOLD, df_cap=64

@@ -16,9 +16,12 @@ Conventions that keep the oracle comparison exact:
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+from ..caching import release_pins
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -33,7 +36,16 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
-        QUERIES[name] = fn
+
+        # each query releases the PREVIOUS query's pinned intermediates
+        # (the caller has materialized that result by now), so cached
+        # blocks never accumulate across a 90+-query contract run
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            release_pins()
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLE[name] = oracle
         return fn

@@ -19,6 +19,7 @@ from ..functions.text import (
     token_count,
     tokens,
 )
+from ..caching import pin
 from ..sources.batch import load_table
 from .registry import register
 
@@ -249,10 +250,10 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    tokenized = docs.select("doc_id", tokens("text").alias("__w")).persist()
-    hashed = tokenized.select(
-        "doc_id", winnowing_gram_hashes(F.col("__w")).alias("__hs")
-    ).persist()
+    tokenized = pin(docs.select("doc_id", tokens("text").alias("__w")))
+    hashed = pin(
+        tokenized.select("doc_id", winnowing_gram_hashes(F.col("__w")).alias("__hs"))
+    )
     return hashed.select(
         "doc_id",
         F.explode(winnowing_window_minima(F.col("__hs"))).alias("fingerprint"),

@@ -93,7 +93,28 @@ class ParquetLatestSink:
         with open(os.path.join(path, "_n_buckets"), "w") as f:
             f.write(str(self.n_buckets))
 
+    def _recover_interrupted_migration(self) -> None:
+        """Complete or roll back a legacy-layout migration that crashed
+        mid-swap.  The swap is two renames (path→old, tmp→path); a crash
+        between them leaves no live dir at ``path``, which ``_layout``
+        would read as 'absent' — the next upsert would then write only its
+        own batch, silently dropping the old view.  ``tmp`` is complete
+        iff its ``_n_buckets`` marker exists (written last)."""
+        tmp, old = self.path + ".tmp", self.path + ".old"
+        if not os.path.isdir(self.path):
+            if os.path.isfile(os.path.join(tmp, "_n_buckets")):
+                os.rename(tmp, self.path)  # swap half done: complete it
+            elif os.path.isdir(old):
+                os.rename(old, self.path)  # tmp unusable: roll back
+        # any remaining tmp/old next to a live dir is stale (crash before
+        # the first rename, or after the second) — a fresh migration
+        # rebuilds tmp from scratch anyway
+        for leftover in (tmp, old):
+            if os.path.isdir(self.path) and os.path.isdir(leftover):
+                shutil.rmtree(leftover)
+
     def upsert(self, batch_df: DataFrame) -> None:
+        self._recover_interrupted_migration()
         # persist: the batch's latest view feeds both the touched-bucket
         # collect and the merge write — one window pass, not two
         latest = latest_per_key(batch_df, self.keys, self.seq_cols).withColumn(

@@ -111,7 +111,15 @@ def read_kafka_stream(
     try:
         raw = reader.load()
     except Exception as e:  # connector jar absent in minimal installs
-        if "kafka" in str(e).lower():
+        # match ONLY the missing-connector signature — a bad bootstrap
+        # server, auth failure, etc. also mention "kafka" and must surface
+        # with their real cause, not a misleading install hint
+        msg = str(e)
+        if (
+            "Failed to find data source: kafka" in msg
+            or "DATA_SOURCE_NOT_FOUND" in msg
+            or ("ClassNotFoundException" in msg and "kafka" in msg.lower())
+        ):
             raise RuntimeError(
                 "Kafka source requires the spark-sql-kafka-0-10 connector "
                 "(run with --packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>)"

@@ -427,3 +427,20 @@ def test_tiled_exact_pairs_bitwise_equal_and_no_driver_collect(spark):
         for r in embedding_pairs_exact_blocked(emb, max_broadcast_rows=10).collect()
     }
     assert routed == fast
+
+
+def test_shingle_df_stays_below_cap_at_fixture_scale(spark):
+    """``dedup_ngram_jaccard_pairs`` and ``curation_clean_corpus`` run with
+    ``df_cap=64`` but are hash-checked against the UNCAPPED-exact oracle;
+    equality is exact-by-construction only while no shingle's document
+    frequency reaches the cap (a capped-out shingle can only hide a pair
+    whose EVERY shared shingle is hot).  Pin that coupling: a fixture or
+    sf change that pushes DF past the cap must fail loudly here, not
+    mysteriously at the correctness gate.  (ADVICE r2: max DF was 25.)"""
+    from hunger_games_glue_streaming_etl_spark.operators.dedup import shingle_sets
+
+    for sf_dir in ("/root/testdata/sf0.001", SF_DIR):
+        docs = load_table(spark, sf_dir, "documents")
+        sh = shingle_sets(docs, "text", "doc_id", 3)
+        max_df = sh.groupBy("shingle").count().agg(F.max("count")).first()[0]
+        assert max_df < 64, f"{sf_dir}: hottest shingle DF {max_df} >= cap 64"

@@ -144,3 +144,50 @@ def test_upsert_multi_column_keys(spark, tmp_path):
     ))
     st = {(r["k1"], r["k2"]): r["v"] for r in sink.read().collect()}
     assert st == {("a", 1): "x2", ("a", 2): "y"}
+
+
+def test_upsert_recovers_interrupted_migration(spark, tmp_path):
+    """The legacy-layout migration swaps via rename(path->old) then
+    rename(tmp->path); a crash between them leaves NO live dir at path.
+    The next upsert must complete (or roll back) the interrupted swap
+    before merging — never treat the state as 'absent' and silently drop
+    the old view (ADVICE r2)."""
+    import shutil
+
+    schema = "k string, seq long, v string"
+
+    def fresh(path):
+        sink = ParquetLatestSink(spark, path, keys="k", seq_cols="seq")
+        sink.upsert(spark.createDataFrame([("a", 1, "a1"), ("b", 1, "b1")], schema))
+        return sink
+
+    # 1. crash BETWEEN the renames, tmp complete: path gone, tmp has the
+    #    merged view (with marker), old holds the pre-migration data
+    p1 = str(tmp_path / "between")
+    sink = fresh(p1)
+    shutil.copytree(p1, p1 + ".tmp")   # stands in for the merged rewrite
+    os.rename(p1, p1 + ".old")
+    sink.upsert(spark.createDataFrame([("c", 1, "c1")], schema))
+    st = {r["k"]: r["v"] for r in sink.read().collect()}
+    assert st == {"a": "a1", "b": "b1", "c": "c1"}
+    assert not os.path.exists(p1 + ".tmp") and not os.path.exists(p1 + ".old")
+
+    # 2. crash DURING the tmp write (no marker): tmp is garbage, old has
+    #    the view -> roll back to old
+    p2 = str(tmp_path / "partial")
+    sink = fresh(p2)
+    os.rename(p2, p2 + ".old")
+    os.makedirs(p2 + ".tmp")           # partial write: no _n_buckets marker
+    sink.upsert(spark.createDataFrame([("c", 1, "c1")], schema))
+    st = {r["k"]: r["v"] for r in sink.read().collect()}
+    assert st == {"a": "a1", "b": "b1", "c": "c1"}
+
+    # 3. crash AFTER the swap, before cleanup: live dir plus stale old/tmp
+    p3 = str(tmp_path / "stale")
+    sink = fresh(p3)
+    shutil.copytree(p3, p3 + ".old")
+    os.makedirs(p3 + ".tmp")
+    sink.upsert(spark.createDataFrame([("c", 1, "c1")], schema))
+    st = {r["k"]: r["v"] for r in sink.read().collect()}
+    assert st == {"a": "a1", "b": "b1", "c": "c1"}
+    assert not os.path.exists(p3 + ".tmp") and not os.path.exists(p3 + ".old")
