@@ -6,7 +6,9 @@ oracle would have to duplicate the Spark plan)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from ..caching import pin
 from ..operators.similarity import (
     cosine_topk,
     embedding_pairs_blas,
@@ -173,6 +175,84 @@ def sim_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, _query_vec(spark, sf_dir), k=_K, refine=4,
         codebooks=_pq_codebook_cache[sf_dir],
     )
+
+
+_RECALL_ORACLE = f"""
+    SELECT a.vec_id,
+           ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(q.embedding AS DOUBLE[])), 6) AS cosine,
+           TRUE AS recall_ok
+    FROM embeddings a
+    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}) q
+    ORDER BY cosine DESC, a.vec_id
+    LIMIT {_K}
+    """
+
+
+def _recall_check(
+    spark: SparkSession, sf_dir: str, approx: DataFrame, floor_hits: int
+) -> DataFrame:
+    """Exact top-k rows plus a pinned ``recall_ok`` boolean: the hash gate
+    re-checks the brute-force values AND that the approximate index found
+    at least ``floor_hits`` of them (same tolerance-band trick as
+    ``agg_approx_distinct_error`` — the raw approximate result can never be
+    oracle-identical because the Lloyd centroid averages are summation-order
+    dependent, but recall@k is an integer robust to that jitter: measured
+    9/10 (IVF) and 8/10 (PQ) across rebuild trials at sf0.001 AND sf0.01)."""
+    exact = pin(
+        cosine_topk(
+            load_table(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=_K
+        )
+    )
+    hits = (
+        exact.select("vec_id")
+        .join(approx.select("vec_id"), "vec_id")
+        .agg(F.count("*").alias("__hits"))
+    )
+    return exact.crossJoin(F.broadcast(hits)).select(
+        "vec_id", "cosine", (F.col("__hits") >= floor_hits).alias("recall_ok")
+    )
+
+
+@register("sim_ivf_recall_check", oracle=_RECALL_ORACLE)
+def sim_ivf_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked companion to ``sim_ivf_ann_topk``: probing 2 of 8 IVF
+    cells must recall ≥5 of the exact top-10 (measured 9, stable across
+    centroid rebuilds).  Upgrades the partial-probe path from rows-only to
+    a value check without oracling the nondeterministic centroids."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    if sf_dir not in _ivf_centroid_cache:
+        from ..operators.similarity import ivf_build_centroids
+
+        _ivf_centroid_cache[sf_dir] = ivf_build_centroids(
+            emb, n_centroids=8, iterations=1
+        )
+    approx = ivf_ann_topk(
+        emb,
+        _query_vec(spark, sf_dir),
+        k=_K,
+        n_centroids=8,
+        n_probe=2,
+        centroids=_ivf_centroid_cache[sf_dir],
+    )
+    return _recall_check(spark, sf_dir, approx, floor_hits=_K // 2)
+
+
+@register("sim_pq_recall_check", oracle=_RECALL_ORACLE)
+def sim_pq_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked companion to ``sim_pq_ann_topk``: the LUT scan with
+    refine=4 re-rank must recall ≥5 of the exact top-10 (measured 8,
+    stable across codebook rebuilds)."""
+    from ..operators.similarity import pq_ann_topk, pq_build_codebooks
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    if sf_dir not in _pq_codebook_cache:
+        _pq_codebook_cache[sf_dir] = pq_build_codebooks(emb)
+    approx = pq_ann_topk(
+        emb, _query_vec(spark, sf_dir), k=_K, refine=4,
+        codebooks=_pq_codebook_cache[sf_dir],
+    )
+    return _recall_check(spark, sf_dir, approx, floor_hits=_K // 2)
 
 
 def _bucket_stats_oracle() -> str:
