@@ -38,17 +38,109 @@ class CodecUnavailable(NotImplementedError):
     """Raised by real codecs that need libraries absent from this image."""
 
 
-def decode_image(payload: bytes) -> "object":
-    raise CodecUnavailable(
-        "real image decode requires Pillow/opencv (not in this container); "
-        "use fake_decode_features for deterministic pipeline tests"
-    )
+def encode_pgm(width: int, height: int, pixels: bytes) -> bytes:
+    """Serialize a binary PGM (P5, 8-bit grayscale) image — stdlib-only
+    encoder used to plant real image fixtures."""
+    if len(pixels) != width * height:
+        raise ValueError(f"need {width * height} pixels, got {len(pixels)}")
+    return b"P5\n%d %d\n255\n" % (width, height) + pixels
 
 
-def decode_audio(payload: bytes) -> "object":
-    raise CodecUnavailable(
-        "real audio decode requires soundfile/librosa (not in this container)"
-    )
+def encode_wav(sample_rate: int, samples: "list[int]") -> bytes:
+    """Serialize a mono 16-bit PCM WAV — stdlib-only encoder used to plant
+    real audio fixtures."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(struct.pack("<%dh" % len(samples), *samples))
+    return buf.getvalue()
+
+
+def decode_image(payload: bytes) -> dict:
+    """Real image decode — pure-stdlib binary PGM/PPM (P5/P6) parser.
+
+    Returns ``{"width", "height", "maxval", "n_channels", "pixel_sum"}``;
+    ``pixel_sum`` is the integer sum of all sample bytes (exact — no float
+    in the decode path).  Any other format (JPEG/PNG/...) still raises
+    ``CodecUnavailable``: those need Pillow/opencv, absent here."""
+    magic = payload[:2]
+    if magic not in (b"P5", b"P6"):
+        raise CodecUnavailable(
+            "real image decode implemented for binary PGM/PPM (P5/P6) only; "
+            "JPEG/PNG need Pillow/opencv (not in this container)"
+        )
+    # header = magic + 3 ASCII ints separated by whitespace/comments, then
+    # exactly one whitespace byte before the raster
+    pos, fields = 2, []
+    while len(fields) < 3:
+        if pos >= len(payload):
+            raise CodecUnavailable("truncated PNM header")
+        c = payload[pos : pos + 1]
+        if c == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        elif c.isdigit():
+            start = pos
+            while pos < len(payload) and payload[pos : pos + 1].isdigit():
+                pos += 1
+            fields.append(int(payload[start:pos]))
+        else:
+            raise CodecUnavailable(f"malformed PNM header byte {c!r}")
+    width, height, maxval = fields
+    if maxval > 255:
+        raise CodecUnavailable("16-bit PNM not supported")
+    pos += 1  # the single whitespace after maxval
+    n_channels = 3 if magic == b"P6" else 1
+    n = width * height * n_channels
+    raster = payload[pos : pos + n]
+    if len(raster) != n:
+        raise CodecUnavailable(f"PNM raster truncated: want {n}, got {len(raster)}")
+    return {
+        "width": width,
+        "height": height,
+        "maxval": maxval,
+        "n_channels": n_channels,
+        "pixel_sum": sum(raster),
+    }
+
+
+def decode_audio(payload: bytes) -> dict:
+    """Real audio decode — stdlib ``wave`` for 16-bit PCM WAV.
+
+    Returns ``{"sample_rate", "n_channels", "n_frames", "sample_sum"}``;
+    ``sample_sum`` is the exact integer sum of all int16 samples.  Other
+    containers/codecs raise ``CodecUnavailable`` (need soundfile/librosa)."""
+    import io
+    import struct
+    import wave
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise CodecUnavailable(
+            "real audio decode implemented for PCM WAV only; other codecs "
+            "need soundfile/librosa (not in this container)"
+        )
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            if w.getsampwidth() != 2:
+                raise CodecUnavailable("only 16-bit PCM WAV supported")
+            frames = w.readframes(w.getnframes())
+            samples = struct.unpack("<%dh" % (len(frames) // 2), frames)
+            return {
+                "sample_rate": w.getframerate(),
+                "n_channels": w.getnchannels(),
+                "n_frames": w.getnframes(),
+                "sample_sum": sum(samples),
+            }
+    except wave.Error as e:
+        raise CodecUnavailable(f"malformed WAV: {e}") from e
 
 
 def fake_decode_features(payload: bytes) -> tuple[float, float, float]:
@@ -96,6 +188,46 @@ def extract_media_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(per_batch, schema=FEATURE_SCHEMA)
+
+
+REAL_FEATURE_SCHEMA = (
+    "media_id long, kind string, width int, height int, "
+    "sample_rate int, n_frames long, value_sum long"
+)
+
+
+def extract_real_media_features(media: DataFrame) -> DataFrame:
+    """``mapInPandas`` feature extraction through the REAL codecs: binary
+    PGM/PPM payloads go through ``decode_image`` (header parse + raster
+    sum), PCM WAV through ``decode_audio`` (stdlib ``wave`` + int16
+    unpack).  ``value_sum`` is the exact integer pixel/sample sum, so the
+    features are engine-portable (no float in the decode path).  Same
+    scale rules as the fake-codec path: payload never shuffles, one Arrow
+    pass, payload projected away at extraction."""
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [], "kind": [], "width": [], "height": [],
+                "sample_rate": [], "n_frames": [], "value_sum": [],
+            }
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                if kind == "image":
+                    d = decode_image(raw)
+                    row = (d["width"], d["height"], None, None, d["pixel_sum"])
+                elif kind == "audio":
+                    d = decode_audio(raw)
+                    row = (None, None, d["sample_rate"], d["n_frames"], d["sample_sum"])
+                else:
+                    raise CodecUnavailable(f"no real codec for kind={kind!r}")
+                out["media_id"].append(mid)
+                out["kind"].append(kind)
+                for col, v in zip(("width", "height", "sample_rate", "n_frames", "value_sum"), row):
+                    out[col].append(v)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(per_batch, schema=REAL_FEATURE_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:

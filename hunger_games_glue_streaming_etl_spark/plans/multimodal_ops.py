@@ -22,6 +22,72 @@ from .registry import register
 
 
 @register(
+    "multimodal_real_codec_features",
+    oracle="""
+    WITH px AS (
+        SELECT n_nationkey,
+               SUM((n_nationkey * 31 + i * 7) % 256) AS s
+        FROM nation, range(0, 64) t(i)
+        GROUP BY n_nationkey
+    ), au AS (
+        SELECT n_nationkey,
+               SUM(((n_nationkey * 13 + i * 5) % 401) - 200) AS s
+        FROM nation, range(0, 100) t(i)
+        GROUP BY n_nationkey
+    )
+    SELECT CAST(n_nationkey AS BIGINT) AS media_id, 'image' AS kind,
+           8 AS width, 8 AS height,
+           CAST(NULL AS INTEGER) AS sample_rate, CAST(NULL AS BIGINT) AS n_frames,
+           CAST(s AS BIGINT) AS value_sum
+    FROM px
+    UNION ALL
+    SELECT CAST(n_nationkey + 100 AS BIGINT), 'audio',
+           NULL, NULL, 8000, 100, CAST(s AS BIGINT)
+    FROM au
+    """,
+)
+def multimodal_real_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec path, end to end: per nation, serialize an 8×8 binary PGM
+    (pixel i = ``(key*31 + i*7) % 256``) and a 100-sample PCM WAV (sample i
+    = ``((key*13 + i*5) % 401) - 200``) with the stdlib encoders, then
+    decode them back through ``decode_image``/``decode_audio`` (header
+    parse + raster/int16 sum — no fake codec anywhere in this plan).  The
+    decoded dimensions and exact integer pixel/sample sums are reproduced
+    arithmetically by the oracle, so the whole encode→binary→decode loop
+    is value-hash-checked."""
+    from ..operators.multimodal import (
+        encode_pgm,
+        encode_wav,
+        extract_real_media_features,
+    )
+
+    def plant(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"media_id": [], "kind": [], "payload": []}
+            for key in pdf["n_nationkey"]:
+                k = int(key)
+                out["media_id"].append(k)
+                out["kind"].append("image")
+                out["payload"].append(
+                    encode_pgm(8, 8, bytes((k * 31 + i * 7) % 256 for i in range(64)))
+                )
+                out["media_id"].append(k + 100)
+                out["kind"].append("audio")
+                out["payload"].append(
+                    encode_wav(8000, [((k * 13 + i * 5) % 401) - 200 for i in range(100)])
+                )
+            yield pd.DataFrame(out)
+
+    nation = load_table(spark, sf_dir, "nation")
+    media = nation.select("n_nationkey").mapInPandas(
+        plant, schema="media_id long, kind string, payload binary"
+    )
+    return extract_real_media_features(media)
+
+
+@register(
     "multimodal_binary_features",
     oracle="""
     SELECT doc_id AS media_id,

@@ -10,8 +10,12 @@ import pytest
 
 from hunger_games_glue_streaming_etl_spark.operators.multimodal import (
     CodecUnavailable,
+    decode_audio,
     decode_image,
+    encode_pgm,
+    encode_wav,
     extract_media_features,
+    extract_real_media_features,
     fake_decode_features,
     frame_sample_plan,
 )
@@ -54,6 +58,54 @@ def test_frame_sample_plan(spark):
     assert sorted(by_media[3]) == [0, 1000, 2000]  # 3.5s at 1fps
 
 
-def test_real_codec_explicitly_unavailable():
+def test_unsupported_formats_explicitly_unavailable():
+    """Non-PNM images and non-WAV audio still raise CodecUnavailable —
+    the real stdlib codecs cover exactly PGM/PPM and PCM WAV."""
     with pytest.raises(CodecUnavailable):
-        decode_image(b"anything")
+        decode_image(b"\x89PNG\r\n\x1a\n...")
+    with pytest.raises(CodecUnavailable):
+        decode_audio(b"ID3\x04 mp3 frame data")
+    with pytest.raises(CodecUnavailable):
+        decode_image(b"P5\n4 4\n255\nshort")  # truncated raster
+    with pytest.raises(CodecUnavailable):
+        decode_audio(b"RIFF\x00\x00\x00\x00WAVEjunk")  # malformed chunks
+
+
+def test_pgm_codec_roundtrip_golden():
+    """encode_pgm → decode_image round-trip plus a hand-built golden header
+    with comments and odd whitespace."""
+    pixels = bytes(range(16))
+    d = decode_image(encode_pgm(4, 4, pixels))
+    assert d == {
+        "width": 4, "height": 4, "maxval": 255,
+        "n_channels": 1, "pixel_sum": sum(range(16)),
+    }
+    # hand-built P6 with a comment line: 2x1 RGB
+    golden = b"P6\n# planted comment\n 2 1\t255\n" + bytes([10, 20, 30, 40, 50, 60])
+    d6 = decode_image(golden)
+    assert (d6["width"], d6["height"], d6["n_channels"]) == (2, 1, 3)
+    assert d6["pixel_sum"] == 10 + 20 + 30 + 40 + 50 + 60
+
+
+def test_wav_codec_roundtrip_golden():
+    samples = [0, 100, -100, 32767, -32768, 5]
+    d = decode_audio(encode_wav(16000, samples))
+    assert d == {
+        "sample_rate": 16000, "n_channels": 1,
+        "n_frames": len(samples), "sample_sum": sum(samples),
+    }
+
+
+def test_real_feature_extraction_dispatch(spark):
+    """extract_real_media_features routes image rows through the PGM parser
+    and audio rows through the WAV parser in one mapInPandas pass."""
+    rows = [
+        (1, "image", encode_pgm(3, 2, bytes([1, 2, 3, 4, 5, 6]))),
+        (2, "audio", encode_wav(8000, [7, -3, 2])),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    out = {r["media_id"]: r.asDict() for r in extract_real_media_features(media).collect()}
+    assert out[1]["width"] == 3 and out[1]["height"] == 2
+    assert out[1]["value_sum"] == 21 and out[1]["sample_rate"] is None
+    assert out[2]["sample_rate"] == 8000 and out[2]["n_frames"] == 3
+    assert out[2]["value_sum"] == 6 and out[2]["width"] is None
