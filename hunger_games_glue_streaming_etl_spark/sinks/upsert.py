@@ -21,6 +21,15 @@ commit protocol, so readers never see a half-written bucket.
 Scale note: the merge shuffles on the key columns only; raise
 ``n_buckets`` with key cardinality so one bucket's rows fit an executor
 (buckets also bound AQE's coalesce floor for the post-merge output).
+
+**Exactly-once + CDC**: ``foreachBatch`` delivers at-least-once; the sink
+upgrades that to exactly-once with a per-epoch commit marker (skip fully
+committed epochs; replays of uncommitted epochs land on idempotent writes
+— last-writer-wins merge, epoch-dir-overwrite changelog).  With
+``track_changes=True`` each epoch also appends a CDC changelog
+(``__change_op`` insert/update/touch + new row values) under
+``changes_path``/epoch=N — the diff is computed against the touched
+buckets only, so changelog cost is O(batch) like the merge itself.
 """
 
 from __future__ import annotations
@@ -51,15 +60,22 @@ class ParquetLatestSink:
         keys: str | Sequence[str],
         seq_cols: str | Sequence[str],
         n_buckets: int = 16,
+        track_changes: bool = False,
     ) -> None:
         self.spark = spark
         self.path = path
         self.keys = [keys] if isinstance(keys, str) else list(keys)
         self.seq_cols = [seq_cols] if isinstance(seq_cols, str) else list(seq_cols)
         self.n_buckets = n_buckets
+        self.track_changes = track_changes
+
+    @property
+    def changes_path(self) -> str:
+        """CDC changelog root (``epoch=N`` subdirs, exactly-once)."""
+        return self.path + "_changes"
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
-        self.upsert(batch_df)
+        self.upsert(batch_df, epoch_id=epoch_id)
 
     def _bucket_expr(self):
         key = F.concat_ws("\x1f", *[F.col(k).cast("string") for k in self.keys])
@@ -113,8 +129,86 @@ class ParquetLatestSink:
             if os.path.isdir(self.path) and os.path.isdir(leftover):
                 shutil.rmtree(leftover)
 
-    def upsert(self, batch_df: DataFrame) -> None:
+    def _epoch_marker_path(self) -> str:
+        return os.path.join(self.path, "_last_epoch")
+
+    def _committed_epoch(self) -> int | None:
+        try:
+            with open(self._epoch_marker_path()) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return None
+
+    def _commit_epoch(self, epoch_id: int) -> None:
+        # write-then-rename: the marker is the COMMIT POINT — it appears
+        # only after the merge and changelog writes both finished, and
+        # never half-written
+        tmp = self._epoch_marker_path() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(epoch_id))
+        os.replace(tmp, self._epoch_marker_path())
+
+    def _emit_changes(
+        self, latest: DataFrame, current: DataFrame | None, epoch_id: int
+    ) -> None:
+        """Append this epoch's CDC rows (``__change_op`` ∈ insert/update/
+        touch + the new row values) to ``changes_path``/epoch=N.
+
+        The changelog write is exactly-once by the same mechanism as the
+        archive sink: a replayed epoch OVERWRITES its own ``epoch=N`` dir.
+        ``touch`` (new seq == stored seq) marks duplicate delivery or a
+        crash-replayed batch whose merge already applied — emitted so the
+        changelog stays complete under at-least-once upstream delivery;
+        consumers apply all three ops as idempotent upserts."""
+        if current is None:
+            changed = latest.withColumn("__change_op", F.lit("insert"))
+        else:
+            prior = current.select(
+                *[F.col(k) for k in self.keys],
+                *[
+                    F.col(s).alias(f"__prior_{s}")
+                    for s in self.seq_cols
+                ],
+            )
+            joined = latest.join(prior, self.keys, "left")
+            new_seq = F.struct(*[F.col(s) for s in self.seq_cols])
+            prior_seq = F.struct(
+                *[F.col(f"__prior_{s}") for s in self.seq_cols]
+            )
+            changed = (
+                joined.withColumn(
+                    "__change_op",
+                    F.when(
+                        F.col(f"__prior_{self.seq_cols[0]}").isNull(), "insert"
+                    )
+                    .when(new_seq > prior_seq, "update")
+                    .otherwise("touch"),
+                )
+                .drop(*[f"__prior_{s}" for s in self.seq_cols])
+            )
+        changed.drop(_BUCKET_COL).write.mode("overwrite").parquet(
+            f"{self.changes_path}/epoch={epoch_id}"
+        )
+
+    def read_changes(self) -> DataFrame:
+        """The full CDC changelog (all epochs; ``epoch`` is a partition
+        column, so consumers resume from a watermark with partition
+        pruning)."""
+        return self.spark.read.option("basePath", self.changes_path).parquet(
+            self.changes_path
+        )
+
+    def upsert(self, batch_df: DataFrame, epoch_id: int | None = None) -> None:
         self._recover_interrupted_migration()
+        # exactly-once epoch gate: foreachBatch redelivers a failed epoch;
+        # if the commit marker says this epoch already fully applied
+        # (merge + changelog), skip the whole batch.  A crash BEFORE the
+        # marker write replays into idempotent writes (merge is
+        # last-writer-wins, changelog overwrites its epoch dir)
+        if epoch_id is not None:
+            committed = self._committed_epoch()
+            if committed is not None and epoch_id <= committed:
+                return
         # persist: the batch's latest view feeds both the touched-bucket
         # collect and the merge write — one window pass, not two
         latest = latest_per_key(batch_df, self.keys, self.seq_cols).withColumn(
@@ -133,10 +227,18 @@ class ParquetLatestSink:
                 current = self.spark.read.parquet(self.path).filter(
                     F.col(_BUCKET_COL).isin(touched)
                 )
+                if self.track_changes and epoch_id is not None:
+                    # pin: the pre-merge state feeds both the changelog
+                    # diff and the merge union; without it the bucket read
+                    # races the dynamic overwrite below
+                    current = current.persist()
+                    self._emit_changes(latest, current, epoch_id)
                 merged = latest_per_key(
                     current.unionByName(latest), self.keys, self.seq_cols
                 )
                 self._write_bucketed(merged, self.path)
+                if self.track_changes and epoch_id is not None:
+                    current.unpersist()
             elif layout == "legacy":
                 # one-time migration: merge the ENTIRE old view into the
                 # bucketed layout and swap it in atomically (rename-aside)
@@ -145,6 +247,9 @@ class ParquetLatestSink:
                     .drop(_BUCKET_COL)
                     .withColumn(_BUCKET_COL, self._bucket_expr())
                 )
+                if self.track_changes and epoch_id is not None:
+                    current = current.persist()
+                    self._emit_changes(latest, current, epoch_id)
                 merged = latest_per_key(
                     current.unionByName(latest), self.keys, self.seq_cols
                 )
@@ -155,8 +260,14 @@ class ParquetLatestSink:
                 os.rename(self.path, old)
                 os.rename(tmp, self.path)
                 shutil.rmtree(old)
+                if self.track_changes and epoch_id is not None:
+                    current.unpersist()
             else:
+                if self.track_changes and epoch_id is not None:
+                    self._emit_changes(latest, None, epoch_id)
                 self._write_bucketed(latest, self.path)
+            if epoch_id is not None:
+                self._commit_epoch(epoch_id)
         finally:
             latest.unpersist()
 

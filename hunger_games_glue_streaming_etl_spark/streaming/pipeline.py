@@ -46,6 +46,7 @@ def start_tribute_stream(
     max_files_per_trigger: int = 1,
     available_now: bool = False,
     source: DataFrame | None = None,
+    track_changes: bool = False,
 ) -> tuple[StreamingQuery, ParquetLatestSink]:
     """Start the continuous tribute-status query; returns (query, latest sink).
 
@@ -53,6 +54,11 @@ def start_tribute_stream(
     currently in the source (respecting ``maxFilesPerTrigger`` batch sizing)
     and terminate — the idiomatic drain/backfill mode (vs. the default
     run-forever micro-batch trigger, reference A11).
+
+    ``track_changes=True`` makes the latest sink also emit an exactly-once
+    CDC changelog (insert/update/touch per key per epoch) under
+    ``latest_path + "_changes"`` — the seam for downstream incremental
+    consumers (SCD2 refresh, cache invalidation).
 
     ``source`` injects any unbounded DataFrame with the tribute stream
     schema in place of the default file stream — e.g.
@@ -65,7 +71,10 @@ def start_tribute_stream(
         join_dimensions(stream, tribute_dim.cache(), game_dim.cache())
     )
 
-    latest = ParquetLatestSink(spark, latest_path, keys="tributeId", seq_cols="seq")
+    latest = ParquetLatestSink(
+        spark, latest_path, keys="tributeId", seq_cols="seq",
+        track_changes=track_changes,
+    )
     archive = JsonArchiveSink(archive_path)
 
     writer = (

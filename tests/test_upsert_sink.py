@@ -191,3 +191,75 @@ def test_upsert_recovers_interrupted_migration(spark, tmp_path):
     st = {r["k"]: r["v"] for r in sink.read().collect()}
     assert st == {"a": "a1", "b": "b1", "c": "c1"}
     assert not os.path.exists(p3 + ".tmp") and not os.path.exists(p3 + ".old")
+
+
+def test_cdc_changelog_and_epoch_exactly_once(spark, tmp_path):
+    """track_changes=True: each epoch appends insert/update/touch CDC rows
+    under changes_path/epoch=N, and the commit marker makes a foreachBatch
+    redelivery of a committed epoch a no-op (exactly-once)."""
+    schema = "k string, seq long, v string"
+    path = str(tmp_path / "view")
+    sink = ParquetLatestSink(spark, path, keys="k", seq_cols="seq", track_changes=True)
+
+    # epoch 0: fresh view -> all inserts
+    sink(spark.createDataFrame([("a", 1, "a1"), ("b", 1, "b1")], schema), 0)
+    ch0 = {(r["k"], r["__change_op"]) for r in sink.read_changes().filter("epoch = 0").collect()}
+    assert ch0 == {("a", "insert"), ("b", "insert")}
+
+    # epoch 1: update a (higher seq), insert c, stale b (lower seq -> no row)
+    sink(spark.createDataFrame([("a", 5, "a5"), ("c", 1, "c1"), ("b", 0, "b0")], schema), 1)
+    ch1 = {(r["k"], r["__change_op"], r["v"]) for r in sink.read_changes().filter("epoch = 1").collect()}
+    assert ch1 == {("a", "update", "a5"), ("c", "insert", "c1"), ("b", "touch", "b0")}
+    # the touch row did NOT regress the view (merge still last-writer-wins)
+    st = {r["k"]: r["v"] for r in sink.read().collect()}
+    assert st == {"a": "a5", "b": "b1", "c": "c1"}
+
+    # redeliver epoch 1 with DIFFERENT (corrupt) content: committed marker
+    # must skip it entirely - no view change, no changelog change
+    sink(spark.createDataFrame([("a", 9, "corrupt")], schema), 1)
+    st2 = {r["k"]: r["v"] for r in sink.read().collect()}
+    assert st2 == st
+    assert {tuple(sorted(r.asDict().items())) for r in sink.read_changes().filter("epoch = 1").collect()} == {
+        tuple(sorted(r.asDict().items()))
+        for r in spark.createDataFrame(
+            [("a", 5, "a5", "update", 1), ("c", 1, "c1", "insert", 1), ("b", 0, "b0", "touch", 1)],
+            "k string, seq long, v string, __change_op string, epoch int",
+        ).collect()
+    }
+
+
+def test_cdc_crash_replay_before_commit_is_idempotent(spark, tmp_path):
+    """A crash AFTER the merge+changelog writes but BEFORE the epoch marker
+    (simulated by deleting the marker) must make the replay land on
+    idempotent writes: same view, changelog epoch dir overwritten once."""
+    schema = "k string, seq long, v string"
+    path = str(tmp_path / "view")
+    sink = ParquetLatestSink(spark, path, keys="k", seq_cols="seq", track_changes=True)
+    sink(spark.createDataFrame([("a", 1, "a1")], schema), 0)
+    batch = spark.createDataFrame([("a", 2, "a2"), ("b", 1, "b1")], schema)
+    sink(batch, 1)
+    os.remove(os.path.join(path, "_last_epoch"))  # crash before commit point
+    sink(batch, 1)  # replay
+    st = {r["k"]: r["v"] for r in sink.read().collect()}
+    assert st == {"a": "a2", "b": "b1"}
+    # replayed epoch classifies as touch (already applied) - still one dir,
+    # exactly one row per key for the epoch
+    ch1 = [
+        (r["k"], r["__change_op"])
+        for r in sink.read_changes().filter("epoch = 1").collect()
+    ]
+    assert sorted(ch1) == [("a", "touch"), ("b", "touch")]
+    assert sink._committed_epoch() == 1
+
+
+def test_changes_disabled_by_default_and_epoch_optional(spark, tmp_path):
+    """upsert() without an epoch (batch usage) never writes markers or
+    changelogs - the pre-CDC contract is unchanged."""
+    schema = "k string, seq long, v string"
+    path = str(tmp_path / "view")
+    sink = ParquetLatestSink(spark, path, keys="k", seq_cols="seq")
+    sink.upsert(spark.createDataFrame([("a", 1, "a1")], schema))
+    sink.upsert(spark.createDataFrame([("a", 2, "a2")], schema))
+    assert {r["k"]: r["v"] for r in sink.read().collect()} == {"a": "a2"}
+    assert not os.path.exists(os.path.join(path, "_last_epoch"))
+    assert not os.path.exists(path + "_changes")
