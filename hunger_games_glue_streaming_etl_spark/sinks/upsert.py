@@ -154,12 +154,23 @@ class ParquetLatestSink:
         """Append this epoch's CDC rows (``__change_op`` ∈ insert/update/
         touch + the new row values) to ``changes_path``/epoch=N.
 
-        The changelog write is exactly-once by the same mechanism as the
-        archive sink: a replayed epoch OVERWRITES its own ``epoch=N`` dir.
-        ``touch`` (new seq == stored seq) marks duplicate delivery or a
-        crash-replayed batch whose merge already applied — emitted so the
-        changelog stays complete under at-least-once upstream delivery;
-        consumers apply all three ops as idempotent upserts."""
+        Exactly-once under crash replay: the diff must reflect the
+        PRE-merge state, so if this epoch's dir already committed (Spark's
+        ``_SUCCESS`` marker — the changelog is written BEFORE the merge),
+        the original rows are kept rather than recomputed against the
+        already-merged view (which would reclassify every real op as
+        ``touch`` and lose the epoch for late consumers).  A crash mid-
+        changelog-write leaves no ``_SUCCESS`` → the replay overwrites the
+        partial dir, still against pre-merge state.  (On an object store,
+        swap the ``os.path`` probe for the Hadoop FileSystem API.)
+
+        ``touch`` (new seq == stored seq) marks duplicate delivery;
+        consumers treat every op as an idempotent upsert and may skip
+        ``touch``.  Strictly-stale rows (new seq < stored) change nothing
+        and are excluded."""
+        epoch_dir = f"{self.changes_path}/epoch={epoch_id}"
+        if os.path.isfile(os.path.join(epoch_dir, "_SUCCESS")):
+            return
         if current is None:
             changed = latest.withColumn("__change_op", F.lit("insert"))
         else:
@@ -182,13 +193,12 @@ class ParquetLatestSink:
                         F.col(f"__prior_{self.seq_cols[0]}").isNull(), "insert"
                     )
                     .when(new_seq > prior_seq, "update")
-                    .otherwise("touch"),
+                    .when(new_seq == prior_seq, "touch"),
                 )
+                .filter(F.col("__change_op").isNotNull())
                 .drop(*[f"__prior_{s}" for s in self.seq_cols])
             )
-        changed.drop(_BUCKET_COL).write.mode("overwrite").parquet(
-            f"{self.changes_path}/epoch={epoch_id}"
-        )
+        changed.drop(_BUCKET_COL).write.mode("overwrite").parquet(epoch_dir)
 
     def read_changes(self) -> DataFrame:
         """The full CDC changelog (all epochs; ``epoch`` is a partition

@@ -206,26 +206,26 @@ def test_cdc_changelog_and_epoch_exactly_once(spark, tmp_path):
     ch0 = {(r["k"], r["__change_op"]) for r in sink.read_changes().filter("epoch = 0").collect()}
     assert ch0 == {("a", "insert"), ("b", "insert")}
 
-    # epoch 1: update a (higher seq), insert c, stale b (lower seq -> no row)
-    sink(spark.createDataFrame([("a", 5, "a5"), ("c", 1, "c1"), ("b", 0, "b0")], schema), 1)
+    # epoch 1: update a (higher seq), insert c, duplicate-delivery b (same
+    # row redelivered, same seq -> touch)
+    sink(spark.createDataFrame([("a", 5, "a5"), ("c", 1, "c1"), ("b", 1, "b1")], schema), 1)
     ch1 = {(r["k"], r["__change_op"], r["v"]) for r in sink.read_changes().filter("epoch = 1").collect()}
-    assert ch1 == {("a", "update", "a5"), ("c", "insert", "c1"), ("b", "touch", "b0")}
-    # the touch row did NOT regress the view (merge still last-writer-wins)
+    assert ch1 == {("a", "update", "a5"), ("c", "insert", "c1"), ("b", "touch", "b1")}
     st = {r["k"]: r["v"] for r in sink.read().collect()}
     assert st == {"a": "a5", "b": "b1", "c": "c1"}
+
+    # epoch 2: strictly-stale row (seq below stored) -> excluded from the
+    # changelog, view untouched
+    sink(spark.createDataFrame([("a", 0, "ancient")], schema), 2)
+    assert sink.read_changes().filter("epoch = 2").count() == 0
+    assert {r["k"]: r["v"] for r in sink.read().collect()} == st
 
     # redeliver epoch 1 with DIFFERENT (corrupt) content: committed marker
     # must skip it entirely - no view change, no changelog change
     sink(spark.createDataFrame([("a", 9, "corrupt")], schema), 1)
     st2 = {r["k"]: r["v"] for r in sink.read().collect()}
     assert st2 == st
-    assert {tuple(sorted(r.asDict().items())) for r in sink.read_changes().filter("epoch = 1").collect()} == {
-        tuple(sorted(r.asDict().items()))
-        for r in spark.createDataFrame(
-            [("a", 5, "a5", "update", 1), ("c", 1, "c1", "insert", 1), ("b", 0, "b0", "touch", 1)],
-            "k string, seq long, v string, __change_op string, epoch int",
-        ).collect()
-    }
+    assert {(r["k"], r["__change_op"], r["v"]) for r in sink.read_changes().filter("epoch = 1").collect()} == ch1
 
 
 def test_cdc_crash_replay_before_commit_is_idempotent(spark, tmp_path):
@@ -242,13 +242,15 @@ def test_cdc_crash_replay_before_commit_is_idempotent(spark, tmp_path):
     sink(batch, 1)  # replay
     st = {r["k"]: r["v"] for r in sink.read().collect()}
     assert st == {"a": "a2", "b": "b1"}
-    # replayed epoch classifies as touch (already applied) - still one dir,
-    # exactly one row per key for the epoch
+    # the epoch dir committed (_SUCCESS) before the crash, so the replay
+    # must PRESERVE the original pre-merge diff - recomputing it against
+    # the already-merged view would reclassify the real ops as touch and
+    # lose the epoch for any consumer reading after the crash
     ch1 = [
         (r["k"], r["__change_op"])
         for r in sink.read_changes().filter("epoch = 1").collect()
     ]
-    assert sorted(ch1) == [("a", "touch"), ("b", "touch")]
+    assert sorted(ch1) == [("a", "update"), ("b", "insert")]
     assert sink._committed_epoch() == 1
 
 
