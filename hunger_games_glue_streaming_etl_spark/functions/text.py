@@ -84,6 +84,20 @@ def shingles(col: str | Column = "text", k: int = 3) -> Column:
     )
 
 
+def grams(col: str | Column = "text", k: int = 2) -> Column:
+    """Word-level k-grams WITH multiplicity (array<string>) — the unit for
+    repetition analysis, where ``shingles``'s ``array_distinct`` would
+    erase exactly the signal being measured.  Same zip-shift construction
+    (no per-element ``element_at`` re-evaluation); docs shorter than k
+    words yield an empty array."""
+    w = tokens(col)
+    zipped = w
+    for j in range(1, k):
+        shifted = F.slice(w, j + 1, F.greatest(F.size(w) - j, F.lit(0)))
+        zipped = F.zip_with(zipped, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.array_compact(zipped)
+
+
 def portable_hash64(col: Column, seed: int = 0) -> Column:
     """48-bit integer hash identical in Spark and DuckDB (md5-hex prefix).
     ``seed`` derives independent hash families for MinHash."""

@@ -258,3 +258,75 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(winnowing_window_minima(F.col("__hs"))).alias("fingerprint"),
     )
+
+
+@register(
+    "text_repetition_stats",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS w FROM documents
+    ), g AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(w) - 1),
+                                     i -> w[i] || ' ' || w[i+1])) AS gram
+        FROM toks
+    ), gc AS (
+        SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram
+    ), gs AS (
+        SELECT doc_id, SUM(c) AS total, MAX(c) AS top,
+               SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+        FROM gc GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(w) AS INT) AS n_tokens,
+           ROUND(1 - len(list_distinct(w)) * 1.0 / len(w), 6) AS dup_token_frac,
+           CAST(COALESCE(total, 0) AS BIGINT) AS n_bigrams,
+           ROUND(COALESCE(top * 1.0 / total, 0), 6) AS top_bigram_frac,
+           ROUND(COALESCE(dup * 1.0 / total, 0), 6) AS dup_bigram_frac
+    FROM toks t LEFT JOIN gs ON t.doc_id = gs.doc_id
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document — the curation filters
+    that catch boilerplate/templated text which length and TTR miss:
+    duplicate-token fraction, total bigram occurrences, top-bigram
+    fraction (most frequent bigram's share), duplicate-bigram fraction
+    (share of bigram occurrences whose bigram repeats).  Multiplicity
+    matters, so this uses ``grams`` (non-distinct), not ``shingles``.
+
+    At scale: one explode (n_tokens rows per doc) with map-side partial
+    aggregation on (doc_id, gram), then a per-doc rollup and an id join —
+    the same cost class as wordcount.  No text column ever shuffles."""
+    from ..functions.text import grams
+
+    docs = load_table(spark, sf_dir, "documents")
+    gram_counts = (
+        docs.select("doc_id", F.explode(grams("text", 2)).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .count()
+    )
+    gram_stats = gram_counts.groupBy("doc_id").agg(
+        F.sum("count").alias("__total"),
+        F.max("count").alias("__top"),
+        F.sum(F.when(F.col("count") > 1, F.col("count")).otherwise(0)).alias("__dup"),
+    )
+    toks = tokens("text")
+    per_doc = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(
+            1 - F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
+        ).alias("dup_token_frac"),
+    )
+    return per_doc.join(gram_stats, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "dup_token_frac",
+        F.coalesce(F.col("__total"), F.lit(0)).cast("long").alias("n_bigrams"),
+        F.round(
+            F.coalesce(F.col("__top") / F.col("__total"), F.lit(0.0)), 6
+        ).alias("top_bigram_frac"),
+        F.round(
+            F.coalesce(F.col("__dup") / F.col("__total"), F.lit(0.0)), 6
+        ).alias("dup_bigram_frac"),
+    )
