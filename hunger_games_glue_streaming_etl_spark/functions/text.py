@@ -170,6 +170,20 @@ def quality_score(col: str | Column = "text") -> Column:
     )
 
 
+def simhash_word_hashes(col: str | Column = "text", bits: int = 64) -> Column:
+    """Per-token hash material for SimHash: array (one element per token)
+    of ``(bits+31)//32``-long arrays — token's seed-w portable hash for
+    w = 0..n_words−1.  Kept JVM-side (md5 is codegen'd); the vote fold
+    over this column is the part worth moving to an Arrow kernel
+    (``operators.dedup.simhash_fingerprints``) — per BASELINE.md the
+    64-wide ``zip_with`` fold is codegen-bound, not hash-bound."""
+    n_words = (bits + 31) // 32
+    return F.transform(
+        tokens(col),
+        lambda t: F.array(*[portable_hash64(t, seed=w) for w in range(n_words)]),
+    )
+
+
 def simhash(col: str | Column = "text", bits: int = 64) -> Column:
     """SimHash over whitespace tokens (portable-hash bit votes).
 
@@ -191,11 +205,7 @@ def simhash(col: str | Column = "text", bits: int = 64) -> Column:
     # test power) pairs ride a literal struct array zipped against the
     # accumulator, and `h[...]` indexes the lambda-bound word array (a
     # bound value, NOT a re-evaluated source expression).
-    n_words = (bits + 31) // 32
-    hashed = F.transform(
-        tokens(col),
-        lambda t: F.array(*[portable_hash64(t, seed=w) for w in range(n_words)]),
-    )
+    hashed = simhash_word_hashes(col, bits)
     test_info = F.array(
         *[
             F.struct(

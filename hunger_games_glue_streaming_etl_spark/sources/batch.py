@@ -70,18 +70,35 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; we read it as a long (legacy conf) and
-    truncate to a microsecond TimestampType — the same µs truncation DuckDB
-    applies, so oracle comparisons stay exact.
+    """``events.ts`` is written as parquet TIMESTAMP(NANOS).  How Spark
+    surfaces that changed across versions, so normalize by observed type:
+
+    * Spark ≤4.0 rejects it in the vectorized reader unless
+      ``spark.sql.legacy.parquet.nanosAsLong`` is set, in which case the
+      column arrives as a raw nanosecond LONG — integer-divide to µs
+      (float division loses µs precision on ~1.7e18 ns values) and wrap
+      with ``timestamp_micros``.
+    * Spark 4.1+ ignores that conf and reads the column natively as
+      TIMESTAMP_NTZ already truncated to µs.  Reinterpreting the NTZ wall
+      time as a UTC instant (``to_utc_timestamp(ts, 'UTC')``) is
+      timezone-independent and lands on the exact same µs-since-epoch
+      values DuckDB produces (its nanos read also floor-truncates to µs).
+
+    Either way the result is a microsecond ``TimestampType`` column whose
+    internal µs equal DuckDB's, so oracle comparisons stay exact.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # integer div — float division loses µs precision on ~1.7e18 ns values
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        if isinstance(ts_type, T.TimestampNTZType):
+            return df.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -74,6 +74,40 @@ def test_simhash_identical_docs_zero_hamming(spark):
     assert pairs.get((1, 2)) == 0
 
 
+def test_simhash_kernel_matches_expression_form(spark):
+    """The Arrow vote-fold kernel (`simhash_fingerprints`) must be
+    bit-for-bit equal to the pure-expression `functions.text.simhash` —
+    the expression form IS the oracle's spec, so any divergence breaks
+    the hash gate.  Covers empty text, single token, mixed whitespace,
+    and a long repetitive doc."""
+    from pyspark.sql import functions as F
+
+    from hunger_games_glue_streaming_etl_spark.functions.text import simhash
+    from hunger_games_glue_streaming_etl_spark.operators.dedup import (
+        SIMHASH_BITS,
+        simhash_fingerprints,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, "x"),
+            (3, "  a\tb\nc  d   e "),
+            (4, "spark " * 300),
+            (5, "the quick brown fox jumps over the lazy dog"),
+        ],
+        ["doc_id", "text"],
+    )
+    kern = {r.doc_id: r.simhash for r in simhash_fingerprints(docs).collect()}
+    expr = {
+        r.doc_id: r.s
+        for r in docs.select(
+            "doc_id", simhash("text", SIMHASH_BITS).alias("s")
+        ).collect()
+    }
+    assert kern == expr
+
+
 def test_fuzzy_salting_losslessly_splits_hot_prefix_bucket(spark):
     """A templated corpus puts f docs behind ONE 16-char prefix (the f²
     join-key blowup).  Salting must (a) keep results identical to the
