@@ -9,6 +9,7 @@ from . import (  # noqa: E402,F401
     curation,
     dedup_ops,
     event_time,
+    llm_pipeline,
     multimodal_ops,
     scalars,
     scd_ops,
@@ -16,6 +17,7 @@ from . import (  # noqa: E402,F401
     similarity_ops,
     sources_sql,
     streaming_queries,
+    subqueries,
     temporal_ops,
     tribute_parity,
     udf_ops,

@@ -1,0 +1,111 @@
+"""Semantic invariants of the training-data pipeline tier
+(plans/llm_pipeline.py) that the DuckDB hash gate can't express:
+packing contiguity, decontamination scope, mixture-rate tracking,
+permutation totality, and cell-dedup ⊆ exact-dedup containment."""
+
+from collections import defaultdict
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def queries():
+    import __spark_entry__ as e
+
+    return e.queries()
+
+
+def test_pack_offsets_are_contiguous_per_source(spark, queries):
+    rows = queries["pack_sequences_concat"](spark, SF_DIR).collect()
+    by_source = defaultdict(list)
+    for r in rows:
+        by_source[r.source].append(r)
+    assert len(by_source) > 1
+    for source, docs in by_source.items():
+        docs.sort(key=lambda r: r.doc_id)
+        expect = 0
+        for r in docs:
+            assert r.start_off == expect, (source, r.doc_id)
+            assert r.n_tokens >= 1
+            assert r.chunk_first <= r.chunk_last
+            assert r.chunk_first == r.start_off // 256
+            expect += r.n_tokens
+
+
+def test_pack_stats_consistent_with_manifest(spark, queries):
+    manifest = queries["pack_sequences_concat"](spark, SF_DIR).collect()
+    stats = {r.source: r for r in queries["pack_sequences_stats"](spark, SF_DIR).collect()}
+    by_source = defaultdict(list)
+    for r in manifest:
+        by_source[r.source].append(r)
+    for source, docs in by_source.items():
+        s = stats[source]
+        total = sum(r.n_tokens for r in docs)
+        assert s.n_docs == len(docs)
+        assert s.total_tokens == total
+        assert s.n_chunks == (total + 255) // 256
+        assert s.n_straddlers == sum(
+            1 for r in docs if r.chunk_first != r.chunk_last
+        )
+
+
+def test_decontaminate_flags_only_train_docs(spark, queries):
+    rows = queries["decontaminate_ngram_overlap"](spark, SF_DIR).collect()
+    assert rows  # non-vacuous at sf0.01 (12 flagged docs)
+    for r in rows:
+        assert r.doc_id % 10 != 0  # eval slice itself is never flagged
+        assert r.n_shared_grams >= 2
+
+
+def test_mix_rates_track_targets(spark, queries):
+    from hunger_games_glue_streaming_etl_spark.plans.llm_pipeline import MIX_RATES_BP
+    from hunger_games_glue_streaming_etl_spark.sources.batch import load_table
+
+    kept = defaultdict(int)
+    for r in queries["mix_weighted_sample"](spark, SF_DIR).collect():
+        kept[r.lang] += 1
+    total = defaultdict(int)
+    for r in load_table(spark, SF_DIR, "documents").select("lang").collect():
+        total[r.lang] += 1
+    for lang, bp in MIX_RATES_BP.items():
+        realized = kept[lang] / total[lang]
+        # ~70 docs/lang at sf0.01: binomial sd ≈ 6pp; ±20pp is 3σ+ slack
+        assert abs(realized - bp / 10000) < 0.20, (lang, realized, bp)
+
+
+def test_shuffle_is_total_permutation(spark, queries):
+    rows = queries["shuffle_training_order"](spark, SF_DIR).collect()
+    assert len({r.doc_id for r in rows}) == len(rows) == 500
+    by_shard = defaultdict(list)
+    for r in rows:
+        assert 0 <= r.shard < 8
+        by_shard[r.shard].append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+
+
+def test_semantic_cell_pairs_subset_of_exact_pairs(spark, queries):
+    """Same cosine threshold ⇒ every within-cell pair must appear in the
+    exact O(n²) scan; the cell partition only *removes* (cross-cell)
+    pairs — SemDeDup's recall trade, never false positives."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in queries["dedup_embedding_cosine_pairs"](spark, SF_DIR).collect()
+    }
+    cells = queries["semantic_dedup_cells"](spark, SF_DIR).collect()
+    assert cells  # non-vacuous (89 pairs at sf0.01)
+    assert {(r.id_a, r.id_b) for r in cells} <= exact
+
+
+def test_tfidf_ranks_are_dense_per_doc(spark, queries):
+    rows = queries["text_tfidf_top_terms"](spark, SF_DIR).collect()
+    by_doc = defaultdict(list)
+    for r in rows:
+        by_doc[r.doc_id].append(r)
+        assert r.tf >= 1 and r.df >= 1
+    assert len(by_doc) == 500
+    for doc_id, terms in by_doc.items():
+        assert sorted(t.rank for t in terms) == list(range(1, len(terms) + 1))
+        assert len(terms) <= 3
