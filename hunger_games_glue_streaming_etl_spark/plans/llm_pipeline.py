@@ -435,3 +435,180 @@ def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= SEMANTIC_COSINE_THRESHOLD)
         .select("cell_id", "id_a", "id_b", "cosine")
     )
+
+
+# ---- the full pretraining corpus-prep composition ---------------------------
+
+# quality/jaccard fragments mirror plans/curation.py (same thresholds);
+# re-stated here with `source`/`text` carried through so the packing stage
+# has what it needs.
+_P_QUALITY_SQL = f"""
+    ROUND(0.25 * (CASE WHEN LENGTH(text) >= 100 AND LENGTH(text) <= 10000 THEN 1.0 ELSE 0.5 END)
+        + 0.25 * (CASE WHEN LENGTH(REPLACE({_NORM}, ' ', '')) * 1.0 / len({_TOKS}) >= 3
+                        AND LENGTH(REPLACE({_NORM}, ' ', '')) * 1.0 / len({_TOKS}) <= 12
+                   THEN 1.0 ELSE 0.5 END)
+        + 0.25 * (1 - CAST(LENGTH(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE)
+                      / GREATEST(CAST(LENGTH(text) AS DOUBLE), 1.0))
+        + 0.25 * len(list_distinct({_TOKS})) * 1.0 / GREATEST(len({_TOKS}), 1), 6)
+"""
+
+_PIPELINE_SQL = f"""
+    WITH q AS (
+        SELECT doc_id, lang, source, text FROM documents
+        WHERE {_P_QUALITY_SQL} >= 0.86
+    ),
+    fp AS (SELECT doc_id, md5({_NORM}) AS f FROM q),
+    keep1 AS (
+        SELECT fp.doc_id FROM fp
+        JOIN (SELECT f, MIN(doc_id) AS m FROM fp GROUP BY f) g
+          ON fp.f = g.f AND fp.doc_id = g.m
+    ),
+    surv AS (SELECT q.* FROM q JOIN keep1 USING (doc_id)),
+    words3 AS (SELECT doc_id, {_TOKS} AS w FROM surv),
+    idx3 AS (
+        SELECT doc_id, w, unnest(range(1, GREATEST(len(w) - 2, 1) + 1)) AS i
+        FROM words3
+    ),
+    sh3 AS (
+        SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS shingle
+        FROM idx3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh3 GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM sh3 a JOIN sh3 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    near_dropped AS (
+        SELECT DISTINCT id_b AS doc_id FROM shared
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE ROUND(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.5
+    ),
+    clean AS (
+        SELECT * FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM near_dropped)
+    ),
+    wordsE AS (SELECT doc_id, {_TOKS} AS w FROM documents WHERE doc_id % {DECONTAM_EVAL_MOD} = 0),
+    idxE AS (
+        SELECT doc_id, w, unnest(range(1, GREATEST(len(w) - 3, 1) + 1)) AS i
+        FROM wordsE
+    ),
+    ev AS (
+        SELECT DISTINCT
+               {_phash_sql("concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3])")} AS gh
+        FROM idxE
+    ),
+    wordsT AS (
+        SELECT doc_id, {_TOKS} AS w FROM clean
+        WHERE doc_id % {DECONTAM_EVAL_MOD} <> 0
+    ),
+    idxT AS (
+        SELECT doc_id, w, unnest(range(1, GREATEST(len(w) - 3, 1) + 1)) AS i
+        FROM wordsT
+    ),
+    shT AS (
+        SELECT DISTINCT doc_id,
+               {_phash_sql("concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3])")} AS gh
+        FROM idxT
+    ),
+    flagged AS (
+        SELECT doc_id FROM shT JOIN ev USING (gh)
+        GROUP BY doc_id HAVING COUNT(*) >= {DECONTAM_MIN_SHARED}
+    ),
+    kept AS (
+        SELECT * FROM clean
+        WHERE doc_id % {DECONTAM_EVAL_MOD} <> 0
+          AND doc_id NOT IN (SELECT doc_id FROM flagged)
+    ),
+    mixed AS (
+        SELECT * FROM kept
+        WHERE {_phash_sql("'mix:' || CAST(doc_id AS VARCHAR)")} % 10000
+              < {_mix_rate_sql()}
+    ),
+    t AS (
+        SELECT doc_id, lang, source, CAST(len({_TOKS}) AS INT) AS n_tokens
+        FROM mixed
+    ),
+    o AS (
+        SELECT doc_id, lang, source, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS start_off
+        FROM t
+    )
+    SELECT doc_id, lang, source, n_tokens, start_off,
+           CAST(start_off // {PACK_CAPACITY} AS BIGINT) AS chunk_first,
+           CAST((start_off + n_tokens - 1) // {PACK_CAPACITY} AS BIGINT) AS chunk_last
+    FROM o
+"""
+
+
+@register("pipeline_pretrain_corpus", oracle=_PIPELINE_SQL)
+def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE pretraining data-prep flow as one declarative plan:
+    quality gate → exact dedup → near-dup removal (the curation stages,
+    same thresholds as ``curation_clean_corpus``) → benchmark
+    decontamination (4-gram overlap vs the eval slice) → per-language
+    mixture sampling → GPT-style sequence packing per source shard.
+    Returns the final packed-chunk manifest — what a training loader
+    would actually consume.
+
+    This is the composition the individual operators exist for; the
+    oracle replays all six stages in one SQL pipeline, so stage ordering
+    and interactions (e.g. dedup before decontamination, mixing before
+    packing so offsets reflect the sampled corpus) are value-checked end
+    to end.  Every stage is set-oriented — the whole flow is shuffles on
+    compact keys plus one windowed running sum per source shard."""
+    from .curation import clean_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    clean = docs.join(
+        clean_corpus(docs).select("doc_id"), "doc_id"
+    )
+    # decontaminate: eval grams come from the RAW corpus slice (the
+    # benchmark exists regardless of curation); train side is the cleaned
+    # non-eval remainder
+    ev = (
+        docs.filter(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
+        .select("doc_id", F.explode(shingles("text", 4)).alias("g"))
+        .select(portable_hash64(F.col("g")).alias("gh"))
+        .distinct()
+    )
+    train = clean.filter(F.col("doc_id") % DECONTAM_EVAL_MOD != 0)
+    flagged = (
+        train.select("doc_id", F.explode(shingles("text", 4)).alias("g"))
+        .select("doc_id", portable_hash64(F.col("g")).alias("gh"))
+        .join(F.broadcast(ev), "gh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= DECONTAM_MIN_SHARED)
+        .select("doc_id")
+    )
+    kept = train.join(flagged, "doc_id", "left_anti")
+    bucket = (
+        portable_hash64(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+        % 10000
+    )
+    rate = F.lit(0)
+    for lang, bp in MIX_RATES_BP.items():
+        rate = F.when(F.col("lang") == lang, bp).otherwise(rate)
+    mixed = kept.filter(bucket < rate)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = mixed.select(
+        "doc_id", "lang", "source", token_count("text").cast("int").alias("n_tokens")
+    )
+    off = t.withColumn(
+        "start_off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    )
+    return off.select(
+        "doc_id", "lang", "source", "n_tokens", "start_off",
+        F.expr(f"start_off div {PACK_CAPACITY}").cast("long").alias("chunk_first"),
+        F.expr(f"(start_off + n_tokens - 1) div {PACK_CAPACITY}")
+        .cast("long")
+        .alias("chunk_last"),
+    )

@@ -109,3 +109,31 @@ def test_tfidf_ranks_are_dense_per_doc(spark, queries):
     for doc_id, terms in by_doc.items():
         assert sorted(t.rank for t in terms) == list(range(1, len(terms) + 1))
         assert len(terms) <= 3
+
+
+def test_pipeline_composes_its_standalone_stages(spark, queries):
+    """`pipeline_pretrain_corpus` must keep exactly the docs that survive
+    the composition of the standalone stage queries: curation roster,
+    minus the eval slice, minus decontamination-flagged docs, filtered by
+    the mixture sample — and its offsets must be contiguous per source."""
+    clean = {r.doc_id for r in queries["curation_clean_corpus"](spark, SF_DIR).collect()}
+    flagged = {
+        r.doc_id
+        for r in queries["decontaminate_ngram_overlap"](spark, SF_DIR).collect()
+    }
+    mixed = {r.doc_id for r in queries["mix_weighted_sample"](spark, SF_DIR).collect()}
+    expected = {
+        d for d in clean if d % 10 != 0 and d not in flagged and d in mixed
+    }
+    rows = queries["pipeline_pretrain_corpus"](spark, SF_DIR).collect()
+    assert {r.doc_id for r in rows} == expected
+    assert rows  # non-vacuous (125 docs at sf0.01)
+    by_source = defaultdict(list)
+    for r in rows:
+        by_source[r.source].append(r)
+    for source, docs in by_source.items():
+        docs.sort(key=lambda r: r.doc_id)
+        expect_off = 0
+        for r in docs:
+            assert r.start_off == expect_off, (source, r.doc_id)
+            expect_off += r.n_tokens

@@ -120,3 +120,31 @@ def test_lsh_bucket_pairs_no_cartesian_no_driver_collect(spark):
     plan = _plan(QUERIES["dedup_embedding_lsh_pairs"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """The eval-gram side must broadcast (benchmark suites are tiny next
+    to the train corpus) — a shuffled join here would move every train
+    gram hash twice."""
+    plan = _plan(QUERIES["decontaminate_ngram_overlap"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_subquery_correlated_decorrelates_to_join(spark):
+    """Catalyst must rewrite the Q17 correlated scalar subquery into an
+    aggregate + join, never a per-row nested-loop re-execution."""
+    plan = _plan(QUERIES["subquery_correlated_avg"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "partial_avg" in plan  # the decorrelated per-partkey aggregate
+    assert "Join" in plan
+
+
+def test_pack_window_partitions_by_source(spark):
+    """Packing must window per source shard — a global (empty-key) window
+    would serialize the whole corpus through one partition."""
+    plan = _plan(QUERIES["pack_sequences_concat"](spark, SF_DIR))
+    assert "Window" in plan
+    # the Window's partition spec must mention source (not be empty)
+    win_lines = [l for l in plan.splitlines() if "Window" in l]
+    assert any("source" in l for l in win_lines)
