@@ -99,7 +99,33 @@ def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if isinstance(ts_type, T.TimestampNTZType):
             return df.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
         return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in ("documents", "embeddings"):
+        df = fan_out(df)
+    return df
+
+
+def fan_out(df: DataFrame) -> DataFrame:
+    """Repartition a scan up to the cluster's parallelism when the source
+    under-partitions it.
+
+    The text/vector tables carry heavy *per-row* compute (md5 shingle
+    hashing, 64-wide SimHash folds, 64-dim dot products), and the fixture
+    parquet files are single row groups — Spark cannot split below
+    row-group granularity no matter how small ``files.maxPartitionBytes``
+    is, so without this every shuffle-free query over them runs serially
+    on one core (measured: SimHash fingerprints 4.9 s serial → 0.6 s at
+    32-way; the shuffle moves ~20 MB of text, which is noise next to the
+    compute).  On a real cluster the sources arrive in many splits and
+    this is a no-op — the gate only fires when scan parallelism is below
+    ``defaultParallelism``.  All registered queries are partitioning-
+    independent by construction (portable hashes, no rand(), unique
+    window tiebreaks), so fanning out never changes results."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
