@@ -364,3 +364,117 @@ def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream(
         spark, _clicks_purchases_join(spark, sf_dir, "left_outer"), "ssleftjoin"
     )
+
+
+# ---- continuous corpus ingestion (the streaming face of the LLM tier) ------
+
+_doc_stage_cache: dict[str, str] = {}
+
+def _docs_stream_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("ingest_ts", T.TimestampType()),
+        ]
+    )
+
+
+def _stage_documents_stream(
+    spark: SparkSession, sf_dir: str, n_batches: int = 4
+) -> str:
+    """Documents fixture as n_batches JSON-lines files ordered by doc_id,
+    stamped with a synthetic monotone ingest time (epoch + doc_id seconds)
+    so the dedup state can be watermark-bounded — ingestion time, not
+    event time; a crawler's arrival order."""
+    cached = _doc_stage_cache.get(sf_dir)
+    if cached and os.path.isdir(cached):
+        return cached
+    docs = load_table(spark, sf_dir, "documents")
+    max_id = docs.agg(F.max("doc_id")).head()[0]
+    staged = docs.withColumn(
+        "__batch",
+        (F.col("doc_id") * n_batches / (max_id + 1)).cast("int") + 1,
+    ).withColumn(
+        "ingest_ts",
+        F.date_format(
+            F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")),
+            "yyyy-MM-dd HH:mm:ss",
+        ),
+    )
+    out = os.path.join(tempfile.gettempdir(), f"hg_docs_{uuid.uuid4().hex[:8]}")
+    os.makedirs(out)
+    staged.select("doc_id", "text", "lang", "source", "ingest_ts", "__batch").write.partitionBy(
+        "__batch"
+    ).mode("overwrite").json(out + "/staged")
+    src_root, dst = out + "/staged", out + "/stream"
+    os.makedirs(dst)
+    for d in sorted(os.listdir(src_root)):
+        if not d.startswith("__batch="):
+            continue
+        b = int(d.split("=")[1])
+        parts = [
+            f for f in os.listdir(os.path.join(src_root, d)) if f.endswith(".json")
+        ]
+        with open(os.path.join(dst, f"batch_{b:03d}.json"), "w") as fout:
+            for p in parts:
+                with open(os.path.join(src_root, d, p)) as fin:
+                    fout.write(fin.read())
+    _doc_stage_cache[sf_dir] = dst
+    return dst
+
+
+@register(
+    "streaming_corpus_ingest",
+    oracle="""
+    SELECT doc_id, lang,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    WHERE ROUND(0.25 * (CASE WHEN LENGTH(text) >= 100 AND LENGTH(text) <= 10000 THEN 1.0 ELSE 0.5 END)
+        + 0.25 * (CASE WHEN LENGTH(REPLACE(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ', '')) * 1.0
+                       / len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) >= 3
+                    AND LENGTH(REPLACE(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ', '')) * 1.0
+                       / len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) <= 12
+                   THEN 1.0 ELSE 0.5 END)
+        + 0.25 * (1 - CAST(LENGTH(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE)
+                      / GREATEST(CAST(LENGTH(text) AS DOUBLE), 1.0))
+        + 0.25 * len(list_distinct(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))) * 1.0
+                 / GREATEST(len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')), 1), 6)
+        >= 0.86
+    """,
+)
+def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous corpus ingestion — the streaming face of the curation
+    tier: an unbounded document feed is quality-gated and exact-deduped by
+    content fingerprint as it arrives (``dropDuplicatesWithinWatermark``
+    keyed on the md5 of normalized text, state bounded by a 10-minute
+    ingest-time watermark: a crawler re-delivering a page within the
+    horizon is dropped, and the key is re-admitted after it passes —
+    at-least-once source semantics).
+
+    The fixture corpus has no exact duplicates, so the finalized output is
+    exactly the quality-passing roster with fingerprints — which the
+    oracle states in closed form (same quality expression as the batch
+    curation stage); first-arrival-wins and watermark re-admission
+    semantics are pinned with planted duplicates in
+    tests/test_streaming_depth.py."""
+    from ..functions.text import normalized_text, quality_score
+    from ..streaming.ops import dedup_stream_within_watermark
+
+    src = _stage_documents_stream(spark, sf_dir)
+    stream = spark.readStream.schema(_docs_stream_schema()).option(
+        "maxFilesPerTrigger", "2"
+    ).json(src)
+    gated = stream.filter(quality_score("text") >= 0.86).withColumn(
+        "fingerprint", F.md5(normalized_text("text"))
+    )
+    deduped = dedup_stream_within_watermark(
+        gated, keys=["fingerprint"], ts_col="ingest_ts", watermark="10 minutes"
+    )
+    return _run_stream(
+        spark, deduped.select("doc_id", "lang", "fingerprint"), "corpus_ingest"
+    )

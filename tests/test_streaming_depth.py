@@ -315,3 +315,74 @@ def test_dedup_within_watermark_drops_restamped_retries(spark, tmp_path):
         ).head()[0] == 2
     finally:
         q.stop()
+
+
+def test_corpus_ingest_gates_quality_and_dedups_fingerprints(spark, tmp_path):
+    """The streaming corpus-ingestion pipeline (quality gate → content-
+    fingerprint dedup): a junk document never enters, and a re-crawled
+    page (same text, NEW doc_id, later batch) is dropped first-wins —
+    the cases the fixture corpus (no exact dups, all-passing driver
+    oracle) cannot exercise."""
+    from hunger_games_glue_streaming_etl_spark.functions.text import (
+        normalized_text,
+        quality_score,
+    )
+    from hunger_games_glue_streaming_etl_spark.streaming.ops import (
+        dedup_stream_within_watermark,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("ingest_ts", T.TimestampType(), True),
+        ]
+    )
+    good = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through fields of spark jobs joining streams with windows today "
+    ) * 2  # >100 chars, clean prose -> passes the 0.86 gate
+    junk = "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"  # punct soup -> fails
+    src = str(tmp_path / "docs_src")
+    feeder = BatchFeeder(src)
+    stream = spark.readStream.schema(schema).json(src)
+    gated = stream.filter(quality_score("text") >= 0.86).withColumn(
+        "fingerprint", F.md5(normalized_text("text"))
+    )
+    deduped = dedup_stream_within_watermark(
+        gated, keys=["fingerprint"], ts_col="ingest_ts", watermark="10 minutes"
+    ).select("doc_id", "fingerprint")
+    q = _start(spark, deduped, "corpus_ingest_e2e", "append")
+    try:
+        feeder.feed(
+            q,
+            {"doc_id": 1, "text": good, "ingest_ts": "2024-01-01 10:00:00"},
+            {"doc_id": 2, "text": junk, "ingest_ts": "2024-01-01 10:00:01"},
+        )
+        # junk gated out; good admitted once
+        ids = {r.doc_id for r in spark.sql("SELECT * FROM corpus_ingest_e2e").collect()}
+        assert ids == {1}
+        # re-crawl of the same content under a new id within the horizon:
+        # dropped (first arrival wins), whitespace differences normalized away
+        feeder.feed(
+            q,
+            {"doc_id": 3, "text": "  " + good.replace(" and ", "  and "),
+             "ingest_ts": "2024-01-01 10:01:00"},
+        )
+        ids = {r.doc_id for r in spark.sql("SELECT * FROM corpus_ingest_e2e").collect()}
+        assert ids == {1}
+        # far beyond the watermark horizon: the fingerprint state expired,
+        # the content is re-admitted (bounded state, not forever-dedup)
+        feeder.feed(
+            q,
+            {"doc_id": 4, "text": good, "ingest_ts": "2024-01-01 13:00:00"},
+        )
+        feeder.feed(
+            q,
+            {"doc_id": 5, "text": good, "ingest_ts": "2024-01-01 14:30:00"},
+        )
+        ids = {r.doc_id for r in spark.sql("SELECT * FROM corpus_ingest_e2e").collect()}
+        assert 4 in ids or 5 in ids
+        assert 1 in ids
+    finally:
+        q.stop()
