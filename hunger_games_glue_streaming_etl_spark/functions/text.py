@@ -284,3 +284,42 @@ def winnowing_window_minima(hashes_col: Column, window: int = 8) -> Column:
             lambda j: F.array_min(F.slice(hashes_col, j, window)),
         )
     )
+
+
+# ---- PII scrubbing ---------------------------------------------------------
+#
+# Regex-based detection/redaction of the classic PII shapes a pretraining
+# corpus scrub removes.  The driver's synthetic corpus contains no PII, so
+# these are NOT registered as contract queries (a zero-row/zero-count entry
+# would be vacuous); behavior is pinned on a planted corpus in
+# tests/test_llm_pipeline.py.  Patterns are deliberately conservative
+# (precision over recall): a corpus scrub that eats prose is worse than one
+# that misses an exotic phone format.
+
+PII_PATTERNS: dict[str, str] = {
+    # order matters for redaction: more specific shapes first so e.g. an
+    # SSN isn't half-eaten by the phone pattern
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+}
+
+
+def pii_counts(col: str | Column = "text") -> dict[str, Column]:
+    """Per-category PII match counts (detection / audit pass)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        name: F.regexp_count(c, F.lit(pattern)).alias(f"n_{name}")
+        for name, pattern in PII_PATTERNS.items()
+    }
+
+
+def redact_pii(col: str | Column = "text", replacement: str = "[PII]") -> Column:
+    """Text with every PII match replaced by ``replacement`` — idempotent
+    (the replacement token matches none of the patterns), pure column
+    expression (codegen'd, map-side only at any scale)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pattern in PII_PATTERNS.values():
+        c = F.regexp_replace(c, pattern, replacement)
+    return c

@@ -612,3 +612,161 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("chunk_last"),
     )
+
+
+# ---- data-budget selection and lexical search -------------------------------
+
+BUDGET_TOKENS_PER_LANG = 2000
+
+_BUDGET_HASH = "'budget:' || CAST(doc_id AS VARCHAR)"
+
+
+@register(
+    "corpus_token_budget_select",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, CAST(len({_TOKS}) AS INT) AS n_tokens,
+               {_phash_sql(_BUDGET_HASH)} AS hv
+        FROM documents
+    ),
+    o AS (
+        SELECT doc_id, lang, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY hv, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_tokens
+        FROM t
+    )
+    SELECT doc_id, lang, n_tokens, cum_tokens
+    FROM o WHERE cum_tokens <= {BUDGET_TOKENS_PER_LANG}
+    """,
+)
+def corpus_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget selection: each language gets a fixed token budget and
+    takes documents in deterministic keyed-hash order until the budget is
+    spent — how a mixture spec expressed in TOKENS (not doc counts or
+    rates) is realized reproducibly.  The hash order is an unbiased sample
+    of the language's corpus; the running sum makes the cut exact.
+
+    At scale: one window per language partition (languages are few and
+    balanced here; for a skewed axis — e.g. per-source budgets over
+    thousands of shards — the same plan parallelizes per shard)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        token_count("text").cast("int").alias("n_tokens"),
+        portable_hash64(
+            F.concat(F.lit("budget:"), F.col("doc_id").cast("string"))
+        ).alias("__hv"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("__hv", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .filter(F.col("cum_tokens") <= BUDGET_TOKENS_PER_LANG)
+        .select("doc_id", "lang", "n_tokens", "cum_tokens")
+    )
+
+
+BM25_QUERY_TERMS = ("spark", "window", "join")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _bm25_sql() -> str:
+    per_term = []
+    for t in BM25_QUERY_TERMS:
+        per_term.append(
+            f"""
+    tf_{t} AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks WHERE term = '{t}' GROUP BY doc_id
+    ),
+    df_{t} AS (SELECT CAST(COUNT(*) AS BIGINT) AS df FROM tf_{t})"""
+        )
+    score_terms = " + ".join(
+        f"COALESCE(tf_{t}.tf * ({BM25_K1} + 1.0) * ((SELECT n_docs FROM n) + 1.0)"
+        f" / ((SELECT df FROM df_{t}) + 1.0)"
+        f" / (tf_{t}.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.dl"
+        f" / (SELECT avgdl FROM avg_dl))), 0.0)"
+        for t in BM25_QUERY_TERMS
+    )
+    joins = " ".join(
+        f"LEFT JOIN tf_{t} ON tf_{t}.doc_id = dl.doc_id" for t in BM25_QUERY_TERMS
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ),
+    dl AS (
+        SELECT doc_id, CAST(len({_TOKS}) AS INT) AS dl FROM documents
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    avg_dl AS (SELECT SUM(dl) * 1.0 / COUNT(*) AS avgdl FROM dl),
+    {",".join(per_term)},
+    scored AS (
+        SELECT dl.doc_id, ROUND({score_terms}, 6) AS bm25
+        FROM dl {joins}
+    )
+    SELECT doc_id, bm25 FROM scored
+    WHERE bm25 > 0
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """
+
+
+@register("text_bm25_search", oracle=_bm25_sql())
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical search: top-20 documents for a fixed query term set,
+    with the standard k1/b length normalization and a *rational* idf
+    ``(N+1)/(df+1)`` (same reasoning as TF-IDF above: every op in the
+    score is a correctly-rounded IEEE multiply/divide/add, so scores are
+    bit-identical across engines; ``ln``-idf is not).  Per-term partial
+    scores are summed in fixed query order on both sides.
+
+    At scale: per-term tf is one partial-agg shuffle over only the rows
+    matching query terms (the filter pushes into the explode); doc-length
+    and df sides are broadcast scalars; top-k is TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    dl = docs.select(
+        "doc_id", token_count("text").cast("int").alias("dl")
+    )
+    n_stats = docs.agg(
+        F.count("*").cast("long").alias("n_docs"),
+    )
+    avg_stats = dl.agg(
+        (F.sum("dl") * 1.0 / F.count("*")).alias("avgdl")
+    )
+    scored = dl.crossJoin(F.broadcast(n_stats)).crossJoin(F.broadcast(avg_stats))
+    score = None
+    for t in BM25_QUERY_TERMS:
+        tf = (
+            toks.filter(F.col("term") == t)
+            .groupBy("doc_id")
+            .agg(F.count("*").alias(f"tf_{t}"))
+        )
+        dfreq = tf.agg(F.count("*").cast("long").alias(f"df_{t}"))
+        scored = scored.join(tf, "doc_id", "left").crossJoin(F.broadcast(dfreq))
+        term_score = F.coalesce(
+            F.col(f"tf_{t}")
+            * (BM25_K1 + 1.0)
+            * (F.col("n_docs") + 1.0)
+            / (F.col(f"df_{t}") + 1.0)
+            / (
+                F.col(f"tf_{t}")
+                + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+            ),
+            F.lit(0.0),
+        )
+        score = term_score if score is None else score + term_score
+    return (
+        scored.withColumn("bm25", F.round(score, 6))
+        .filter(F.col("bm25") > 0)
+        .select("doc_id", "bm25")
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )

@@ -137,3 +137,48 @@ def test_pipeline_composes_its_standalone_stages(spark, queries):
         for r in docs:
             assert r.start_off == expect_off, (source, r.doc_id)
             expect_off += r.n_tokens
+
+
+def test_pii_detection_and_redaction_on_planted_corpus(spark):
+    """The driver fixtures contain no PII, so the scrub operators are
+    pinned here: per-category counts, full redaction (no pattern matches
+    the scrubbed text), idempotence, and prose preservation."""
+    from pyspark.sql import functions as F
+
+    from hunger_games_glue_streaming_etl_spark.functions.text import (
+        PII_PATTERNS,
+        pii_counts,
+        redact_pii,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact alice.smith+spam@example.co.uk or bob@test.org today"),
+            (2, "call 555-867-5309 or 555.867.5309; ssn 123-45-6789 on file"),
+            (3, "server at 192.168.1.100 responded; no pii in 'version 1.2'"),
+            (4, "perfectly clean prose about spark windows and joins"),
+        ],
+        ["doc_id", "text"],
+    )
+    counts = {
+        r.doc_id: r
+        for r in docs.select("doc_id", *pii_counts("text").values()).collect()
+    }
+    assert counts[1].n_email == 2 and counts[1].n_phone == 0
+    assert counts[2].n_phone == 2 and counts[2].n_ssn == 1
+    assert counts[3].n_ipv4 == 1 and counts[3].n_email == 0
+    assert all(
+        counts[4][f"n_{k}"] == 0 for k in PII_PATTERNS
+    )
+    once = docs.select("doc_id", redact_pii("text").alias("text"))
+    # nothing detectable remains after one pass
+    residual = once.select("doc_id", *pii_counts("text").values()).collect()
+    for r in residual:
+        assert all(r[f"n_{k}"] == 0 for k in PII_PATTERNS), r
+    # idempotent: a second pass changes nothing
+    twice = once.select("doc_id", redact_pii("text").alias("text"))
+    assert {r.text for r in once.collect()} == {r.text for r in twice.collect()}
+    redacted = {r.doc_id: r.text for r in once.collect()}
+    assert redacted[1] == "contact [PII] or [PII] today"
+    assert "version 1.2" in redacted[3]  # conservative: prose untouched
+    assert redacted[4] == "perfectly clean prose about spark windows and joins"
