@@ -55,10 +55,22 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "d
 
 
 def shingle_sets(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
-    """(doc_id, shingle) exploded k-shingles — already distinct per doc
-    (``shingles`` applies array_distinct), so no dedup shuffle here."""
-    return docs.select(
-        F.col(id_col), F.explode(shingles(text_col, k)).alias("shingle")
+    """(doc_id, shingle) exploded k-shingles as portable 48-bit HASHES —
+    already distinct per doc as strings (``shingles`` applies
+    array_distinct) before hashing, so no dedup shuffle here.
+
+    Hashing before the explode leaves the executor means the Jaccard
+    self-join and the DF-cap window shuffle 8-byte longs instead of
+    ~20-byte shingle strings — the "text never shuffles" posture the rest
+    of the dedup tier already keeps.  A 48-bit collision (P ≈ n²/2⁴⁹ per
+    doc, ~1e-11 at fixture scale) would merge two shingles *identically in
+    both engines* (the oracle hashes the same way), so the gate stays
+    exact; production MinHash pipelines hash shingles anyway."""
+    exploded = docs.select(
+        F.col(id_col), F.explode(shingles(text_col, k)).alias("__s")
+    )
+    return exploded.select(
+        F.col(id_col), portable_hash64(F.col("__s")).alias("shingle")
     )
 
 

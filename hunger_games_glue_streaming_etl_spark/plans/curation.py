@@ -55,10 +55,15 @@ _QUALITY_SQL = f"""
     sh AS (
         SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS shingle FROM idx
     ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    shh AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5('0:' || shingle), 1, 12)) AS BIGINT) AS hsh
+        FROM sh
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shh GROUP BY doc_id),
     shared AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM shh a JOIN shh b ON a.hsh = b.hsh AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     ),
     near_dropped AS (

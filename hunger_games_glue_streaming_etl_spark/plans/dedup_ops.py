@@ -79,11 +79,15 @@ _BUCKETS = f"""
     )
 """
 
-_JACCARD = """
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+# hashed-shingle view: the Spark side joins 48-bit shingle hashes (text
+# never shuffles — operators.dedup.shingle_sets); same hash here keeps the
+# comparison exact even under a (astronomically unlikely) collision
+_JACCARD = f"""
+    shh AS (SELECT doc_id, {_PORTABLE_HASH} AS hsh FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shh GROUP BY doc_id),
     shared AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM shh a JOIN shh b ON a.hsh = b.hsh AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     ),
     jac AS (

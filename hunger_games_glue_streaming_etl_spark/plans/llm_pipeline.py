@@ -473,10 +473,13 @@ _PIPELINE_SQL = f"""
         SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS shingle
         FROM idx3
     ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh3 GROUP BY doc_id),
+    shh3 AS (
+        SELECT doc_id, {_phash_sql("shingle")} AS hsh FROM sh3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shh3 GROUP BY doc_id),
     shared AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
-        FROM sh3 a JOIN sh3 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM shh3 a JOIN shh3 b ON a.hsh = b.hsh AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     ),
     near_dropped AS (
