@@ -29,6 +29,17 @@ def pin(df: DataFrame) -> DataFrame:
 
 
 def release_pins() -> None:
-    """Unpersist every tracked intermediate (non-blocking)."""
+    """Unpersist every tracked intermediate (non-blocking).
+
+    A pin may belong to a SparkSession that has since been stopped (tests
+    and multi-session tools stop/recreate sessions); unpersisting through
+    the dead JVM handle raises, and a raise mid-drain used to leave the
+    remaining stale pins queued so every later registered query kept
+    failing.  Stale pins need no release — their blocks died with the
+    session — so swallow per-pin errors and always drain the list."""
     while _PINNED:
-        _PINNED.pop().unpersist()
+        df = _PINNED.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped; nothing left to release

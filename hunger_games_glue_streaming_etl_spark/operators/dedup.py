@@ -413,10 +413,21 @@ def simhash_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = 
     bits = SIMHASH_BITS
     n_words = (bits + 31) // 32
 
-    @pandas_udf(LongType())
-    def _fold(hashed: pd.Series) -> pd.Series:
+    def _fold_batch(hashed: pd.Series) -> pd.Series:
         if len(hashed) == 0:
             return pd.Series(np.empty(0, dtype=np.int64))
+        # NULL text -> NULL hash array; the expression form yields a NULL
+        # fingerprint for that row, so mirror it (and keep the fast path
+        # numpy-only when the batch has no nulls)
+        null_mask = np.fromiter(
+            (h is None for h in hashed), dtype=bool, count=len(hashed)
+        )
+        if null_mask.any():
+            out = pd.Series([None] * len(hashed), dtype="object")
+            present = [h for h in hashed if h is not None]
+            if present:
+                out[~null_mask] = _fold_batch(pd.Series(present)).values
+            return out
         counts = np.fromiter((len(h) for h in hashed), dtype=np.int64, count=len(hashed))
         total = int(counts.sum())
         if total == 0:
@@ -453,6 +464,10 @@ def simhash_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = 
             axis=1, dtype=np.uint64
         ).view(np.int64)
         return pd.Series(fp)
+
+    @pandas_udf(LongType())
+    def _fold(hashed: pd.Series) -> pd.Series:
+        return _fold_batch(hashed)
 
     hashed = docs.select(
         F.col(id_col), simhash_word_hashes(text_col, bits).alias("__h")

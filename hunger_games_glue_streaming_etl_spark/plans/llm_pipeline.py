@@ -138,29 +138,36 @@ _PACK_BASE = f"""
 """
 
 
-def _packed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+def _pack_manifest(t: DataFrame) -> DataFrame:
+    """The packing window over any (doc_id, source, n_tokens, ...) frame —
+    ONE definition shared by `pack_sequences_concat`/`_stats` and
+    `pipeline_pretrain_corpus`, so a capacity/offset change can never
+    desynchronize the standalone stage from the composed pipeline.
+    Carries every input column through, adding start_off/chunk_first/
+    chunk_last."""
     w = (
         Window.partitionBy("source")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    toks = docs.select(
-        "doc_id", "source", token_count("text").cast("int").alias("n_tokens")
-    )
-    off = toks.withColumn(
+    off = t.withColumn(
         "start_off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
     )
     return off.select(
-        "doc_id",
-        "source",
-        "n_tokens",
-        "start_off",
+        "*",
         F.expr(f"start_off div {PACK_CAPACITY}").cast("long").alias("chunk_first"),
         F.expr(f"(start_off + n_tokens - 1) div {PACK_CAPACITY}")
         .cast("long")
         .alias("chunk_last"),
     )
+
+
+def _packed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", token_count("text").cast("int").alias("n_tokens")
+    )
+    return _pack_manifest(toks)
 
 
 @register(
@@ -283,6 +290,24 @@ def _mix_rate_sql() -> str:
     return f"CASE {cases} ELSE 0 END"
 
 
+# Spark twins of the mix SQL above — ONE definition each, shared by
+# `mix_weighted_sample` and `pipeline_pretrain_corpus` so the hash salt /
+# rate table can never silently diverge between the standalone stage and
+# the composed pipeline.
+def _mix_bucket_col() -> "F.Column":
+    return (
+        portable_hash64(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+        % 10000
+    )
+
+
+def _mix_rate_col() -> "F.Column":
+    rate = F.lit(0)
+    for lang, bp in MIX_RATES_BP.items():
+        rate = F.when(F.col("lang") == lang, bp).otherwise(rate)
+    return rate
+
+
 @register(
     "mix_weighted_sample",
     oracle=f"""
@@ -305,16 +330,9 @@ def mix_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     48-bit md5 prefix, uniform enough that realized rates track targets
     at corpus scale."""
     docs = load_table(spark, sf_dir, "documents")
-    bucket = (
-        portable_hash64(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
-        % 10000
-    )
-    rate = F.lit(0)
-    for lang, bp in MIX_RATES_BP.items():
-        rate = F.when(F.col("lang") == lang, bp).otherwise(rate)
     return (
-        docs.withColumn("bucket", bucket.cast("long"))
-        .filter(F.col("bucket") < rate)
+        docs.withColumn("bucket", _mix_bucket_col().cast("long"))
+        .filter(F.col("bucket") < _mix_rate_col())
         .select("doc_id", "lang", "source", "bucket")
     )
 
@@ -410,10 +428,12 @@ def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # cell ids in the output are the centroid vec_ids (= 0..7 only if ids
     # are dense; map through the actual seed ids so sparse/UUID-keyed
-    # tables work — the round-2 IVF seeding lesson)
+    # tables work — the round-2 IVF seeding lesson).  Tables smaller than
+    # SEMANTIC_CELLS seed fewer cells — clamp to what exists.
     seed_ids = [r.vec_id for r in seeds]
+    n_cells = len(seed_ids)
     cell_id = F.lit(seed_ids[-1])
-    for i in reversed(range(SEMANTIC_CELLS - 1)):
+    for i in reversed(range(n_cells - 1)):
         cell_id = F.when(F.col("__cell") == i, F.lit(seed_ids[i])).otherwise(cell_id)
     cells = cells.select(
         F.col("vec_id"), cell_id.cast("long").alias("cell_id"), "embedding"
@@ -589,31 +609,13 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     kept = train.join(flagged, "doc_id", "left_anti")
-    bucket = (
-        portable_hash64(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
-        % 10000
-    )
-    rate = F.lit(0)
-    for lang, bp in MIX_RATES_BP.items():
-        rate = F.when(F.col("lang") == lang, bp).otherwise(rate)
-    mixed = kept.filter(bucket < rate)
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    mixed = kept.filter(_mix_bucket_col() < _mix_rate_col())
     t = mixed.select(
         "doc_id", "lang", "source", token_count("text").cast("int").alias("n_tokens")
     )
-    off = t.withColumn(
-        "start_off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
-    )
-    return off.select(
+    return _pack_manifest(t).select(
         "doc_id", "lang", "source", "n_tokens", "start_off",
-        F.expr(f"start_off div {PACK_CAPACITY}").cast("long").alias("chunk_first"),
-        F.expr(f"(start_off + n_tokens - 1) div {PACK_CAPACITY}")
-        .cast("long")
-        .alias("chunk_last"),
+        "chunk_first", "chunk_last",
     )
 
 
@@ -730,30 +732,38 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical across engines; ``ln``-idf is not).  Per-term partial
     scores are summed in fixed query order on both sides.
 
-    At scale: per-term tf is one partial-agg shuffle over only the rows
-    matching query terms (the filter pushes into the explode); doc-length
-    and df sides are broadcast scalars; top-k is TakeOrderedAndProject."""
+    At scale: ONE tokenize+explode serves doc lengths and all per-term
+    stats (the pinned token stream is aggregated twice — per-doc lengths,
+    and a pivot over only query-term rows); n/avgdl/df sides are 1-row
+    broadcasts; top-k is TakeOrderedAndProject."""
+    from ..caching import pin
+
+    terms = list(BM25_QUERY_TERMS)
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
-    dl = docs.select(
-        "doc_id", token_count("text").cast("int").alias("dl")
+    toks = pin(docs.select("doc_id", F.explode(tokens("text")).alias("term")))
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("int").alias("dl"))
+    n_stats = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    avg_stats = dl.agg((F.sum("dl") * 1.0 / F.count("*")).alias("avgdl"))
+    # one pass for every term's tf: pivot with an explicit value list
+    # (deterministic columns), then df = per-column non-null count
+    tf_all = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy("doc_id")
+        .pivot("term", terms)
+        .count()
+        .select("doc_id", *[F.col(t).alias(f"tf_{t}") for t in terms])
     )
-    n_stats = docs.agg(
-        F.count("*").cast("long").alias("n_docs"),
+    df_all = tf_all.agg(
+        *[F.count(F.col(f"tf_{t}")).cast("long").alias(f"df_{t}") for t in terms]
     )
-    avg_stats = dl.agg(
-        (F.sum("dl") * 1.0 / F.count("*")).alias("avgdl")
+    scored = (
+        dl.join(tf_all, "doc_id", "left")
+        .crossJoin(F.broadcast(n_stats))
+        .crossJoin(F.broadcast(avg_stats))
+        .crossJoin(F.broadcast(df_all))
     )
-    scored = dl.crossJoin(F.broadcast(n_stats)).crossJoin(F.broadcast(avg_stats))
     score = None
-    for t in BM25_QUERY_TERMS:
-        tf = (
-            toks.filter(F.col("term") == t)
-            .groupBy("doc_id")
-            .agg(F.count("*").alias(f"tf_{t}"))
-        )
-        dfreq = tf.agg(F.count("*").cast("long").alias(f"df_{t}"))
-        scored = scored.join(tf, "doc_id", "left").crossJoin(F.broadcast(dfreq))
+    for t in terms:
         term_score = F.coalesce(
             F.col(f"tf_{t}")
             * (BM25_K1 + 1.0)

@@ -90,7 +90,9 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS via the SQL entry path (temp view = the
     engine's catalog surface, SURVEY.md §1.3)."""
     orders = load_table(spark, sf_dir, "orders")
-    view = f"orders_{uuid.uuid4().hex[:8]}"
+    # deterministic name: repeated invocations REPLACE instead of leaking
+    # a uuid-suffixed view (+ its logical plan) per call
+    view = "orders_sqlview"
     orders.createOrReplaceTempView(view)
     return spark.sql(
         f"""
@@ -124,7 +126,7 @@ def sql_api_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     this entry pins the SQL front-end as a first-class surface."""
     views = {}
     for t in ("customer", "orders", "lineitem"):
-        v = f"{t}_{uuid.uuid4().hex[:8]}"
+        v = f"{t}_sqlview"  # deterministic: replace, don't leak per call
         load_table(spark, sf_dir, t).createOrReplaceTempView(v)
         views[t] = v
     return spark.sql(

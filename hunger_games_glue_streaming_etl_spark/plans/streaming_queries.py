@@ -71,15 +71,24 @@ def _stage_events_stream_impl(spark: SparkSession, sf_dir: str, n_batches: int) 
         "__batch",
         (F.col("event_id") * n_batches / (max_id + 1)).cast("int") + 1,
     )
-    out = os.path.join(tempfile.gettempdir(), f"hg_stream_{uuid.uuid4().hex[:8]}")
-    os.makedirs(out)
-    (
-        events.withColumn("ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
-        .write.partitionBy("__batch")
-        .mode("overwrite")
-        .json(out + "/staged")
+    dst = _write_and_flatten_batches(
+        events.withColumn("ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")),
+        prefix="hg_stream",
     )
-    # flatten the partition dirs into sequentially-named files
+    _stage_cache[sf_dir] = dst
+    return dst
+
+
+def _write_and_flatten_batches(staged: "DataFrame", prefix: str) -> str:
+    """Shared staging mechanics for every replay source: write the frame
+    partitioned by its ``__batch`` column, then flatten each partition dir
+    into one sequentially-named JSON-lines file (the file source replays
+    files in name order ⇒ one file per micro-batch slot).  Part files are
+    concatenated in sorted order so staging is deterministic even when an
+    upstream repartition writes multiple parts per batch."""
+    out = os.path.join(tempfile.gettempdir(), f"{prefix}_{uuid.uuid4().hex[:8]}")
+    os.makedirs(out)
+    staged.write.partitionBy("__batch").mode("overwrite").json(out + "/staged")
     src_root = out + "/staged"
     dst = out + "/stream"
     os.makedirs(dst)
@@ -87,12 +96,13 @@ def _stage_events_stream_impl(spark: SparkSession, sf_dir: str, n_batches: int) 
         if not d.startswith("__batch="):
             continue
         b = int(d.split("=")[1])
-        parts = [f for f in os.listdir(os.path.join(src_root, d)) if f.endswith(".json")]
+        parts = sorted(
+            f for f in os.listdir(os.path.join(src_root, d)) if f.endswith(".json")
+        )
         with open(os.path.join(dst, f"batch_{b:03d}.json"), "w") as fout:
             for p in parts:
                 with open(os.path.join(src_root, d, p)) as fin:
                     fout.write(fin.read())
-    _stage_cache[sf_dir] = dst
     return dst
 
 
@@ -406,24 +416,10 @@ def _stage_documents_stream(
             "yyyy-MM-dd HH:mm:ss",
         ),
     )
-    out = os.path.join(tempfile.gettempdir(), f"hg_docs_{uuid.uuid4().hex[:8]}")
-    os.makedirs(out)
-    staged.select("doc_id", "text", "lang", "source", "ingest_ts", "__batch").write.partitionBy(
-        "__batch"
-    ).mode("overwrite").json(out + "/staged")
-    src_root, dst = out + "/staged", out + "/stream"
-    os.makedirs(dst)
-    for d in sorted(os.listdir(src_root)):
-        if not d.startswith("__batch="):
-            continue
-        b = int(d.split("=")[1])
-        parts = [
-            f for f in os.listdir(os.path.join(src_root, d)) if f.endswith(".json")
-        ]
-        with open(os.path.join(dst, f"batch_{b:03d}.json"), "w") as fout:
-            for p in parts:
-                with open(os.path.join(src_root, d, p)) as fin:
-                    fout.write(fin.read())
+    dst = _write_and_flatten_batches(
+        staged.select("doc_id", "text", "lang", "source", "ingest_ts", "__batch"),
+        prefix="hg_docs",
+    )
     _doc_stage_cache[sf_dir] = dst
     return dst
 

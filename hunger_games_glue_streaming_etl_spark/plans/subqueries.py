@@ -13,8 +13,6 @@ exercised; the DuckDB oracle runs textually near-identical SQL.
 
 from __future__ import annotations
 
-import uuid
-
 from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.batch import load_table
@@ -22,9 +20,13 @@ from .registry import register
 
 
 def _views(spark: SparkSession, sf_dir: str, *tables: str) -> dict[str, str]:
+    """Deterministic per-table view names so repeated invocations REPLACE
+    instead of accumulating — a uuid suffix here leaked 2-3 orphaned
+    temp views (each holding a logical plan) per call across a
+    BENCH_REPEATS contract run."""
     out = {}
     for t in tables:
-        v = f"{t}_{uuid.uuid4().hex[:8]}"
+        v = f"{t}_subq"
         load_table(spark, sf_dir, t).createOrReplaceTempView(v)
         out[t] = v
     return out

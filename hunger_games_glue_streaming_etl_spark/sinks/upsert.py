@@ -61,6 +61,7 @@ class ParquetLatestSink:
         seq_cols: str | Sequence[str],
         n_buckets: int = 16,
         track_changes: bool = False,
+        lineage_id: str | None = None,
     ) -> None:
         self.spark = spark
         self.path = path
@@ -68,6 +69,13 @@ class ParquetLatestSink:
         self.seq_cols = [seq_cols] if isinstance(seq_cols, str) else list(seq_cols)
         self.n_buckets = n_buckets
         self.track_changes = track_changes
+        # foreachBatch epoch ids are scoped to ONE query lineage (its
+        # checkpoint): a fresh/cleared checkpoint restarts them at 0, and
+        # an unscoped `epoch <= committed` gate would then silently skip
+        # every batch until the new query catches up to the old counter.
+        # Callers pass the checkpoint location (streaming.pipeline does);
+        # a lineage change resets the committed-epoch tracking.
+        self.lineage_id = lineage_id or "default"
 
     @property
     def changes_path(self) -> str:
@@ -133,10 +141,25 @@ class ParquetLatestSink:
         return os.path.join(self.path, "_last_epoch")
 
     def _committed_epoch(self) -> int | None:
+        """Committed epoch FOR THIS LINEAGE — a marker written by a query
+        with a different checkpoint lineage doesn't gate this one (its
+        epoch counter is unrelated; the idempotent merge keeps replays
+        safe either way).  Legacy single-line markers predate lineage
+        scoping and are read as lineage 'default'."""
         try:
             with open(self._epoch_marker_path()) as f:
-                return int(f.read().strip())
-        except (OSError, ValueError):
+                lines = f.read().strip().splitlines()
+        except OSError:
+            return None
+        try:
+            if len(lines) == 1:
+                marker_lineage, epoch_s = "default", lines[0]
+            else:
+                marker_lineage, epoch_s = lines[0], lines[1]
+            if marker_lineage != self.lineage_id:
+                return None
+            return int(epoch_s)
+        except (ValueError, IndexError):
             return None
 
     def _commit_epoch(self, epoch_id: int) -> None:
@@ -145,7 +168,7 @@ class ParquetLatestSink:
         # never half-written
         tmp = self._epoch_marker_path() + ".tmp"
         with open(tmp, "w") as f:
-            f.write(str(epoch_id))
+            f.write(f"{self.lineage_id}\n{epoch_id}")
         os.replace(tmp, self._epoch_marker_path())
 
     def _emit_changes(

@@ -74,6 +74,11 @@ def start_tribute_stream(
     latest = ParquetLatestSink(
         spark, latest_path, keys="tributeId", seq_cols="seq",
         track_changes=track_changes,
+        # epoch ids are per-checkpoint: scoping the exactly-once gate to
+        # the checkpoint lineage means a fresh checkpoint (epoch counter
+        # restarts at 0) resets tracking instead of silently skipping
+        # every batch until the old counter is passed
+        lineage_id=checkpoint_path,
     )
     archive = JsonArchiveSink(archive_path)
 

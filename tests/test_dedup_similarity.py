@@ -95,6 +95,7 @@ def test_simhash_kernel_matches_expression_form(spark):
             (3, "  a\tb\nc  d   e "),
             (4, "spark " * 300),
             (5, "the quick brown fox jumps over the lazy dog"),
+            (6, None),  # NULL text -> NULL fingerprint, not a kernel crash
         ],
         ["doc_id", "text"],
     )

@@ -265,3 +265,28 @@ def test_changes_disabled_by_default_and_epoch_optional(spark, tmp_path):
     assert {r["k"]: r["v"] for r in sink.read().collect()} == {"a": "a2"}
     assert not os.path.exists(os.path.join(path, "_last_epoch"))
     assert not os.path.exists(path + "_changes")
+
+
+def test_epoch_gate_is_scoped_to_checkpoint_lineage(spark, tmp_path):
+    """A fresh checkpoint restarts foreachBatch epoch ids at 0; the
+    exactly-once gate must reset with it instead of silently skipping
+    every batch until the new query passes the old counter.  Same-lineage
+    redelivery still skips."""
+    path = str(tmp_path / "latest")
+    df = lambda rows: spark.createDataFrame(rows, "k string, seq long, v string")
+
+    a = ParquetLatestSink(spark, path, keys="k", seq_cols="seq", lineage_id="cp1")
+    a.upsert(df([("a", 1, "v1")]), epoch_id=0)
+    a.upsert(df([("a", 2, "v2")]), epoch_id=1)
+    # same lineage, committed epoch -> no-op (exactly-once)
+    a.upsert(df([("a", 9, "SHOULD_NOT_APPLY")]), epoch_id=1)
+    assert {r["v"] for r in a.read().collect()} == {"v2"}
+
+    # new lineage (fresh checkpoint), epoch counter restarts at 0:
+    # the batch MUST apply
+    b = ParquetLatestSink(spark, path, keys="k", seq_cols="seq", lineage_id="cp2")
+    b.upsert(df([("a", 3, "v3")]), epoch_id=0)
+    assert {r["v"] for r in b.read().collect()} == {"v3"}
+    # and the gate now tracks the new lineage
+    b.upsert(df([("a", 9, "SHOULD_NOT_APPLY")]), epoch_id=0)
+    assert {r["v"] for r in b.read().collect()} == {"v3"}
