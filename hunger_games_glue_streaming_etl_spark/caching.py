@@ -36,10 +36,20 @@ def release_pins() -> None:
     the dead JVM handle raises, and a raise mid-drain used to leave the
     remaining stale pins queued so every later registered query kept
     failing.  Stale pins need no release — their blocks died with the
-    session — so swallow per-pin errors and always drain the list."""
+    session — so they are SKIPPED (detected via the context's stopped
+    flag) rather than caught: a live-session unpersist failure is a real
+    cache-leak bug and must surface, not be swallowed (ADVICE r03)."""
     while _PINNED:
         df = _PINNED.pop()
-        try:
-            df.unpersist()
-        except Exception:
-            pass  # session already stopped; nothing left to release
+        if _session_stopped(df):
+            continue  # blocks died with the session; nothing to release
+        df.unpersist()
+
+
+def _session_stopped(df: DataFrame) -> bool:
+    """True if the frame's SparkContext is gone or already stopped."""
+    try:
+        sc = df.sparkSession.sparkContext
+        return sc._jsc is None or sc._jsc.sc().isStopped()
+    except Exception:
+        return True  # can't even reach the session -> treat as stopped

@@ -9,6 +9,7 @@ from . import (  # noqa: E402,F401
     curation,
     dedup_ops,
     event_time,
+    graph_ops,
     llm_pipeline,
     multimodal_ops,
     scalars,
@@ -24,5 +25,86 @@ from . import (  # noqa: E402,F401
     text_ops,
     windows,
 )
+
+# ---------------------------------------------------------------------------
+# Registry-order control for the driver's CORRECTNESS sample.
+#
+# The driver records rows for the FIRST ~50 registry keys (dict iteration
+# order).  Rounds 1-3 sampled the same long-green prefix, leaving 40 entries
+# with no recorded correctness row ever (VERDICT r03 "What's wrong #5").
+# Put those never-sampled entries (plus q5, whose de-vacuation needs a
+# recorded row, and this round's new entries) first; the 60+ entries that
+# already have green rows in CORRECTNESS_r01-r03 follow in import order.
+# ---------------------------------------------------------------------------
+_SAMPLE_FIRST = [
+    # streaming tier (7) — round-3's headline oracles, never recorded
+    "streaming_tumbling_agg",
+    "streaming_keyed_dedup",
+    "streaming_stream_stream_join",
+    "streaming_running_state",
+    "streaming_session_window",
+    "streaming_left_outer_join",
+    "streaming_corpus_ingest",
+    # de-vacuated gate (VERDICT r03 #2) — needs a recorded spark_rows > 0
+    "q5_local_supplier_volume",
+    # SQL front-end subqueries (3)
+    "subquery_correlated_avg",
+    "subquery_not_exists_agg",
+    "subquery_in_having",
+    # window functions (5)
+    "window_rank_dense",
+    "window_lag_lead",
+    "window_running_frame",
+    "window_topk_per_group",
+    "window_distribution_funcs",
+    # UDF/UDAF/UDTF surface (4)
+    "udf_pandas_zscore",
+    "udtf_token_positions",
+    "udf_grouped_map_normalize",
+    "udaf_grouped_agg_median",
+    # LLM-pipeline entries without a recorded row (6)
+    "pipeline_pretrain_corpus",
+    "text_bm25_search",
+    "mix_weighted_sample",
+    "shuffle_training_order",
+    "semantic_dedup_cells",
+    "corpus_token_budget_select",
+    # round-4 additions (need their first recorded row)
+    "pii_scrub_planted",
+    "dedup_cluster_components",
+    "dedup_cluster_canonical_keep",
+    # reference-corpus parity + temporal joins + SCD-adjacent
+    "tribute_status_reference_corpus",
+    "asof_latest_purchase_before_click",
+    "range_join_value_bands",
+    # similarity tier without a recorded row (7)
+    "sim_lsh_ann_topk_fullprobe",
+    "sim_ivf_ann_topk_fullprobe",
+    "sim_pq_ann_topk",
+    "sim_ivf_recall_check",
+    "sim_pq_recall_check",
+    "sim_lsh_bucket_stats",
+    "multimodal_real_codec_features",
+    # sources + straggler relational entries
+    "scan_csv_explicit_schema",
+    "scan_json_explicit_schema",
+    "scan_orc_roundtrip",
+    "agg_grouping_sets",
+    "sql_api_shipping_priority",
+]
+
+
+def _reorder_for_sampling() -> None:
+    front = [n for n in _SAMPLE_FIRST if n in QUERIES]
+    rest = [n for n in QUERIES if n not in set(front)]
+    ordered = {n: QUERIES[n] for n in front + rest}
+    QUERIES.clear()
+    QUERIES.update(ordered)
+    oracle_ordered = {n: ORACLE[n] for n in front + rest if n in ORACLE}
+    ORACLE.clear()
+    ORACLE.update(oracle_ordered)
+
+
+_reorder_for_sampling()
 
 __all__ = ["ORACLE", "QUERIES", "register"]

@@ -262,7 +262,7 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
     JOIN nation   ON s_nationkey = n_nationkey
     JOIN region   ON n_regionkey = r_regionkey
-    WHERE r_name = 'REGION_0'
+    WHERE r_name = 'EUROPE'
     GROUP BY n_name
     """,
 )
@@ -270,7 +270,12 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: six-table join (two big facts + four dims) with the
     same-nation customer/supplier correlation.  Plan shape at scale: the
     region filter prunes through broadcast nation/region; customer/supplier
-    broadcast; the only large shuffle is orders ⋈ lineitem on orderkey."""
+    broadcast; the only large shuffle is orders ⋈ lineitem on orderkey.
+
+    The region literal is 'EUROPE' (the fixtures use TPC-H region names) —
+    the earlier 'REGION_0' literal matched nothing, making the gate vacuous
+    (VERDICT r03 #2); non-empty at sf0.001 (75 base rows) and sf0.01 (334)
+    is asserted in tests/test_core_queries.py."""
     t = {n: load_table(spark, sf_dir, n) for n in
          ("customer", "orders", "lineitem", "supplier", "nation", "region")}
     return (
@@ -284,7 +289,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(t["nation"]), t["supplier"].s_nationkey == t["nation"].n_nationkey)
         .join(F.broadcast(t["region"]), t["nation"].n_regionkey == t["region"].r_regionkey)
-        .filter(F.col("r_name") == "REGION_0")
+        .filter(F.col("r_name") == "EUROPE")
         .groupBy("n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
     )

@@ -1,0 +1,126 @@
+"""Near-dup cluster queries: connected components over the MinHash-LSH
+candidate pairs, and the canonical-keep roster derived from them.
+
+The pair detectors (``plans/dedup_ops.py``) stop at (id_a, id_b) edges;
+these entries close the loop to what a curation pipeline actually applies:
+transitive clusters and one kept doc per cluster.  The oracle replays the
+SAME pair SQL (string-reused from the registered pairs entry, so the two
+can never diverge) and closes the transitive hull with a recursive CTE —
+DuckDB's fixpoint semantics for ``WITH RECURSIVE ... UNION`` match the
+min-label propagation exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import minhash_lsh_pairs
+from ..operators.graph import component_sizes, connected_components
+from ..sources.batch import load_table
+from .registry import ORACLE, register
+
+# the registered pairs oracle is a complete WITH...SELECT statement;
+# nesting it as a CTE body keeps both engines' edge sets definitionally
+# identical (DuckDB allows a WITH inside a CTE's parenthesized subquery)
+_PAIRS_SQL = ORACLE["dedup_minhash_lsh_pairs"]
+
+_COMPONENTS_SQL = f"""
+    WITH RECURSIVE pairs AS (
+        {_PAIRS_SQL}
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.label
+        FROM reach r JOIN edges e ON r.node = e.src
+    ),
+    lab AS (
+        SELECT node AS doc_id, MIN(label) AS component_id
+        FROM reach GROUP BY node
+    )
+"""
+
+
+@register(
+    "dedup_cluster_components",
+    oracle=f"""
+    {_COMPONENTS_SQL}
+    SELECT doc_id, component_id,
+           CAST(COUNT(*) OVER (PARTITION BY component_id) AS BIGINT)
+               AS component_size
+    FROM lab
+    """,
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document labeled with its near-dup cluster: connected
+    components over the MinHash-LSH pair edges (min-reachable-id label,
+    fully deterministic), plus the cluster size.  Singletons label
+    themselves — the output covers the whole corpus, so the entry can
+    never be vacuous.
+
+    At scale: the propagation loop shuffles (node, label) longs only —
+    one shuffle per round, diameter rounds total (near-dup clusters are
+    dense; ≤ 4 rounds on every fixture sf) — then one shuffle for sizes.
+    The pair edges come from the SAME operator the pairs entry registers,
+    so cluster semantics inherit the DF-capped, hash-keyed candidate
+    join."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs)
+    labels = connected_components(
+        docs.select("doc_id"),
+        pairs.select("id_a", "id_b"),
+        id_col="doc_id",
+        src_col="id_a",
+        dst_col="id_b",
+    )
+    return component_sizes(labels).select(
+        F.col("node").alias("doc_id"), "component_id", "component_size"
+    )
+
+
+@register(
+    "dedup_cluster_canonical_keep",
+    oracle=f"""
+    {_COMPONENTS_SQL}
+    SELECT component_id AS canonical_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+    FROM lab
+    GROUP BY component_id
+    HAVING COUNT(*) > 1
+    """,
+)
+def dedup_cluster_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep/drop decision near-dedup exists for: one canonical doc per
+    multi-member cluster (min doc_id — deterministic), with member and
+    drop counts.  Clusters of size 1 are unique docs and never surface
+    here; the planted fixture corpus guarantees non-vacuity (25 pairs →
+    multi-member clusters at every sf)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs)
+    labels = connected_components(
+        docs.select("doc_id"),
+        pairs.select("id_a", "id_b"),
+        id_col="doc_id",
+        src_col="id_a",
+        dst_col="id_b",
+    )
+    return (
+        labels.groupBy("component_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            (F.count("*") - 1).alias("n_dropped"),
+        )
+        .filter(F.col("n_members") > 1)
+        .select(
+            F.col("component_id").alias("canonical_id"),
+            "n_members",
+            "n_dropped",
+        )
+    )

@@ -34,6 +34,7 @@ buckets only, so changelog cost is O(batch) like the merge itself.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 from collections.abc import Sequence
@@ -76,6 +77,11 @@ class ParquetLatestSink:
         # Callers pass the checkpoint location (streaming.pipeline does);
         # a lineage change resets the committed-epoch tracking.
         self.lineage_id = lineage_id or "default"
+        # the marker stores a fixed-width md5 of the lineage, not the raw
+        # string: lineage_id is any caller-supplied value (typically a
+        # checkpoint path) and a newline in it would desynchronize the
+        # two-line marker format (ADVICE r03)
+        self._lineage_token = hashlib.md5(self.lineage_id.encode()).hexdigest()
 
     @property
     def changes_path(self) -> str:
@@ -144,8 +150,11 @@ class ParquetLatestSink:
         """Committed epoch FOR THIS LINEAGE — a marker written by a query
         with a different checkpoint lineage doesn't gate this one (its
         epoch counter is unrelated; the idempotent merge keeps replays
-        safe either way).  Legacy single-line markers predate lineage
-        scoping and are read as lineage 'default'."""
+        safe either way).  The marker stores md5(lineage_id) — fixed
+        width, newline-proof.  Legacy single-line markers predate lineage
+        scoping and are read as lineage 'default'; two-line markers from
+        the verbatim-lineage format hash-mismatch and reset the gate,
+        which the idempotent merge absorbs."""
         try:
             with open(self._epoch_marker_path()) as f:
                 lines = f.read().strip().splitlines()
@@ -153,10 +162,11 @@ class ParquetLatestSink:
             return None
         try:
             if len(lines) == 1:
-                marker_lineage, epoch_s = "default", lines[0]
+                marker_token = hashlib.md5(b"default").hexdigest()
+                epoch_s = lines[0]
             else:
-                marker_lineage, epoch_s = lines[0], lines[1]
-            if marker_lineage != self.lineage_id:
+                marker_token, epoch_s = lines[0], lines[1]
+            if marker_token != self._lineage_token:
                 return None
             return int(epoch_s)
         except (ValueError, IndexError):
@@ -168,7 +178,7 @@ class ParquetLatestSink:
         # never half-written
         tmp = self._epoch_marker_path() + ".tmp"
         with open(tmp, "w") as f:
-            f.write(f"{self.lineage_id}\n{epoch_id}")
+            f.write(f"{self._lineage_token}\n{epoch_id}")
         os.replace(tmp, self._epoch_marker_path())
 
     def _emit_changes(

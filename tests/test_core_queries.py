@@ -23,6 +23,13 @@ def test_every_oracle_has_query():
     assert set(ORACLE) <= set(QUERIES)
 
 
+def test_q5_gate_is_not_vacuous(spark):
+    """CLAUDE.md round-1 rule: no query may be vacuous.  q5 silently
+    returned 0 rows for three rounds because its region literal didn't
+    exist in the fixtures (VERDICT r03 #2) — pin a non-empty result."""
+    assert QUERIES["q5_local_supplier_volume"](spark, SF_DIR).count() > 0
+
+
 def test_curation_pipeline_every_stage_bites(spark):
     """The fixture corpus has no exact duplicates, so the registered
     query's hash check cannot catch a broken canonical-keep stage — this

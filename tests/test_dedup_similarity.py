@@ -21,6 +21,57 @@ from hunger_games_glue_streaming_etl_spark.sources.batch import load_table
 from conftest import SF_DIR
 
 
+def test_assign_cluster_kernel_matches_expression_path(spark):
+    """The Arrow assignment kernel (k > 16 path) must produce EXACTLY the
+    expression path's cluster ids: its column-at-a-time accumulation is
+    the same left-fold add sequence, so even near-tie argmaxes agree.
+    Forced on 20 centroids (past the auto-switch threshold)."""
+    from hunger_games_glue_streaming_etl_spark.operators.similarity import (
+        _assign_cluster,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    seeds = emb.orderBy("vec_id").limit(20).collect()
+    cents = [[float(x) for x in r.embedding] for r in seeds]
+    expr = {
+        r["vec_id"]: r["__cluster"]
+        for r in _assign_cluster(emb, cents, "embedding", kernel=False)
+        .select("vec_id", "__cluster")
+        .collect()
+    }
+    kern = {
+        r["vec_id"]: r["__cluster"]
+        for r in _assign_cluster(emb, cents, "embedding", kernel=True)
+        .select("vec_id", "__cluster")
+        .collect()
+    }
+    assert expr == kern and len(expr) == emb.count()
+
+
+def test_connected_components_golden_graph(spark):
+    """Hand-checkable fixpoint: a 4-node chain (transitive closure across
+    edges that were never a direct pair), a 2-node island, and a singleton
+    — labels are the min reachable id, sizes count whole components."""
+    from hunger_games_glue_streaming_etl_spark.operators.graph import (
+        component_sizes,
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 7, 8, 9]], ["id"])
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (7, 8)], ["src", "dst"]
+    )
+    out = {
+        r["node"]: (r["component_id"], r["component_size"])
+        for r in component_sizes(connected_components(nodes, edges)).collect()
+    }
+    assert out == {
+        1: (1, 4), 2: (1, 4), 3: (1, 4), 4: (1, 4),
+        7: (7, 2), 8: (7, 2),
+        9: (9, 1),
+    }
+
+
 def test_exact_dedup_finds_planted_duplicates(spark):
     docs = spark.createDataFrame(
         [

@@ -99,6 +99,67 @@ def test_semantic_cell_pairs_subset_of_exact_pairs(spark, queries):
     assert {(r.id_a, r.id_b) for r in cells} <= exact
 
 
+def test_semantic_cells_pair_exchange_ships_keys_only(spark, queries):
+    """VERDICT r03 #3 done-criterion: with broadcast disabled, the
+    within-cell self-join shuffles on cell_id carrying ONLY (id, cell_id)
+    keys — vectors re-attach by id downstream, so no array column rides
+    the pair exchange."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = queries["semantic_dedup_cells"](spark, SF_DIR)
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = df._jdf.queryExecution().explainString(mode)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    blocks = plan.split("\n\n")
+    exchanges = [
+        b for b in blocks
+        if "Exchange" in b and "hashpartitioning(cell_id" in b
+    ]
+    assert exchanges, plan  # the keys-only self-join exchange must exist
+    for b in exchanges:
+        assert "embedding" not in b and "__v" not in b, b
+
+
+def test_semantic_dedup_lloyd_path_still_subset_of_exact(spark, queries):
+    """The learned-centroid variant (lloyd_iterations > 0) keeps the
+    SemDeDup invariant: every within-cell pair re-verifies against the
+    exact dot, so pairs ⊆ the exact O(n²) pair set regardless of where
+    the centroids land.  (The contract entry keeps iterations=0 so the
+    oracle can replay seeding; this covers the learned path.)"""
+    from hunger_games_glue_streaming_etl_spark.operators.similarity import (
+        semantic_dedup_pairs,
+    )
+    from hunger_games_glue_streaming_etl_spark.sources.batch import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    pairs = semantic_dedup_pairs(emb, lloyd_iterations=1).collect()
+    assert pairs  # non-vacuous on the fixture corpus
+    exact = {
+        (r.id_a, r.id_b)
+        for r in queries["dedup_embedding_cosine_pairs"](spark, SF_DIR).collect()
+    }
+    assert {(r.id_a, r.id_b) for r in pairs} <= exact
+
+
+def test_bm25_operator_takes_arbitrary_terms(spark, oracle_con):
+    """VERDICT r03 #8: bm25_topk is a library operator, not just the fixed
+    contract triple — an alternate query term set must still match the
+    parameterized DuckDB oracle (run at the conftest sf0.001 views)."""
+    from conftest import SF_DIR as UNIT_SF_DIR, assert_matches_oracle
+
+    from hunger_games_glue_streaming_etl_spark.operators.text_search import bm25_topk
+    from hunger_games_glue_streaming_etl_spark.plans.llm_pipeline import _bm25_sql
+    from hunger_games_glue_streaming_etl_spark.sources.batch import load_table
+
+    docs = load_table(spark, UNIT_SF_DIR, "documents")
+    out = bm25_topk(docs, ("scan", "merge"))
+    assert out.count() > 0
+    assert_matches_oracle(out, oracle_con, _bm25_sql(("scan", "merge")))
+
+
 def test_tfidf_ranks_are_dense_per_doc(spark, queries):
     rows = queries["text_tfidf_top_terms"](spark, SF_DIR).collect()
     by_doc = defaultdict(list)
