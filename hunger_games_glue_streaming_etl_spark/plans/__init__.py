@@ -10,10 +10,12 @@ from . import (  # noqa: E402,F401
     dedup_ops,
     event_time,
     graph_ops,
+    layout_ops,
     llm_pipeline,
     multimodal_ops,
     scalars,
     scd_ops,
+    segment_ops,
     setops_sort,
     similarity_ops,
     sources_sql,
@@ -73,6 +75,10 @@ _SAMPLE_FIRST = [
     "pii_scrub_planted",
     "dedup_cluster_components",
     "dedup_cluster_canonical_keep",
+    "text_duplicate_segments",
+    "text_segment_dedup_stats",
+    "layout_zorder_file_stats",
+    "layout_zorder_pruning_ratio",
     # reference-corpus parity + temporal joins + SCD-adjacent
     "tribute_status_reference_corpus",
     "asof_latest_purchase_before_click",

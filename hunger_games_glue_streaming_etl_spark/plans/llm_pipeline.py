@@ -710,9 +710,16 @@ def corpus_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("budget:"), F.col("doc_id").cast("string"))
         ).alias("__hv"),
     )
+    from ..caching import pin
+
     # portable_hash64 is uniform in [0, 2^48); the top log2(parts) bits
-    # slice that range into ordered, disjoint sub-ranges
-    t = t.withColumn("__part", F.shiftright(F.col("__hv"), 48 - _BUDGET_PARTS_BITS))
+    # slice that range into ordered, disjoint sub-ranges.  t feeds BOTH
+    # the local-cumsum window and the per-slice totals aggregate — pin it
+    # so tokenization+hashing run once (round-1 rule: persist
+    # intermediates with multiple consumers).
+    t = pin(
+        t.withColumn("__part", F.shiftright(F.col("__hv"), 48 - _BUDGET_PARTS_BITS))
+    )
     w_local = (
         Window.partitionBy("lang", "__part")
         .orderBy("__hv", "doc_id")

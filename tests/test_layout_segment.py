@@ -1,0 +1,66 @@
+"""Hand-checkable goldens for the round-4 layout and segment-dedup tiers
+(the oracle gate proves engine parity; these pin the semantics a human
+can verify by eye)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hunger_games_glue_streaming_etl_spark.operators.layout import zvalue, zvalue_sql
+
+
+def test_zvalue_golden_bits(spark):
+    """Morton interleave: a-bits land at odd positions, b-bits at even —
+    (1,0)→0b10, (0,1)→0b01, (3,3)→0b1111, (2,0)→0b1000."""
+    df = spark.createDataFrame(
+        [(1, 0), (0, 1), (3, 3), (2, 0), (0, 0)], ["a", "b"]
+    )
+    out = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select("a", "b", zvalue("a", "b").alias("z")).collect()
+    }
+    assert out == {(1, 0): 2, (0, 1): 1, (3, 3): 15, (2, 0): 8, (0, 0): 0}
+
+
+def test_zvalue_sql_twin_matches_spark(spark):
+    """The DuckDB-twin SQL string evaluates identically when run through
+    Spark's own SQL engine (same arithmetic, so the oracle can't drift)."""
+    df = spark.createDataFrame([(i, i * 7 % 13) for i in range(50)], ["a", "b"])
+    df.createOrReplaceTempView("zt")
+    via_expr = df.select(zvalue("a", "b").alias("z")).collect()
+    # DuckDB `//` is integer division; Spark SQL spells it `div`
+    sql = zvalue_sql("a", "b").replace("//", "div")
+    via_sql = spark.sql(f"SELECT {sql} AS z FROM zt").collect()
+    assert [r["z"] for r in via_expr] == [r["z"] for r in via_sql]
+
+
+def test_segment_dedup_keep_first_on_planted_corpus(spark, monkeypatch):
+    """A doc that copies another's opening 32 tokens shows 2 duplicated
+    segments, all of which are dropped (the source doc owns first
+    occurrence); the unrelated doc keeps everything."""
+    import hunger_games_glue_streaming_etl_spark.plans.segment_ops as so
+
+    base = " ".join(f"w{i:03d}" for i in range(32))
+    docs = spark.createDataFrame(
+        [
+            (1, base + " unique tail one two three"),
+            (2, base + " different ending entirely here now"),
+            (3, " ".join(f"x{i:03d}" for i in range(32))),
+        ],
+        ["doc_id", "text"],
+    )
+    monkeypatch.setattr(
+        so, "load_table", lambda spark_, sf_dir_, name_: docs
+    )
+    stats = {
+        r["doc_id"]: r
+        for r in so.text_segment_dedup_stats(spark, "unused").collect()
+    }
+    assert stats[1]["n_dup_segments"] == 2  # both copied 16-token segments
+    assert stats[2]["n_dup_segments"] == 2
+    assert stats[1]["n_kept"] == stats[1]["n_segments"]  # doc 1 owns firsts
+    assert stats[2]["n_kept"] == stats[2]["n_segments"] - 2
+    assert stats[3]["n_kept"] == stats[3]["n_segments"]
+
+    dups = so.text_duplicate_segments(spark, "unused").collect()
+    assert len(dups) == 2 and all(r["n_docs"] == 2 for r in dups)
