@@ -60,11 +60,13 @@ def connected_components(
             )
         )
     )
-    labels = pin(
-        nodes.select(
-            F.col(id_col).alias("node"), F.col(id_col).alias("component_id")
-        )
-    )
+    # propagate over edge-TOUCHED nodes only: in a near-dup corpus the
+    # pair-touched subset is a small fraction of n, so every round's join/
+    # aggregate runs on |touched| ≈ 2·|edges| rows, not the whole corpus;
+    # untouched nodes are singletons by definition and union back at the
+    # end labeled with themselves (one anti-join, no loop participation)
+    touched = und.select(F.col("__src").alias("node")).distinct()
+    labels = pin(touched.withColumn("component_id", F.col("node")))
     for _ in range(max_rounds):
         neighbor_labels = und.join(
             labels, und["__src"] == labels["node"]
@@ -83,7 +85,18 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if done:
-            return labels
+            # the final labels hold exactly the touched set — anti-join
+            # against the CACHED frame, not the touched lineage
+            singletons = nodes.select(F.col(id_col).alias("node")).join(
+                labels.select("node"), "node", "left_anti"
+            )
+            # pin the full roster: downstream consumers (component_sizes
+            # joins labels twice) must not re-execute the anti-join branch
+            return pin(
+                labels.union(
+                    singletons.withColumn("component_id", F.col("node"))
+                )
+            )
     raise RuntimeError(
         f"connected_components: no fixpoint after {max_rounds} rounds — "
         "diameter exceeds the bound; use more rounds or a star-contraction "

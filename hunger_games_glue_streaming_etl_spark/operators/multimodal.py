@@ -62,18 +62,173 @@ def encode_wav(sample_rate: int, samples: "list[int]") -> bytes:
     return buf.getvalue()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(width: int, height: int, pixels: bytes, n_channels: int = 1) -> bytes:
+    """Real stdlib PNG encoder (8-bit, non-interlaced; grey/grey+alpha/
+    RGB/RGBA).  Deliberately cycles the scanline filter type ``row % 5``
+    so a round-trip exercises every unfilter path (None/Sub/Up/Average/
+    Paeth), not just the trivial one."""
+    import struct
+    import zlib
+
+    colortype = {1: 0, 2: 4, 3: 2, 4: 6}.get(n_channels)
+    if colortype is None:
+        raise ValueError(f"n_channels must be 1/2/3/4, got {n_channels}")
+    stride = width * n_channels
+    if len(pixels) != stride * height:
+        raise ValueError(f"need {stride * height} samples, got {len(pixels)}")
+    raw = bytearray()
+    prev = bytes(stride)
+    for r in range(height):
+        row = pixels[r * stride : (r + 1) * stride]
+        ft = r % 5
+        raw.append(ft)
+        if ft == 0:
+            enc = row
+        else:
+            enc = bytes(
+                (
+                    row[i]
+                    - (
+                        (row[i - n_channels] if i >= n_channels else 0)
+                        if ft == 1
+                        else prev[i]
+                        if ft == 2
+                        else (
+                            (row[i - n_channels] if i >= n_channels else 0)
+                            + prev[i]
+                        )
+                        >> 1
+                        if ft == 3
+                        else _paeth(
+                            row[i - n_channels] if i >= n_channels else 0,
+                            prev[i],
+                            prev[i - n_channels] if i >= n_channels else 0,
+                        )
+                    )
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        raw += enc
+        prev = row
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, colortype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> dict:
+    """Real stdlib PNG decoder: chunk walk → zlib inflate → per-scanline
+    unfilter (all five filter types).  8-bit non-interlaced grey (0),
+    RGB (2), grey+alpha (4), RGBA (6); anything else (16-bit, palette,
+    Adam7) raises ``CodecUnavailable``.  ``pixel_sum`` is the exact
+    integer sum of every reconstructed sample byte."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise CodecUnavailable("not a PNG signature")
+    pos, idat, hdr = 8, b"", None
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if hdr is None or not idat:
+        raise CodecUnavailable("PNG missing IHDR/IDAT")
+    width, height, depth, colortype, comp, filt, interlace = hdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise CodecUnavailable(
+            "PNG decode implemented for 8-bit non-interlaced only"
+        )
+    n_channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(colortype)
+    if n_channels is None:
+        raise CodecUnavailable(f"unsupported PNG color type {colortype}")
+    stride = width * n_channels
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as e:
+        raise CodecUnavailable(f"corrupt PNG IDAT: {e}") from e
+    if len(raw) != (stride + 1) * height:
+        raise CodecUnavailable("PNG raster size mismatch")
+    total = 0
+    prev = bytearray(stride)
+    for r in range(height):
+        base = r * (stride + 1)
+        ft = raw[base]
+        row = bytearray(raw[base + 1 : base + 1 + stride])
+        if ft > 4:
+            raise CodecUnavailable(f"bad PNG filter type {ft}")
+        for i in range(stride):
+            a = row[i - n_channels] if i >= n_channels else 0
+            b = prev[i]
+            c = prev[i - n_channels] if i >= n_channels else 0
+            if ft == 1:
+                row[i] = (row[i] + a) & 0xFF
+            elif ft == 2:
+                row[i] = (row[i] + b) & 0xFF
+            elif ft == 3:
+                row[i] = (row[i] + ((a + b) >> 1)) & 0xFF
+            elif ft == 4:
+                row[i] = (row[i] + _paeth(a, b, c)) & 0xFF
+        total += sum(row)
+        prev = row
+    return {
+        "width": width,
+        "height": height,
+        "maxval": 255,
+        "n_channels": n_channels,
+        "pixel_sum": total,
+    }
+
+
 def decode_image(payload: bytes) -> dict:
-    """Real image decode — pure-stdlib binary PGM/PPM (P5/P6) parser.
+    """Real image decode — pure-stdlib binary PGM/PPM (P5/P6) parser plus
+    the stdlib-zlib PNG decoder above.
 
     Returns ``{"width", "height", "maxval", "n_channels", "pixel_sum"}``;
     ``pixel_sum`` is the integer sum of all sample bytes (exact — no float
-    in the decode path).  Any other format (JPEG/PNG/...) still raises
-    ``CodecUnavailable``: those need Pillow/opencv, absent here."""
+    in the decode path).  JPEG still raises ``CodecUnavailable`` (needs
+    Pillow/opencv, absent here)."""
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     magic = payload[:2]
     if magic not in (b"P5", b"P6"):
         raise CodecUnavailable(
-            "real image decode implemented for binary PGM/PPM (P5/P6) only; "
-            "JPEG/PNG need Pillow/opencv (not in this container)"
+            "real image decode implemented for binary PGM/PPM (P5/P6) and "
+            "8-bit PNG; JPEG needs Pillow/opencv (not in this container)"
         )
     # header = magic + 3 ASCII ints separated by whitespace/comments, then
     # exactly one whitespace byte before the raster

@@ -34,6 +34,11 @@ from .registry import register
                SUM(((n_nationkey * 13 + i * 5) % 401) - 200) AS s
         FROM nation, range(0, 100) t(i)
         GROUP BY n_nationkey
+    ), pg AS (
+        SELECT n_nationkey,
+               SUM((n_nationkey * 17 + i * 11) % 256) AS s
+        FROM nation, range(0, 192) t(i)
+        GROUP BY n_nationkey
     )
     SELECT CAST(n_nationkey AS BIGINT) AS media_id, 'image' AS kind,
            8 AS width, 8 AS height,
@@ -44,19 +49,26 @@ from .registry import register
     SELECT CAST(n_nationkey + 100 AS BIGINT), 'audio',
            NULL, NULL, 8000, 100, CAST(s AS BIGINT)
     FROM au
+    UNION ALL
+    SELECT CAST(n_nationkey + 200 AS BIGINT), 'image',
+           8, 8, NULL, NULL, CAST(s AS BIGINT)
+    FROM pg
     """,
 )
 def multimodal_real_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL codec path, end to end: per nation, serialize an 8×8 binary PGM
-    (pixel i = ``(key*31 + i*7) % 256``) and a 100-sample PCM WAV (sample i
-    = ``((key*13 + i*5) % 401) - 200``) with the stdlib encoders, then
-    decode them back through ``decode_image``/``decode_audio`` (header
-    parse + raster/int16 sum — no fake codec anywhere in this plan).  The
-    decoded dimensions and exact integer pixel/sample sums are reproduced
+    (pixel i = ``(key*31 + i*7) % 256``), a 100-sample PCM WAV (sample i
+    = ``((key*13 + i*5) % 401) - 200``), and an 8×8 RGB PNG (sample i =
+    ``(key*17 + i*11) % 256``; the encoder cycles all five scanline
+    filters, so zlib inflate + every unfilter path runs) with the stdlib
+    encoders, then decode them back through ``decode_image``/
+    ``decode_audio`` (no fake codec anywhere in this plan).  The decoded
+    dimensions and exact integer pixel/sample sums are reproduced
     arithmetically by the oracle, so the whole encode→binary→decode loop
     is value-hash-checked."""
     from ..operators.multimodal import (
         encode_pgm,
+        encode_png,
         encode_wav,
         extract_real_media_features,
     )
@@ -77,6 +89,15 @@ def multimodal_real_codec_features(spark: SparkSession, sf_dir: str) -> DataFram
                 out["kind"].append("audio")
                 out["payload"].append(
                     encode_wav(8000, [((k * 13 + i * 5) % 401) - 200 for i in range(100)])
+                )
+                out["media_id"].append(k + 200)
+                out["kind"].append("image")
+                out["payload"].append(
+                    encode_png(
+                        8, 8,
+                        bytes((k * 17 + i * 11) % 256 for i in range(192)),
+                        n_channels=3,
+                    )
                 )
             yield pd.DataFrame(out)
 

