@@ -74,6 +74,20 @@ def connected_components(
             F.col(id_col).alias("node"), F.col(id_col).alias("component_id")
         )
     )
+
+    # Convergence check: min-propagation is monotone (labels only ever
+    # decrease), so Σ label is strictly decreasing until the fixpoint and
+    # "sum unchanged" ⇔ "no label changed".  One O(N) aggregate per round
+    # on the already-pinned frame — the earlier new⋈old join + isEmpty
+    # cost a full extra shuffle join per round for the same bit of
+    # information.  DECIMAL(38,0) keeps the sum exact at any corpus size
+    # (10^10 64-bit ids overflow BIGINT's 9.2e18).
+    def _label_sum(frame: DataFrame) -> object:
+        return frame.agg(
+            F.sum(F.col("component_id").cast("decimal(38,0)"))
+        ).first()[0]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_rounds):
         neighbor_labels = und.join(
             labels, und["__src"] == labels["node"]
@@ -83,16 +97,12 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("component_id").alias("component_id"))
         )
-        improved = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component_id") < F.col("o.component_id"))
-        )
-        done = improved.isEmpty()
+        cur_sum = _label_sum(new_labels)  # also materializes the pin
         labels.unpersist()
         labels = new_labels
-        if done:
+        if cur_sum == prev_sum:
             return labels
+        prev_sum = cur_sum
     raise RuntimeError(
         f"connected_components: no fixpoint after {max_rounds} rounds — "
         "diameter exceeds the bound; use more rounds or a star-contraction "

@@ -13,6 +13,7 @@ from . import (  # noqa: E402,F401
     layout_ops,
     llm_pipeline,
     multimodal_ops,
+    profile_ops,
     scalars,
     scd_ops,
     segment_ops,
@@ -79,6 +80,11 @@ _SAMPLE_FIRST = [
     "text_segment_dedup_stats",
     "layout_zorder_file_stats",
     "layout_zorder_pruning_ratio",
+    # round-4 second-session additions (first recorded rows needed)
+    "layout_compaction_plan",
+    "layout_compaction_ratio",
+    "profile_table_columns",
+    "text_bigram_coherence",
     # reference-corpus parity + temporal joins + SCD-adjacent
     "tribute_status_reference_corpus",
     "asof_latest_purchase_before_click",

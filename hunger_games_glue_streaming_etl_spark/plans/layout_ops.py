@@ -19,7 +19,7 @@ global sort)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.layout import zvalue, zvalue_sql
@@ -189,4 +189,189 @@ def layout_zorder_pruning_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_files_linear", "linear_files_scanned",
             "n_matching_rows",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction — the OTHER data-layout maintenance a 100 TB lake
+# runs constantly: streaming ingest lands thousands of tiny files per
+# trigger, and scan cost at scale is dominated by files opened, so a
+# compactor periodically bin-packs contiguous runs of small files into
+# target-sized outputs (Delta OPTIMIZE, Iceberg rewrite_data_files).  The
+# planner here IS that operator's core: a deterministic first-fit-in-order
+# assignment via an exclusive running byte sum — computed with the same
+# two-level cumulative-sum shape as `corpus_token_budget_select`, so no
+# task ever sees the whole manifest, and the whole plan is integer
+# arithmetic, hash-checked against DuckDB's single-window twin.
+#
+# The input manifest is simulated from `documents` metadata only (ingest
+# micro-batches of DOCS_PER_INGEST_FILE docs; file bytes = Σ n_chars) —
+# text never enters any plan here.  The byte target is corpus-derived
+# (total // COMPACT_TARGET_FRACTION + 1, 1-row broadcast) like the
+# z-span/shard dials; a real deployment pins it at e.g. 512 MB.
+# ---------------------------------------------------------------------------
+
+DOCS_PER_INGEST_FILE = 4
+COMPACT_TARGET_FRACTION = 32  # target_bytes ≈ total/32 → ~4:1 compaction
+_COMPACT_SLICES = 32          # two-level cumsum fan-out
+
+_COMPACT_SQL = f"""
+    f AS (
+        SELECT doc_id // {DOCS_PER_INGEST_FILE} AS file_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS file_bytes
+        FROM documents GROUP BY 1
+    ),
+    dial AS (
+        SELECT CAST((SUM(file_bytes) // {COMPACT_TARGET_FRACTION}) + 1
+                    AS BIGINT) AS target_bytes
+        FROM f
+    ),
+    cum AS (
+        SELECT file_id, n_docs, file_bytes, target_bytes,
+               CAST(COALESCE(SUM(file_bytes) OVER (
+                   ORDER BY file_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS cum_before
+        FROM f CROSS JOIN dial
+    ),
+    plan AS (
+        SELECT file_id, n_docs, file_bytes, target_bytes,
+               CAST(cum_before // target_bytes AS BIGINT) AS out_file
+        FROM cum
+    )
+"""
+
+
+def _compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(file_id, n_docs, file_bytes, target_bytes, out_file) — the shared
+    assignment both compaction entries consume.
+
+    Shuffle profile: one compact shuffle on file_id for the per-file
+    rollup, then the two-level cumulative sum — a per-slice window (slice
+    = file_id range, cap 1-row broadcast) plus a window over the ≤32
+    per-slice totals (metadata scale), whose prefix offsets broadcast
+    back.  Integer adds reassociate freely, so local + offset reproduces
+    the oracle's single global window bit-for-bit."""
+    from ..caching import pin
+
+    docs = load_table(spark, sf_dir, "documents")
+    f = pin(
+        docs.select(
+            F.expr(f"doc_id div {DOCS_PER_INGEST_FILE}").alias("file_id"),
+            "n_chars",
+        )
+        .groupBy("file_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("file_bytes"),
+        )
+    )
+    dial = f.agg(
+        (F.expr(f"sum(file_bytes) div {COMPACT_TARGET_FRACTION}") + 1)
+        .cast("long")
+        .alias("target_bytes"),
+        (F.expr(f"max(file_id) div {_COMPACT_SLICES}") + 1)
+        .cast("long")
+        .alias("__scap"),
+    )
+    a = f.crossJoin(F.broadcast(dial)).withColumn(
+        "__slice", F.expr("file_id div __scap")
+    )
+    w_local = (
+        Window.partitionBy("__slice")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = a.withColumn(
+        "__local_before", F.coalesce(F.sum("file_bytes").over(w_local), F.lit(0))
+    )
+    totals = a.groupBy("__slice").agg(
+        F.sum("file_bytes").cast("long").alias("__slice_total")
+    )
+    w_off = Window.orderBy("__slice").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__slice",
+        F.coalesce(F.sum("__slice_total").over(w_off), F.lit(0)).alias("__offset"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "__slice")
+        .withColumn(
+            "out_file",
+            F.expr("(__local_before + __offset) div target_bytes").cast("long"),
+        )
+        .select("file_id", "n_docs", "file_bytes", "target_bytes", "out_file")
+    )
+
+
+@register(
+    "layout_compaction_plan",
+    oracle=f"""
+    WITH {_COMPACT_SQL}
+    SELECT out_file,
+           CAST(COUNT(*) AS BIGINT) AS n_input_files,
+           CAST(SUM(file_bytes) AS BIGINT) AS total_bytes,
+           CAST(MIN(file_id) AS BIGINT) AS min_input_file,
+           CAST(MAX(file_id) AS BIGINT) AS max_input_file
+    FROM plan
+    GROUP BY out_file
+    """,
+)
+def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compaction manifest: which contiguous run of small ingest files
+    each target-sized output file absorbs, with byte totals — exactly the
+    rewrite task list a lake compactor executes.  125 input files → ~32
+    outputs at every sf (non-vacuous by construction)."""
+    return (
+        _compaction_plan(spark, sf_dir)
+        .groupBy("out_file")
+        .agg(
+            F.count("*").alias("n_input_files"),
+            F.sum("file_bytes").cast("long").alias("total_bytes"),
+            F.min("file_id").cast("long").alias("min_input_file"),
+            F.max("file_id").cast("long").alias("max_input_file"),
+        )
+    )
+
+
+@register(
+    "layout_compaction_ratio",
+    oracle=f"""
+    WITH {_COMPACT_SQL},
+    m AS (
+        SELECT out_file, SUM(file_bytes) AS out_bytes
+        FROM plan GROUP BY out_file
+    )
+    SELECT
+        CAST((SELECT COUNT(*) FROM plan) AS BIGINT) AS n_input_files,
+        CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_output_files,
+        CAST((SELECT SUM(file_bytes) FROM plan) AS BIGINT) AS total_bytes,
+        CAST((SELECT MAX(target_bytes) FROM plan) AS BIGINT) AS target_bytes,
+        CAST((SELECT MAX(out_bytes) FROM m) AS BIGINT) AS max_output_bytes
+    """,
+)
+def layout_compaction_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The payoff, one hash-checked row: input vs output file counts (the
+    scan-open reduction), the corpus-derived byte target, and the largest
+    output (bounded by target + one input file — first-fit over contiguous
+    runs never splits an input)."""
+    from ..caching import pin
+
+    plan = pin(_compaction_plan(spark, sf_dir))
+    m = plan.groupBy("out_file").agg(F.sum("file_bytes").alias("out_bytes"))
+    top = plan.agg(
+        F.count("*").alias("n_input_files"),
+        F.sum("file_bytes").cast("long").alias("total_bytes"),
+        F.max("target_bytes").cast("long").alias("target_bytes"),
+    )
+    outs = m.agg(
+        F.count("*").alias("n_output_files"),
+        F.max("out_bytes").cast("long").alias("max_output_bytes"),
+    )
+    return top.crossJoin(F.broadcast(outs)).select(
+        "n_input_files",
+        "n_output_files",
+        "total_bytes",
+        "target_bytes",
+        "max_output_bytes",
     )

@@ -34,13 +34,7 @@ from ..operators.text_search import bm25_topk
 from ..sources.batch import load_table
 from .registry import register
 from .text_ops import _NORM, _TOKS
-
-# ---- shared SQL fragments ---------------------------------------------------
-
-
-def _phash_sql(expr: str, seed: int = 0) -> str:
-    """DuckDB twin of ``portable_hash64`` (48-bit md5-prefix integer)."""
-    return f"CAST(('0x' || substr(md5('{seed}:' || {expr}), 1, 12)) AS BIGINT)"
+from .text_ops import phash_sql as _phash_sql  # DuckDB twin of portable_hash64
 
 
 # distinct word 4-grams per doc, mirroring functions.text.shingles(k=4):

@@ -1,0 +1,89 @@
+"""Table profiling — the ``ANALYZE TABLE``-shaped statistics pass every
+warehouse runs before planning and every data pipeline runs on intake:
+per-column row/null/distinct counts and min/max, in ONE scan.
+
+The reference has no profiling surface (its schema knowledge is the Glue
+catalog's static registration, SURVEY §1.3); this is the engine-extension
+face of that: measured statistics instead of declared ones.  A real
+deployment feeds these rows to the optimizer (join sizing, NDV-based
+reordering) and to data-quality gates (null-rate drift).
+
+Both the Spark plan and the DuckDB oracle are GENERATED from one column
+list, so the two sides cannot drift.  Stats semantics: ``n_distinct``
+ignores NULLs (SQL ``COUNT(DISTINCT c)``), min/max are rendered as
+strings so heterogeneous column types stack into one long-form result —
+restricted to integer and varchar columns, whose string rendering is
+bit-identical across engines (doubles/timestamps render differently and
+would need per-type formatting contracts).
+
+100 TB posture: one scan over the table; every aggregate has a map-side
+partial (distinct counts go through Spark's two-phase Expand plan — the
+shuffle carries (column, value) pairs, not rows); the result is
+#columns rows.  The scan reads ONLY the profiled columns
+(``ReadSchema`` pruning, asserted in ``tests/test_plan_shapes.py``
+patterns)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.batch import load_table
+from .registry import register
+
+# (column, table) pairs profiled: lineitem's integer keys + flag columns.
+PROFILE_COLUMNS = [
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_linenumber",
+    "l_returnflag",
+    "l_linestatus",
+]
+
+_ORACLE = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{c}' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(MIN({c}) AS VARCHAR) AS min_value,
+           CAST(MAX({c}) AS VARCHAR) AS max_value
+    FROM lineitem
+    """
+    for c in PROFILE_COLUMNS
+)
+
+
+@register("profile_table_columns", oracle=_ORACLE)
+def profile_table_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan column profile of ``lineitem``: all per-column aggregates
+    computed in a single wide aggregation row, then stacked to long form
+    (#columns result rows) — the table is read once no matter how many
+    columns are profiled."""
+    li = load_table(spark, sf_dir, "lineitem").select(*PROFILE_COLUMNS)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in PROFILE_COLUMNS:
+        aggs += [
+            F.count(c).alias(f"__nn_{c}"),
+            F.countDistinct(c).alias(f"__nd_{c}"),
+            F.min(c).cast("string").alias(f"__min_{c}"),
+            F.max(c).cast("string").alias(f"__max_{c}"),
+        ]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __n - __nn_{c}, __nd_{c}, __min_{c}, __max_{c}"
+        for c in PROFILE_COLUMNS
+    )
+    return wide.selectExpr(
+        f"stack({len(PROFILE_COLUMNS)}, {stack_args}) AS "
+        "(column_name, n_nulls, n_distinct, min_value, max_value)",
+        "__n",
+    ).select(
+        "column_name",
+        F.col("__n").cast("long").alias("n_rows"),
+        F.col("n_nulls").cast("long"),
+        F.col("n_distinct").cast("long"),
+        "min_value",
+        "max_value",
+    )

@@ -330,3 +330,96 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("__dup") / F.col("__total"), F.lit(0.0)), 6
         ).alias("dup_bigram_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model coherence — the KenLM-shaped quality signal real
+# curation stacks score documents with (CCNet/RedPajama filter on LM
+# perplexity).  A true LM needs log-probs, and `ln` is NOT bit-stable
+# across engines (measured, CLAUDE.md r3), so the score here is the
+# fixed-point conditional-probability mass: for every bigram instance
+# (w1, w2) in a doc, the corpus-level MLE  c(w1 w2) / c(w1 ·)  scaled to
+# integer millionths with FLOOR division — integer multiply/divide/add
+# only, so the per-doc SUM is order-independent and hash-exact.  High
+# score ⇒ the doc's word transitions are common corpus-wide (fluent
+# boilerplate scores high, shuffled-word junk scores low) — the same
+# ranking a perplexity filter produces, without the transcendentals.
+# ---------------------------------------------------------------------------
+
+BIGRAM_FP_SCALE = 1_000_000
+
+
+def phash_sql(expr: str, seed: int = 0) -> str:
+    """DuckDB twin of ``portable_hash64`` (48-bit md5-prefix integer)."""
+    return f"CAST(('0x' || substr(md5('{seed}:' || {expr}), 1, 12)) AS BIGINT)"
+
+
+@register(
+    "text_bigram_coherence",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS w FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(w) - 1),
+                                     i -> w[i] || ' ' || w[i+1])) AS gram
+        FROM toks
+    ),
+    h AS (
+        SELECT doc_id,
+               {phash_sql("gram")} AS bg_h,
+               {phash_sql("string_split(gram, ' ')[1]")} AS pre_h
+        FROM g
+    ),
+    bg AS (SELECT bg_h, COUNT(*) AS c_bg FROM h GROUP BY bg_h),
+    pre AS (SELECT pre_h, COUNT(*) AS c_pre FROM h GROUP BY pre_h),
+    inst AS (
+        SELECT doc_id, ({BIGRAM_FP_SCALE} * c_bg) // c_pre AS fp
+        FROM h JOIN bg USING (bg_h) JOIN pre USING (pre_h)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(fp) AS BIGINT) AS coherence_fp,
+           CAST(SUM(fp) // COUNT(*) AS BIGINT) AS avg_coherence_fp
+    FROM inst GROUP BY doc_id
+    """,
+)
+def text_bigram_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM coherence: Σ over the doc's bigram instances
+    of ⌊10⁶·c(w₁w₂)/c(w₁·)⌋ using corpus-wide counts, plus the per-bigram
+    average — a deterministic stand-in for the perplexity filters
+    (CCNet-style) that rank documents by how typical their word
+    transitions are.
+
+    At scale: bigrams and their prefix tokens are hashed map-side
+    (text never crosses a shuffle); corpus counts are two hash-keyed
+    partial-agg shuffles; instances rejoin the counts on those 48-bit
+    keys (collisions merge identically in both engines — counts are
+    keyed by the SAME hash in the oracle); the final rollup shuffles
+    (doc_id, fp) longs.  Wordcount cost class."""
+    from ..functions.text import grams, portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    inst = pin(
+        docs.select("doc_id", F.explode(grams("text", 2)).alias("gram")).select(
+            "doc_id",
+            portable_hash64(F.col("gram")).alias("bg_h"),
+            portable_hash64(F.substring_index("gram", " ", 1)).alias("pre_h"),
+        )
+    )
+    bg = inst.groupBy("bg_h").agg(F.count("*").alias("c_bg"))
+    pre = inst.groupBy("pre_h").agg(F.count("*").alias("c_pre"))
+    scored = (
+        inst.join(bg, "bg_h")
+        .join(pre, "pre_h")
+        .select(
+            "doc_id",
+            F.expr(f"({BIGRAM_FP_SCALE}L * c_bg) div c_pre").alias("fp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("fp").cast("long").alias("coherence_fp"),
+        F.expr("sum(fp) div count(*)").cast("long").alias("avg_coherence_fp"),
+    )

@@ -99,3 +99,47 @@ def test_segment_dedup_keep_first_on_planted_corpus(spark, monkeypatch):
 
     dups = so.text_duplicate_segments(spark, "unused").collect()
     assert len(dups) == 2 and all(r["n_docs"] == 2 for r in dups)
+
+
+def test_compaction_plan_invariants(spark):
+    """First-fit-over-contiguous-runs invariants a human can check: every
+    input file lands in exactly one output; output ids are dense from 0;
+    each output's input run is contiguous with its neighbors (max of bin
+    k + 1 run into min of bin k+1); no output exceeds target + its last
+    input file's bytes."""
+    from hunger_games_glue_streaming_etl_spark.plans.layout_ops import (
+        _compaction_plan,
+        layout_compaction_plan,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    plan = _compaction_plan(spark, sf).collect()
+    n_inputs = len({r["file_id"] for r in plan})
+    assert n_inputs == len(plan)  # one assignment per input file
+
+    manifest = sorted(
+        layout_compaction_plan(spark, sf).collect(), key=lambda r: r["out_file"]
+    )
+    assert [r["out_file"] for r in manifest] == list(range(len(manifest)))
+    assert sum(r["n_input_files"] for r in manifest) == n_inputs
+    for prev, nxt in zip(manifest, manifest[1:]):
+        assert prev["max_input_file"] + 1 == nxt["min_input_file"]
+
+    target = plan[0]["target_bytes"]
+    by_file = {r["file_id"]: r["file_bytes"] for r in plan}
+    for r in manifest:
+        # a bin only overflows by its final (unsplittable) input file
+        assert r["total_bytes"] < target + by_file[r["max_input_file"]]
+
+
+def test_compaction_ratio_compacts(spark):
+    """The payoff row: strictly fewer output files than inputs, and the
+    largest output stays near target (bounded overflow)."""
+    from hunger_games_glue_streaming_etl_spark.plans.layout_ops import (
+        layout_compaction_ratio,
+    )
+
+    row = layout_compaction_ratio(spark, "/root/testdata/sf0.001").collect()[0]
+    assert row["n_output_files"] < row["n_input_files"]
+    assert row["n_output_files"] >= 2
+    assert row["max_output_bytes"] >= row["target_bytes"] // 2
