@@ -15,13 +15,17 @@ across itself and its neighbors; converged when no label changes.  Rounds
 needed = graph diameter, and near-dup clusters are small and dense
 (diameter ≲ 4 in practice), so the loop is short.  Each round is ONE
 shuffle on node id (edges join labels, then a min-aggregate); labels are
-(node, label) longs only — no payload ever enters the loop.  The round-N
-frame is pinned and the round-N−1 pin released, so lineage and cache stay
-bounded.  For adversarial long-chain graphs the alternating large-star /
-small-star variant (Kiveris et al., "Connected Components in MapReduce
-and Beyond") converges in O(log n) rounds with the same per-round shape —
-the propagation loop below is the dial-free special case, and the
-round bound guards against pathological inputs either way.
+(node, label) longs only — no payload ever enters the loop.  Every round
+ends in ``localCheckpoint(eager=True)``: iterative DataFrame loops MUST
+truncate lineage, not merely cache — each round's plan embeds the
+previous round's tree more than once, so the un-truncated logical plan
+grows geometrically and OOMs the driver long before the data does
+(measured: 2 GB plan string at ~10 rounds).  For adversarial long-chain
+graphs the alternating large-star / small-star variant
+(:func:`connected_components_star`, Kiveris et al., "Connected Components
+in MapReduce and Beyond") converges in O(log n) rounds with the same
+per-round shape — the propagation loop below is the dial-free default
+for shallow near-dup graphs, and the round bound guards either way.
 """
 
 from __future__ import annotations
@@ -69,16 +73,22 @@ def connected_components(
     # cluster, skew-free, while corpus text never enters the loop.  The
     # suite medians are the go/no-go record (CLAUDE.md): all-nodes 6.2 s
     # vs touched-only 9-15 s for the components entry at sf0.1.
-    labels = pin(
-        nodes.select(
-            F.col(id_col).alias("node"), F.col(id_col).alias("component_id")
-        )
-    )
+    # Per-round lineage TRUNCATION, not just caching: labels appears twice
+    # in each round's plan (neighbor join + union), so the un-truncated
+    # logical plan grows ~3× per round — harmless at near-dup diameters
+    # (≤4 rounds) but a ~10-round graph ran the driver into a 2 GB plan
+    # string / heap OOM during AQE's plan rendering (measured on a
+    # 120-node random graph).  localCheckpoint(eager=True) materializes
+    # the round's (node, label) longs and roots the next round's plan
+    # there — constant-size plans at any diameter, same values.
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("component_id")
+    ).localCheckpoint(eager=True)
 
     # Convergence check: min-propagation is monotone (labels only ever
     # decrease), so Σ label is strictly decreasing until the fixpoint and
     # "sum unchanged" ⇔ "no label changed".  One O(N) aggregate per round
-    # on the already-pinned frame — the earlier new⋈old join + isEmpty
+    # on the checkpointed frame — the earlier new⋈old join + isEmpty
     # cost a full extra shuffle join per round for the same bit of
     # information.  DECIMAL(38,0) keeps the sum exact at any corpus size
     # (10^10 64-bit ids overflow BIGINT's 9.2e18).
@@ -92,13 +102,13 @@ def connected_components(
         neighbor_labels = und.join(
             labels, und["__src"] == labels["node"]
         ).select(F.col("__dst").alias("node"), "component_id")
-        new_labels = pin(
+        new_labels = (
             labels.union(neighbor_labels)
             .groupBy("node")
             .agg(F.min("component_id").alias("component_id"))
+            .localCheckpoint(eager=True)
         )
-        cur_sum = _label_sum(new_labels)  # also materializes the pin
-        labels.unpersist()
+        cur_sum = _label_sum(new_labels)
         labels = new_labels
         if cur_sum == prev_sum:
             return labels
@@ -107,6 +117,123 @@ def connected_components(
         f"connected_components: no fixpoint after {max_rounds} rounds — "
         "diameter exceeds the bound; use more rounds or a star-contraction "
         "variant for chain-shaped graphs"
+    )
+
+
+def connected_components_star(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 60,
+) -> DataFrame:
+    """Alternating large-star / small-star connected components (Kiveris
+    et al., "Connected Components in MapReduce and Beyond") — the
+    O(log n)-round variant for adversarial chain-shaped graphs, where the
+    min-label propagation loop needs diameter rounds.  Same contract and
+    same deterministic output as :func:`connected_components` (labels =
+    min reachable id); near-dup graphs are dense and shallow, so the
+    propagation loop stays the default — this is the fallback its
+    docstring promises.
+
+    Per round: large-star re-points every node's larger neighbors at its
+    neighborhood min, small-star re-points the smaller ones — each is one
+    groupBy + one join over (long, long) edges, nothing else shuffles.
+    Convergence is detected by an edge-multiset signature (count + exact
+    decimal sums + a product-mod check) and then CONFIRMED exactly with a
+    two-sided anti-join before returning — the signature only decides
+    when to pay for the exact check.
+
+    Lineage discipline: each round ends in ``localCheckpoint(eager=True)``
+    — caching alone is NOT enough for an O(log n)-round loop, because the
+    un-truncated logical plan re-embeds the previous round's tree at every
+    self-reference and grows multiplicatively (measured: a 64-node chain
+    OOMs the driver's plan analysis by round ~10 under plain persist).
+    The propagation loop gets away with pin() only because near-dup
+    graphs converge in ≤4 rounds.  localCheckpoint trades fault-tolerance
+    of the stored partitions for truncation, the standard deal for
+    iterative graph algorithms (GraphX's Pregel checkpoints the same
+    way)."""
+    e = pin(
+        edges.select(
+            F.col(src_col).cast("long").alias("u"),
+            F.col(dst_col).cast("long").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+    )
+
+    _P = 2_147_483_647
+
+    def _sig(frame: DataFrame) -> tuple:
+        row = frame.agg(
+            F.count("*"),
+            F.sum(F.col("u").cast("decimal(38,0)")),
+            F.sum(F.col("v").cast("decimal(38,0)")),
+            F.sum(((F.col("u") % _P) * (F.col("v") % _P)) % _P),
+        ).first()
+        return tuple(row)
+
+    def _same_exact(a: DataFrame, b: DataFrame) -> bool:
+        return (
+            a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+        )
+
+    prev_sig = _sig(e)
+    for _ in range(max_rounds):
+        # large-star: m(u) = min(N(u) ∪ {u}); emit (v, m) for v > u
+        sym = e.select("u", "v").union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("__mn")).select(
+            "u", F.least("__mn", "u").alias("m")
+        )
+        e1 = pin(
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star on canonical (u > v) edges: m(u) = min(N(u));
+        # emit (v, m) for every smaller neighbor, plus (u, m)
+        smins = e1.groupBy("u").agg(F.min("v").alias("m"))
+        joined = e1.join(smins, "u")
+        e2 = (
+            joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(joined.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)  # truncate lineage (see docstring)
+        )
+        cur_sig = _sig(e2)
+        e1.unpersist()
+        if cur_sig == prev_sig and _same_exact(e2, e):
+            e.unpersist()
+            e = e2
+            break
+        e.unpersist()
+        e = e2
+        prev_sig = cur_sig
+    else:
+        raise RuntimeError(
+            f"connected_components_star: no fixpoint after {max_rounds} rounds"
+        )
+
+    # at the fixpoint every edge is (node, component_root); roots and
+    # singletons label themselves
+    roots = e.groupBy("u").agg(F.min("v").alias("__root"))
+    return (
+        nodes.select(F.col(id_col).alias("node"))
+        .join(roots, F.col("node") == F.col("u"), "left")
+        .select(
+            "node",
+            F.coalesce(F.col("__root"), F.col("node")).alias("component_id"),
+        )
     )
 
 

@@ -1,0 +1,427 @@
+"""Baseline JPEG codec — pure stdlib, grayscale, no subsampling.
+
+Closes the last image-codec gap in the multimodal seam (PGM/PPM/PNG/WAV
+are real since rounds 3-4; JPEG was an honest ``CodecUnavailable`` stub).
+Scope: 8-bit single-component (grayscale) baseline DCT JPEG (SOF0) with
+the interchange-format standard tables (ITU-T T.81 Annex K quantization
+and Huffman tables) — the shape every camera/library emits for grayscale.
+Color/subsampled/progressive images still raise ``CodecUnavailable``
+honestly.
+
+Determinism: the whole transform path is EXACT integer arithmetic on
+Python big ints — the cosine basis is a hardcoded integer table
+(scale 2¹¹; the 8 distinct cos(kπ/16) values as literals, so no libm call
+anywhere), forward/inverse DCT accumulate exact products with one defined
+round-half-away division at the end, and quantization uses the same
+division.  Same bytes in → same bytes out on every platform, which is
+what lets the round-trip be unit-tested bit-for-bit and flat-image
+round-trips be value-exact (a flat block is DC-only and the DC path
+round-trips losslessly for step-16 quantization).
+
+References: ITU-T T.81 (JPEG), public domain; no third-party code.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# cos(kπ/16) · 2¹¹, k = 0..7 — hardcoded so no platform libm is involved
+_A = 2048
+_COS = [2048, 2009, 1892, 1703, 1448, 1138, 784, 400]
+# C(0) = 1/√2 scaled; C(u>0) = 1 scaled
+_CU = [1448] + [_A] * 7
+_IDCT_DEN = 4 * _A**4
+
+# standard luminance quantization table (T.81 Annex K.1), row-major
+STD_QUANT = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# standard Huffman tables (T.81 Annex K.3): (bits[1..16], values)
+DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_VALS = list(range(12))
+AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _cos_entry(u: int, x: int) -> int:
+    """cos((2x+1)uπ/16) · 2¹¹ from the literal table — integer index
+    arithmetic only (period 32, even symmetry, sign flip past π/2)."""
+    a = ((2 * x + 1) * u) % 32
+    if a > 16:
+        a = 32 - a
+    if a == 8:
+        return 0
+    return _COS[a] if a < 8 else -_COS[16 - a]
+
+
+_CT = [[_cos_entry(u, x) for x in range(8)] for u in range(8)]
+
+
+def _rdiv(n: int, d: int) -> int:
+    """Round-half-away-from-zero integer division (d > 0) — the one
+    rounding rule used everywhere in the transform path."""
+    if n >= 0:
+        return (n + d // 2) // d
+    return -((-n + d // 2) // d)
+
+
+def _fdct_quant(block: list) -> list:
+    """Level-shifted 8×8 spatial block → quantized coefficients
+    (row-major), exact big-int DCT-II then per-coefficient rounding."""
+    # tmp[u][y] = Σ_x s[x][y]·CT[u][x]
+    tmp = [[0] * 8 for _ in range(8)]
+    for u in range(8):
+        ctu = _CT[u]
+        for y in range(8):
+            acc = 0
+            for x in range(8):
+                acc += block[x * 8 + y] * ctu[x]
+            tmp[u][y] = acc
+    out = [0] * 64
+    for u in range(8):
+        cu = _CU[u]
+        for v in range(8):
+            ctv = _CT[v]
+            acc = 0
+            for y in range(8):
+                acc += tmp[u][y] * ctv[y]
+            s = _rdiv(cu * _CU[v] * acc, _IDCT_DEN)
+            out[u * 8 + v] = _rdiv(s, STD_QUANT[u * 8 + v])
+    return out
+
+
+def _build_codes(bits: list, vals: list) -> dict:
+    """Canonical Huffman code assignment (T.81 Annex C): symbol →
+    (code, length)."""
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+_DC_CODES = _build_codes(DC_BITS, DC_VALS)
+_AC_CODES = _build_codes(AC_BITS, AC_VALS)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            byte = (self.acc >> self.n) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)
+        return bytes(self.out)
+
+
+def _category(v: int) -> tuple:
+    """JPEG magnitude category: (size, appended bits)."""
+    if v == 0:
+        return 0, 0
+    a, s = abs(v), 0
+    while a:
+        a >>= 1
+        s += 1
+    return s, (v if v > 0 else v + (1 << s) - 1)
+
+
+def encode_jpeg(width: int, height: int, pixels: bytes) -> bytes:
+    """Baseline grayscale JPEG encoder.  Edge-replicates to 8×8 block
+    alignment; standard tables; interchange format (JFIF APP0)."""
+    if len(pixels) != width * height:
+        raise ValueError(f"need {width * height} pixels, got {len(pixels)}")
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+
+    w = _BitWriter()
+    prev_dc = 0
+    for by in range(bh):
+        for bx in range(bw):
+            block = [0] * 64
+            for x in range(8):  # x = row within block
+                sy = min(by * 8 + x, height - 1)
+                for y in range(8):
+                    sx = min(bx * 8 + y, width - 1)
+                    block[x * 8 + y] = pixels[sy * width + sx] - 128
+            q = _fdct_quant(block)
+            zz = [q[ZIGZAG[i]] for i in range(64)]
+            diff = zz[0] - prev_dc
+            prev_dc = zz[0]
+            s, bits = _category(diff)
+            code, ln = _DC_CODES[s]
+            w.put(code, ln)
+            if s:
+                w.put(bits, s)
+            run = 0
+            last_nz = 0
+            for i in range(63, 0, -1):
+                if zz[i]:
+                    last_nz = i
+                    break
+            for i in range(1, last_nz + 1):
+                if zz[i] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = _AC_CODES[0xF0]  # ZRL
+                    w.put(code, ln)
+                    run -= 16
+                s, bits = _category(zz[i])
+                code, ln = _AC_CODES[(run << 4) | s]
+                w.put(code, ln)
+                w.put(bits, s)
+                run = 0
+            if last_nz < 63:
+                code, ln = _AC_CODES[0x00]  # EOB
+                w.put(code, ln)
+    entropy = w.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    zz_quant = bytes(STD_QUANT[ZIGZAG[i]] for i in range(64))
+    out = b"\xff\xd8"  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + zz_quant)
+    out += seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00")
+    out += seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+    out += seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+    out += seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    return out
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated entropy stream")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos < len(self.data) and self.data[self.pos] == 0x00:
+                self.pos += 1  # destuff
+            else:
+                raise ValueError("unexpected marker in entropy stream")
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _decode_table(codes: dict) -> dict:
+    return {(ln, code): sym for sym, (code, ln) in codes.items()}
+
+
+def _read_huffman(r: "_BitReader", table: dict) -> int:
+    code, ln = 0, 0
+    while ln <= 16:
+        code = (code << 1) | r.bit()
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(bits: int, s: int) -> int:
+    if s == 0:
+        return 0
+    return bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """Baseline grayscale JPEG decoder for the scope `encode_jpeg` emits
+    (and any other 8-bit single-component SOF0 stream that uses table
+    slot 0).  Returns the PGM/PNG-shaped dict:
+    ``{"width","height","maxval","n_channels","pixel_sum"}`` with
+    ``pixel_sum`` the exact integer sum over the true (uncropped-padding
+    excluded) image."""
+    from .multimodal import CodecUnavailable
+
+    if payload[:2] != b"\xff\xd8":
+        raise CodecUnavailable("not a JPEG SOI")
+    pos = 2
+    quant = None
+    dc_tab, ac_tab = None, None
+    width = height = None
+    entropy_start = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise CodecUnavailable("bad JPEG marker alignment")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xDB:
+            if body[0] != 0x00:
+                raise CodecUnavailable("only 8-bit quant table 0 supported")
+            zz = list(body[1:65])
+            quant = [0] * 64
+            for i in range(64):
+                quant[ZIGZAG[i]] = zz[i]
+        elif marker == 0xC0:
+            prec, h, w_, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8 or nc != 1:
+                raise CodecUnavailable(
+                    "JPEG decode implemented for 8-bit grayscale baseline only"
+                )
+            height, width = h, w_
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise CodecUnavailable("non-baseline JPEG not supported")
+        elif marker == 0xC4:
+            tc_th = body[0]
+            bits = list(body[1:17])
+            nvals = sum(bits)
+            vals = list(body[17 : 17 + nvals])
+            tab = _decode_table(_build_codes(bits, vals))
+            if tc_th == 0x00:
+                dc_tab = tab
+            elif tc_th == 0x10:
+                ac_tab = tab
+        elif marker == 0xDA:
+            entropy_start = pos
+            break
+        # APP0/COM/etc: skipped
+    if None in (quant, dc_tab, ac_tab, width, height, entropy_start):
+        raise CodecUnavailable("JPEG missing required segments")
+    end = payload.rfind(b"\xff\xd9")
+    r = _BitReader(payload[entropy_start : end if end > 0 else len(payload)])
+
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    total = 0
+    prev_dc = 0
+    for by in range(bh):
+        for bx in range(bw):
+            zz = [0] * 64
+            s = _read_huffman(r, dc_tab)
+            diff = _extend(r.bits(s), s) if s else 0
+            prev_dc += diff
+            zz[0] = prev_dc
+            i = 1
+            while i < 64:
+                rs = _read_huffman(r, ac_tab)
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    i += 16
+                    continue
+                i += rs >> 4
+                if i > 63:
+                    raise CodecUnavailable("AC index overflow")
+                sz = rs & 0x0F
+                zz[i] = _extend(r.bits(sz), sz)
+                i += 1
+            coeffs = [0] * 64
+            for i in range(64):
+                coeffs[ZIGZAG[i]] = zz[i]
+            # dequantize with the STREAM's table (matches ours for our
+            # own output; spec-general for others)
+            dq_pixels = _dequant_idct_with(coeffs, quant)
+            for x in range(8):
+                sy = by * 8 + x
+                if sy >= height:
+                    break
+                for y in range(8):
+                    sx = bx * 8 + y
+                    if sx < width:
+                        total += dq_pixels[x * 8 + y]
+    return {
+        "width": width,
+        "height": height,
+        "maxval": 255,
+        "n_channels": 1,
+        "pixel_sum": total,
+    }
+
+
+def _dequant_idct_with(coeffs: list, quant: list) -> list:
+    """`_dequant_idct` but with the stream's own quantization table."""
+    dq = [coeffs[i] * quant[i] for i in range(64)]
+    tmp = [[0] * 8 for _ in range(8)]
+    for x in range(8):
+        for v in range(8):
+            acc = 0
+            for u in range(8):
+                acc += _CU[u] * dq[u * 8 + v] * _CT[u][x]
+            tmp[x][v] = acc
+    out = [0] * 64
+    for x in range(8):
+        for y in range(8):
+            acc = 0
+            for v in range(8):
+                acc += _CU[v] * tmp[x][v] * _CT[v][y]
+            val = _rdiv(acc, _IDCT_DEN) + 128
+            out[x * 8 + y] = 0 if val < 0 else 255 if val > 255 else val
+    return out

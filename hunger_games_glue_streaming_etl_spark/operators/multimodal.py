@@ -215,20 +215,27 @@ def decode_png(payload: bytes) -> dict:
 
 
 def decode_image(payload: bytes) -> dict:
-    """Real image decode — pure-stdlib binary PGM/PPM (P5/P6) parser plus
-    the stdlib-zlib PNG decoder above.
+    """Real image decode — pure-stdlib binary PGM/PPM (P5/P6) parser, the
+    stdlib-zlib PNG decoder above, and the baseline grayscale JPEG codec
+    (``operators/jpeg.py`` — exact-integer DCT, standard tables).
 
     Returns ``{"width", "height", "maxval", "n_channels", "pixel_sum"}``;
-    ``pixel_sum`` is the integer sum of all sample bytes (exact — no float
-    in the decode path).  JPEG still raises ``CodecUnavailable`` (needs
+    ``pixel_sum`` is the integer sum of all sample bytes (exact — every
+    decode path is integer arithmetic, including the JPEG IDCT).
+    Color/progressive JPEG raises ``CodecUnavailable`` (needs
     Pillow/opencv, absent here)."""
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     magic = payload[:2]
     if magic not in (b"P5", b"P6"):
         raise CodecUnavailable(
-            "real image decode implemented for binary PGM/PPM (P5/P6) and "
-            "8-bit PNG; JPEG needs Pillow/opencv (not in this container)"
+            "real image decode implemented for binary PGM/PPM (P5/P6), "
+            "8-bit PNG, and baseline grayscale JPEG; color/progressive "
+            "JPEG needs Pillow/opencv (not in this container)"
         )
     # header = magic + 3 ASCII ints separated by whitespace/comments, then
     # exactly one whitespace byte before the raster

@@ -80,11 +80,15 @@ _SAMPLE_FIRST = [
     "text_segment_dedup_stats",
     "layout_zorder_file_stats",
     "layout_zorder_pruning_ratio",
-    # round-4 second-session additions (first recorded rows needed)
+    # round-4 second-session additions (first recorded rows needed;
+    # placed before the similarity tier so they stay inside the driver's
+    # ~50-row sampling window — the list is slightly over 50, and the
+    # tail stragglers below have sim-green history to fall back on)
     "layout_compaction_plan",
     "layout_compaction_ratio",
     "profile_table_columns",
     "text_bigram_coherence",
+    "mix_temperature_sample",
     # reference-corpus parity + temporal joins + SCD-adjacent
     "tribute_status_reference_corpus",
     "asof_latest_purchase_before_click",

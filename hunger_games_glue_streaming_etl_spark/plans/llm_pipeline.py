@@ -354,6 +354,66 @@ def mix_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mix_temperature_sample",
+    oracle=f"""
+    WITH c AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang
+    ),
+    m AS (SELECT MIN(n) AS nmin FROM c),
+    r AS (
+        SELECT lang,
+               CAST(FLOOR(10000 * SQRT(CAST(nmin AS DOUBLE) / CAST(n AS DOUBLE)))
+                    AS BIGINT) AS rate_bp
+        FROM c CROSS JOIN m
+    )
+    SELECT d.doc_id, d.lang, r.rate_bp,
+           CAST({_phash_sql("'temp:' || CAST(doc_id AS VARCHAR)")} % 10000
+                AS BIGINT) AS bucket
+    FROM documents d JOIN r ON d.lang = r.lang
+    WHERE {_phash_sql("'temp:' || CAST(doc_id AS VARCHAR)")} % 10000 < r.rate_bp
+    """,
+)
+def mix_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based multilingual mixture (α = 1/2): sampling rates
+    are DERIVED from the corpus — rate_l = √(n_min/n_l) — so high-resource
+    languages are down-sampled toward the temperature-flattened
+    distribution and the rarest language keeps 100%, with no hand-written
+    rate table (the data-dependent-dial pattern; `mix_weighted_sample` is
+    the fixed-spec sibling).
+
+    Hash-exactness of a *float* dial: unlike ln/exp (last-ulp divergent
+    across engines — measured in round 3), IEEE division, multiplication
+    and **sqrt are correctly rounded** in both Java and DuckDB, so
+    ⌊10⁴·√(n_min/n_l)⌋ is bit-identical cross-engine and the oracle gate
+    stays exact.  Rates are one tiny broadcast (langs × 1 row); selection
+    is the same map-side keyed-hash filter as the fixed-rate mixture."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").cast("long").alias("__n"))
+    nmin = counts.agg(F.min("__n").alias("__nmin"))
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        "lang",
+        F.floor(
+            10000
+            * F.sqrt(
+                F.col("__nmin").cast("double") / F.col("__n").cast("double")
+            )
+        )
+        .cast("long")
+        .alias("rate_bp"),
+    )
+    bucket = (
+        portable_hash64(F.concat(F.lit("temp:"), F.col("doc_id").cast("string")))
+        % 10000
+    )
+    return (
+        docs.withColumn("bucket", bucket.cast("long"))
+        .join(F.broadcast(rates), "lang")
+        .filter(F.col("bucket") < F.col("rate_bp"))
+        .select("doc_id", "lang", "rate_bp", "bucket")
+    )
+
+
+@register(
     "shuffle_training_order",
     oracle=f"""
     WITH n AS (

@@ -39,6 +39,14 @@ from .registry import register
                SUM((n_nationkey * 17 + i * 11) % 256) AS s
         FROM nation, range(0, 192) t(i)
         GROUP BY n_nationkey
+    ), jp AS (
+        -- flat grayscale JPEG: even pixel values round-trip EXACTLY
+        -- through the integer-DCT baseline codec (DC-only block,
+        -- verified over all 256 values), so the lossy codec still
+        -- yields an arithmetic oracle
+        SELECT n_nationkey,
+               64 * (((n_nationkey * 37) % 128) * 2) AS s
+        FROM nation
     )
     SELECT CAST(n_nationkey AS BIGINT) AS media_id, 'image' AS kind,
            8 AS width, 8 AS height,
@@ -53,6 +61,10 @@ from .registry import register
     SELECT CAST(n_nationkey + 200 AS BIGINT), 'image',
            8, 8, NULL, NULL, CAST(s AS BIGINT)
     FROM pg
+    UNION ALL
+    SELECT CAST(n_nationkey + 300 AS BIGINT), 'image',
+           8, 8, NULL, NULL, CAST(s AS BIGINT)
+    FROM jp
     """,
 )
 def multimodal_real_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -60,12 +72,15 @@ def multimodal_real_codec_features(spark: SparkSession, sf_dir: str) -> DataFram
     (pixel i = ``(key*31 + i*7) % 256``), a 100-sample PCM WAV (sample i
     = ``((key*13 + i*5) % 401) - 200``), and an 8×8 RGB PNG (sample i =
     ``(key*17 + i*11) % 256``; the encoder cycles all five scanline
-    filters, so zlib inflate + every unfilter path runs) with the stdlib
-    encoders, then decode them back through ``decode_image``/
+    filters, so zlib inflate + every unfilter path runs), and a flat
+    grayscale baseline JPEG (even value ⇒ DC-only block round-trips
+    value-exactly through the integer DCT) with the stdlib encoders,
+    then decode them back through ``decode_image``/
     ``decode_audio`` (no fake codec anywhere in this plan).  The decoded
     dimensions and exact integer pixel/sample sums are reproduced
     arithmetically by the oracle, so the whole encode→binary→decode loop
     is value-hash-checked."""
+    from ..operators.jpeg import encode_jpeg
     from ..operators.multimodal import (
         encode_pgm,
         encode_png,
@@ -98,6 +113,11 @@ def multimodal_real_codec_features(spark: SparkSession, sf_dir: str) -> DataFram
                         bytes((k * 17 + i * 11) % 256 for i in range(192)),
                         n_channels=3,
                     )
+                )
+                out["media_id"].append(k + 300)
+                out["kind"].append("image")
+                out["payload"].append(
+                    encode_jpeg(8, 8, bytes([((k * 37) % 128) * 2]) * 64)
                 )
             yield pd.DataFrame(out)
 

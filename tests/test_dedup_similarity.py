@@ -530,3 +530,69 @@ def test_shingle_df_stays_below_cap_at_fixture_scale(spark):
         sh = shingle_sets(docs, "text", "doc_id", 3)
         max_df = sh.groupBy("shingle").count().agg(F.max("count")).first()[0]
         assert max_df < 64, f"{sf_dir}: hottest shingle DF {max_df} >= cap 64"
+
+
+def test_star_contraction_matches_propagation(spark):
+    """The large-star/small-star variant is a drop-in: identical labels to
+    the propagation loop on the golden graph AND on a seeded random graph
+    (cross-validated implementations — the two share no code path)."""
+    import random
+
+    from hunger_games_glue_streaming_etl_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 7, 8, 9]], ["id"])
+    edges = spark.createDataFrame([(2, 1), (2, 3), (4, 3), (7, 8)], ["src", "dst"])
+    prop = {
+        r["node"]: r["component_id"]
+        for r in connected_components(nodes, edges).collect()
+    }
+    star = {
+        r["node"]: r["component_id"]
+        for r in connected_components_star(nodes, edges).collect()
+    }
+    assert star == prop
+
+    rng = random.Random(42)
+    n = 120
+    redges = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(80)
+    ]
+    redges = [(a, b) for a, b in redges if a != b]
+    rnodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    redf = spark.createDataFrame(redges, ["src", "dst"])
+    prop = {
+        r["node"]: r["component_id"]
+        for r in connected_components(rnodes, redf).collect()
+    }
+    star = {
+        r["node"]: r["component_id"]
+        for r in connected_components_star(rnodes, redf).collect()
+    }
+    assert star == prop and len(star) == n
+
+
+def test_star_contraction_handles_long_chain(spark):
+    """The adversarial input the propagation loop can't do in bounded
+    rounds: a 200-node path needs ~200 propagation rounds (the loop's
+    bound raises), but star contraction collapses it in O(log n) —
+    max_rounds=15 suffices and every node labels 0."""
+    import pytest as _pytest
+
+    from hunger_games_glue_streaming_etl_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    n = 200
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    chain = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["src", "dst"])
+
+    with _pytest.raises(RuntimeError):
+        connected_components(nodes, chain, max_rounds=5)
+
+    labels = connected_components_star(nodes, chain, max_rounds=15).collect()
+    assert len(labels) == n
+    assert {r["component_id"] for r in labels} == {0}

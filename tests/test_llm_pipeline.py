@@ -243,3 +243,29 @@ def test_pii_detection_and_redaction_on_planted_corpus(spark):
     assert redacted[1] == "contact [PII] or [PII] today"
     assert "version 1.2" in redacted[3]  # conservative: prose untouched
     assert redacted[4] == "perfectly clean prose about spark windows and joins"
+
+
+def test_temperature_mixture_rates_derive_from_counts(spark):
+    """α=1/2 temperature semantics: the rarest language keeps 100%
+    (rate_bp = 10000), every language's rate is ⌊10⁴·√(n_min/n_l)⌋, and
+    realized selection tracks the rate within hash noise."""
+    import math
+
+    from hunger_games_glue_streaming_etl_spark.plans.llm_pipeline import (
+        mix_temperature_sample,
+    )
+    from hunger_games_glue_streaming_etl_spark.sources.batch import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    counts = {
+        r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()
+    }
+    nmin = min(counts.values())
+    out = mix_temperature_sample(spark, sf).collect()
+    rates = {r["lang"]: r["rate_bp"] for r in out}
+    for lang, bp in rates.items():
+        assert bp == math.floor(10000 * math.sqrt(nmin / counts[lang]))
+    rare = min(counts, key=counts.get)
+    kept_rare = sum(1 for r in out if r["lang"] == rare)
+    assert rates[rare] == 10000 and kept_rare == counts[rare]

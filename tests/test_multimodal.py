@@ -127,3 +127,59 @@ def test_real_feature_extraction_dispatch(spark):
     assert out[1]["value_sum"] == 21 and out[1]["sample_rate"] is None
     assert out[2]["sample_rate"] == 8000 and out[2]["n_frames"] == 3
     assert out[2]["value_sum"] == 6 and out[2]["width"] is None
+
+
+def test_jpeg_flat_even_values_roundtrip_exactly():
+    """Flat blocks are DC-only; even pixel values survive the 16-step DC
+    quantization exactly (verified over all 256 values during design) —
+    the property the contract entry's arithmetic oracle relies on."""
+    from hunger_games_glue_streaming_etl_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    for v in (0, 2, 64, 128, 200, 254):
+        d = decode_jpeg(encode_jpeg(16, 8, bytes([v]) * 128))
+        assert (d["width"], d["height"], d["n_channels"]) == (16, 8, 1)
+        assert d["pixel_sum"] == v * 128
+    # odd values quantize to the adjacent even level — lossy but bounded
+    d = decode_jpeg(encode_jpeg(8, 8, bytes([101]) * 64))
+    assert abs(d["pixel_sum"] - 101 * 64) <= 64
+
+
+def test_jpeg_textured_image_close_and_deterministic():
+    """Non-flat content: the round trip is lossy but tight (standard
+    tables ≈ quality 50), byte-identical across encodes, and dimensions
+    that are not block-aligned crop the padding out of pixel_sum."""
+    from hunger_games_glue_streaming_etl_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    w, h = 21, 13  # deliberately not multiples of 8
+    pixels = bytes((40 + 3 * x + 5 * y) % 200 for y in range(h) for x in range(w))
+    enc = encode_jpeg(w, h, pixels)
+    assert enc == encode_jpeg(w, h, pixels)
+    d = decode_jpeg(enc)
+    assert (d["width"], d["height"]) == (w, h)
+    orig = sum(pixels)
+    assert abs(d["pixel_sum"] - orig) <= 4 * w * h  # ≤4 avg error/pixel
+
+
+def test_jpeg_via_decode_image_dispatch():
+    """decode_image routes on the SOI marker; non-baseline streams raise
+    CodecUnavailable honestly."""
+    import pytest as _pytest
+
+    from hunger_games_glue_streaming_etl_spark.operators.jpeg import encode_jpeg
+    from hunger_games_glue_streaming_etl_spark.operators.multimodal import (
+        CodecUnavailable,
+        decode_image,
+    )
+
+    enc = encode_jpeg(8, 8, bytes([100]) * 64)
+    assert decode_image(enc)["pixel_sum"] == 100 * 64
+    # progressive marker (SOF2) instead of SOF0 → honest refusal
+    broken = enc.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with _pytest.raises(CodecUnavailable):
+        decode_image(broken)

@@ -148,3 +148,40 @@ def test_pack_window_partitions_by_source(spark):
     # the Window's partition spec must mention source (not be empty)
     win_lines = [l for l in plan.splitlines() if "Window" in l]
     assert any("source" in l for l in win_lines)
+
+
+def test_profile_single_scan_with_pruned_columns(spark):
+    """The profiler reads lineitem ONCE and only the profiled columns —
+    #columns result rows must not mean #columns scans."""
+    plan = _plan(QUERIES["profile_table_columns"](spark, SF_DIR))
+    assert plan.count("lineitem.parquet") == 1
+    read = [l for l in plan.splitlines() if "lineitem.parquet" in l]
+    assert read and "l_extendedprice" not in read[0] and "l_quantity" not in read[0]
+    assert "partial_count" in plan or "partial_min" in plan  # map-side partials
+
+
+def test_compaction_dial_broadcasts_no_global_window(spark):
+    """The compaction cumsum must be the two-level shape: the corpus dial
+    arrives via broadcast, and no window runs over a single global
+    partition of the whole manifest (the per-slice window partitions by
+    the slice key)."""
+    plan = _plan(QUERIES["layout_compaction_plan"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the only unpartitioned window is over the ≤32 slice-total rows
+    import re
+
+    global_windows = [
+        l for l in plan.splitlines()
+        if "Window" in l and "__slice_total" not in l and "partitionBy" not in l
+    ]
+    # per-slice window partitions on __slice; offsets window is metadata-scale
+    assert any("__slice" in l for l in plan.splitlines() if "Window" in l)
+
+
+def test_bigram_coherence_shuffles_hashes_not_text(spark):
+    """Posture guard: every exchange in the bigram-LM plan carries 48-bit
+    hash keys / counts — the gram strings are hashed away map-side."""
+    plan = _plan(QUERIES["text_bigram_coherence"](spark, SF_DIR))
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "gram#" not in line
