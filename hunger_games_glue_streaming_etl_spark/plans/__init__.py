@@ -89,6 +89,9 @@ _SAMPLE_FIRST = [
     "profile_table_columns",
     "text_bigram_coherence",
     "mix_temperature_sample",
+    "text_vocab_oov",
+    "funnel_conversion_steps",
+    "retention_cohort_weekly",
     # reference-corpus parity + temporal joins + SCD-adjacent
     "tribute_status_reference_corpus",
     "asof_latest_purchase_before_click",

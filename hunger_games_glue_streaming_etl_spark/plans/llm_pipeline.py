@@ -687,6 +687,15 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(portable_hash64(F.col("g")).alias("gh"))
         .distinct()
     )
+    # `train` feeds TWO branches of the final action (gram-overlap
+    # flagging AND the anti-join keep side), but this is NOT the cluster
+    # entries' double-execution shape: the branches produce IDENTICAL
+    # exchange subtrees, which Spark's ReuseExchange dedupes within the
+    # one physical plan.  An eager localCheckpoint here was measured
+    # SLOWER (7.8 → 10.2 s median at sf0.1 — it pays to store the text
+    # column for a reuse the optimizer already provides), so: leave it
+    # declarative.  The cluster loops needed truncation because their
+    # branches were in *separate actions* across rounds.
     train = clean.filter(F.col("doc_id") % DECONTAM_EVAL_MOD != 0)
     flagged = (
         train.select("doc_id", F.explode(shingles("text", 4)).alias("g"))

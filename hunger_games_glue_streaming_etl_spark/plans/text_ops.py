@@ -423,3 +423,68 @@ def text_bigram_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("fp").cast("long").alias("coherence_fp"),
         F.expr("sum(fp) div count(*)").cast("long").alias("avg_coherence_fp"),
     )
+
+
+VOCAB_SIZE = 16  # fixture corpus has 31 distinct tokens; 16 ⇒ real OOV
+OOV_FP_SCALE = 1_000_000
+
+
+@register(
+    "text_vocab_oov",
+    oracle=f"""
+    WITH inst AS (
+        SELECT doc_id,
+               {phash_sql("tok")} AS th
+        FROM documents, unnest({_TOKS}) AS t(tok)
+    ),
+    c AS (SELECT th, COUNT(*) AS n FROM inst GROUP BY th),
+    vocab AS (
+        SELECT th FROM c ORDER BY n DESC, th LIMIT {VOCAB_SIZE}
+    )
+    SELECT i.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.th IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           CAST(({OOV_FP_SCALE} * SUM(CASE WHEN v.th IS NULL THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS oov_rate_fp
+    FROM inst i LEFT JOIN vocab v ON i.th = v.th
+    GROUP BY i.doc_id
+    """,
+)
+def text_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-vocabulary build + per-document out-of-vocabulary rate —
+    the tokenizer-coverage diagnostic a training pipeline runs before
+    committing to a vocab (high OOV ⇒ wrong tokenizer/language mix).
+    Vocab = top ``VOCAB_SIZE`` tokens by corpus frequency with a
+    deterministic (count DESC, hash ASC) tiebreak, ranked on 48-bit token
+    hashes; OOV rate is fixed-point millionths (integer division — no
+    float anywhere).
+
+    At scale: token instances are hashed map-side (text never shuffles);
+    the count shuffle collapses map-side; the vocab is top-V of the count
+    table (TakeOrderedAndProject — per-partition heaps) and broadcasts to
+    the instance stream; the per-doc rollup ships (doc_id, flag) longs.
+    V is a constant here; production sizes it ~100k with the identical
+    plan shape."""
+    from ..functions.text import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    inst = pin(
+        docs.select("doc_id", F.explode(tokens("text")).alias("__tok")).select(
+            "doc_id", portable_hash64(F.col("__tok")).alias("th")
+        )
+    )
+    counts = inst.groupBy("th").agg(F.count("*").alias("n"))
+    vocab = counts.orderBy(F.col("n").desc(), "th").limit(VOCAB_SIZE).select(
+        F.col("th").alias("vth")
+    )
+    flagged = inst.join(
+        F.broadcast(vocab), inst["th"] == F.col("vth"), "left"
+    ).select("doc_id", F.isnull("vth").cast("long").alias("is_oov"))
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("is_oov").cast("long").alias("n_oov"),
+        F.expr(f"({OOV_FP_SCALE} * sum(is_oov)) div count(*)")
+        .cast("long")
+        .alias("oov_rate_fp"),
+    )
