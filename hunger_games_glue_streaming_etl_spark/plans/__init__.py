@@ -92,6 +92,7 @@ _SAMPLE_FIRST = [
     "text_vocab_oov",
     "funnel_conversion_steps",
     "retention_cohort_weekly",
+    "streaming_funnel_state",
     # reference-corpus parity + temporal joins + SCD-adjacent
     "tribute_status_reference_corpus",
     "asof_latest_purchase_before_click",

@@ -3,7 +3,7 @@ micro-batch Structured Streaming query to completion (file source over the
 events fixture → watermarked transform → memory sink) and returns the final
 result as a DataFrame.
 
-All six entries are HASH-CHECKED: the replay is fully deterministic (4
+All entries are HASH-CHECKED: the replay is fully deterministic (4
 event-id-quartile JSON batches × maxFilesPerTrigger=2 → exactly 2 triggers,
 monotone-but-jittered event time), so the memory sink's final content — the
 *finalized prefix* the watermark allows — is reproducible in closed-form
@@ -473,4 +473,103 @@ def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return _run_stream(
         spark, deduped.select("doc_id", "lang", "fingerprint"), "corpus_ingest"
+    )
+
+
+@register(
+    "streaming_funnel_state",
+    oracle=f"""
+    WITH {_EVENTS_WITH_TRIGGER},
+    users AS (SELECT DISTINCT user_id FROM e),
+    a1 AS (SELECT user_id, MIN(ts) AS t FROM e
+           WHERE trg = 1 AND event_type = 'signup' GROUP BY user_id),
+    b1 AS (SELECT e.user_id, MIN(ts) AS t FROM e JOIN a1 USING (user_id)
+           WHERE trg = 1 AND event_type = 'view'
+             AND ts > a1.t AND ts <= a1.t + INTERVAL 24 HOUR
+           GROUP BY e.user_id),
+    c1 AS (SELECT e.user_id, MIN(ts) AS t FROM e JOIN b1 USING (user_id)
+           WHERE trg = 1 AND event_type = 'click'
+             AND ts > b1.t AND ts <= b1.t + INTERVAL 24 HOUR
+           GROUP BY e.user_id),
+    d1 AS (SELECT e.user_id, MIN(ts) AS t FROM e JOIN c1 USING (user_id)
+           WHERE trg = 1 AND event_type = 'purchase'
+             AND ts > c1.t AND ts <= c1.t + INTERVAL 24 HOUR
+           GROUP BY e.user_id),
+    a2 AS (SELECT user_id, MIN(ts) AS t FROM e
+           WHERE trg = 2 AND event_type = 'signup' GROUP BY user_id),
+    ra AS (SELECT u.user_id, COALESCE(a1.t, a2.t) AS t FROM users u
+           LEFT JOIN a1 USING (user_id) LEFT JOIN a2 USING (user_id)),
+    rb0 AS (SELECT e.user_id, MIN(ts) AS t FROM e
+            JOIN ra ON e.user_id = ra.user_id
+            WHERE trg = 2 AND event_type = 'view' AND ra.t IS NOT NULL
+              AND ts > ra.t AND ts <= ra.t + INTERVAL 24 HOUR
+            GROUP BY e.user_id),
+    rb AS (SELECT ra.user_id, COALESCE(b1.t, rb0.t) AS t FROM ra
+           LEFT JOIN b1 USING (user_id) LEFT JOIN rb0 USING (user_id)),
+    rc0 AS (SELECT e.user_id, MIN(ts) AS t FROM e
+            JOIN rb ON e.user_id = rb.user_id
+            WHERE trg = 2 AND event_type = 'click' AND rb.t IS NOT NULL
+              AND ts > rb.t AND ts <= rb.t + INTERVAL 24 HOUR
+            GROUP BY e.user_id),
+    rc AS (SELECT rb.user_id, COALESCE(c1.t, rc0.t) AS t FROM rb
+           LEFT JOIN c1 USING (user_id) LEFT JOIN rc0 USING (user_id)),
+    rd0 AS (SELECT e.user_id, MIN(ts) AS t FROM e
+            JOIN rc ON e.user_id = rc.user_id
+            WHERE trg = 2 AND event_type = 'purchase' AND rc.t IS NOT NULL
+              AND ts > rc.t AND ts <= rc.t + INTERVAL 24 HOUR
+            GROUP BY e.user_id),
+    rd AS (SELECT rc.user_id, COALESCE(d1.t, rd0.t) AS t FROM rc
+           LEFT JOIN d1 USING (user_id) LEFT JOIN rd0 USING (user_id)),
+    st1 AS (SELECT u.user_id,
+                   CAST(CASE WHEN d1.t IS NOT NULL THEN 4
+                             WHEN c1.t IS NOT NULL THEN 3
+                             WHEN b1.t IS NOT NULL THEN 2
+                             WHEN a1.t IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+                       AS reached_step,
+                   CAST(COALESCE(epoch_us(COALESCE(d1.t, c1.t, b1.t, a1.t)), 0)
+                        AS BIGINT) AS anchor_us
+            FROM users u LEFT JOIN a1 USING (user_id)
+                 LEFT JOIN b1 USING (user_id) LEFT JOIN c1 USING (user_id)
+                 LEFT JOIN d1 USING (user_id)),
+    st2 AS (SELECT u.user_id,
+                   CAST(CASE WHEN rd.t IS NOT NULL THEN 4
+                             WHEN rc.t IS NOT NULL THEN 3
+                             WHEN rb.t IS NOT NULL THEN 2
+                             WHEN ra.t IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+                       AS reached_step,
+                   CAST(COALESCE(epoch_us(COALESCE(rd.t, rc.t, rb.t, ra.t)), 0)
+                        AS BIGINT) AS anchor_us
+            FROM users u LEFT JOIN ra USING (user_id)
+                 LEFT JOIN rb USING (user_id) LEFT JOIN rc USING (user_id)
+                 LEFT JOIN rd USING (user_id)),
+    pts AS (SELECT DISTINCT user_id, trg FROM e)
+    SELECT p.user_id, s.reached_step, s.anchor_us
+    FROM pts p JOIN st1 s USING (user_id) WHERE p.trg = 1
+    UNION ALL
+    SELECT p.user_id, s.reached_step, s.anchor_us
+    FROM pts p JOIN st2 s USING (user_id) WHERE p.trg = 2
+    """,
+)
+def streaming_funnel_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming conversion funnel — the second ``applyInPandasWithState``
+    contract entry and the streaming face of
+    ``funnel_conversion_steps``: per-user (step, anchor-µs) state machine
+    advanced greedily over time-sorted micro-batches, 24 h per-step
+    conversion windows, update-mode emission per (user,
+    trigger-with-data).
+
+    The oracle replays the two-trigger greedy run in closed form: phase 1
+    is the min-time chain over trigger-1 events; phase 2 SEEDS each step
+    with phase 1's anchor (a step already completed never re-opens —
+    exactly the greedy semantics, since within a time-sorted batch 'first
+    qualifying' ≡ 'min-time qualifying').  State is two longs per user —
+    bounded at any corpus scale."""
+    from ..streaming.ops import funnel_user_state
+
+    src = _stage_events_stream(spark, sf_dir)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "maxFilesPerTrigger", "2"
+    ).json(src)
+    return _run_stream(
+        spark, funnel_user_state(stream), "funnelstate", output_mode="update"
     )

@@ -182,3 +182,64 @@ def running_user_state(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---- streaming conversion funnel (applyInPandasWithState) ------------------
+
+FUNNEL_STATE_SCHEMA = "user_id long, reached_step long, anchor_us long"
+_FUNNEL_STATE = "step long, anchor long"
+_FUNNEL_ORDER = ("signup", "view", "click", "purchase")
+FUNNEL_WINDOW_US = 24 * 3600 * 1_000_000
+
+
+def _update_funnel_state(
+    key: tuple[Any, ...],
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Greedy per-user funnel state machine: events of each trigger are
+    processed in (ts, event_id) order; step k+1 fires on the FIRST step-k+1
+    event strictly after the step-k anchor and within the 24 h window.
+    State is two longs — (step, anchor µs) — bounded forever, no lists.
+
+    Within a time-sorted batch 'first qualifying' ≡ 'min-time qualifying',
+    so the cross-batch semantics are exactly the seeded min-time chain the
+    replay oracle reproduces in SQL."""
+    step, anchor = state.get if state.exists else (0, 0)
+    pdf = pd.concat(list(pdf_iter))
+    pdf = pdf.sort_values(["ts", "event_id"])
+    for ts, etype in zip(pdf["ts"], pdf["event_type"]):
+        if step >= 4:
+            break
+        ts_us = int(pd.Timestamp(ts).value) // 1000
+        if step == 0:
+            if etype == _FUNNEL_ORDER[0]:
+                step, anchor = 1, ts_us
+        elif (
+            etype == _FUNNEL_ORDER[step]
+            and ts_us > anchor
+            and ts_us <= anchor + FUNNEL_WINDOW_US
+        ):
+            step, anchor = step + 1, ts_us
+    state.update((step, anchor))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "reached_step": [step],
+            "anchor_us": [anchor],
+        }
+    )
+
+
+def funnel_user_state(stream: DataFrame) -> DataFrame:
+    """Streaming conversion funnel via ``applyInPandasWithState`` — the
+    streaming face of ``plans.event_time.funnel_conversion_steps`` (update
+    mode: one row per (user, trigger-with-data) carrying the funnel depth
+    and last-step anchor after that trigger)."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _update_funnel_state,
+        outputStructType=FUNNEL_STATE_SCHEMA,
+        stateStructType=_FUNNEL_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

