@@ -253,15 +253,22 @@ class _BitReader:
         self.n = 0
 
     def _fill(self) -> None:
+        from .multimodal import CodecUnavailable
+
         if self.pos >= len(self.data):
-            raise ValueError("truncated entropy stream")
+            raise CodecUnavailable("truncated JPEG entropy stream")
         b = self.data[self.pos]
         self.pos += 1
         if b == 0xFF:
             if self.pos < len(self.data) and self.data[self.pos] == 0x00:
                 self.pos += 1  # destuff
             else:
-                raise ValueError("unexpected marker in entropy stream")
+                # RSTn or a stray marker: restart intervals (DRI) are not
+                # in scope — refuse honestly rather than misparse
+                raise CodecUnavailable(
+                    "marker inside entropy stream (restart intervals "
+                    "unsupported)"
+                )
         self.acc = (self.acc << 8) | b
         self.n += 8
 
@@ -283,6 +290,8 @@ def _decode_table(codes: dict) -> dict:
 
 
 def _read_huffman(r: "_BitReader", table: dict) -> int:
+    from .multimodal import CodecUnavailable
+
     code, ln = 0, 0
     while ln <= 16:
         code = (code << 1) | r.bit()
@@ -290,7 +299,7 @@ def _read_huffman(r: "_BitReader", table: dict) -> int:
         sym = table.get((ln, code))
         if sym is not None:
             return sym
-    raise ValueError("invalid Huffman code")
+    raise CodecUnavailable("invalid JPEG Huffman code")
 
 
 def _extend(bits: int, s: int) -> int:

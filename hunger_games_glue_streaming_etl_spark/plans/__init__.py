@@ -93,6 +93,10 @@ _SAMPLE_FIRST = [
     "funnel_conversion_steps",
     "retention_cohort_weekly",
     "streaming_funnel_state",
+    "anomaly_hourly_event_rate",
+    # carries the new JPEG oracle row — needs its r04 record more than the
+    # similarity tier's tail does
+    "multimodal_real_codec_features",
     # reference-corpus parity + temporal joins + SCD-adjacent
     "tribute_status_reference_corpus",
     "asof_latest_purchase_before_click",
@@ -104,7 +108,6 @@ _SAMPLE_FIRST = [
     "sim_ivf_recall_check",
     "sim_pq_recall_check",
     "sim_lsh_bucket_stats",
-    "multimodal_real_codec_features",
     # sources + straggler relational entries
     "scan_csv_explicit_schema",
     "scan_json_explicit_schema",

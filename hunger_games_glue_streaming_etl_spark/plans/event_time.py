@@ -315,3 +315,69 @@ def retention_cohort_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count("*").alias("n_active_users"))
     )
+
+
+@register(
+    "anomaly_hourly_event_rate",
+    oracle="""
+    WITH h AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n) AS BIGINT) AS s1,
+               CAST(SUM(n * n) AS BIGINT) AS s2
+        FROM h GROUP BY event_type
+    )
+    SELECT h.event_type, h.hr, h.n,
+           ROUND((h.n - CAST(s1 AS DOUBLE) / k) /
+                 SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / k)
+                      / (k - 1)), 6) AS zscore,
+           CAST(CASE WHEN ABS((h.n - CAST(s1 AS DOUBLE) / k) /
+                 SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / k)
+                      / (k - 1))) > 2 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+    FROM h JOIN m USING (event_type)
+    """,
+)
+def anomaly_hourly_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-anomaly detection on the event stream: per event type, hourly
+    counts z-scored against that type's own distribution; |z| > 2 flags
+    the anomalous hours (the monitoring query behind every ops dashboard;
+    138 flagged hours at sf0.01 — non-trivial both ways).
+
+    Float-dial hash-exactness, same reasoning as the temperature mixture:
+    the variance comes from EXACT integer moments (Σn, Σn² as BIGINTs —
+    never an engine-internal var_samp, whose Welford accumulation order
+    is not reproducible), and the z expression composes only
+    correctly-rounded IEEE ops (divide, multiply, subtract, sqrt) in the
+    same tree shape on both engines, so the doubles are bit-identical
+    before the final ROUND.
+
+    At scale: two partial-agg shuffles (hour rollup, then per-type
+    moments — #types rows, broadcast back); z is map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count("*").alias("n"))
+    m = h.groupBy("event_type").agg(
+        F.count("*").alias("k"),
+        F.sum("n").cast("long").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("s2"),
+    )
+    joined = h.join(F.broadcast(m), "event_type")
+    mean = F.col("s1").cast("double") / F.col("k")
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1") / F.col("k")
+    ) / (F.col("k") - 1)
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return joined.select(
+        "event_type",
+        "hr",
+        F.col("n").cast("long"),
+        F.round(z, 6).alias("zscore"),
+        (F.abs(z) > 2).cast("long").alias("is_anomaly"),
+    )

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.batch import load_table
+from ..sources.batch import fan_out, load_table
 from .registry import register
 
 # (column, table) pairs profiled: lineitem's integer keys + flag columns.
@@ -61,7 +61,12 @@ def profile_table_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed in a single wide aggregation row, then stacked to long form
     (#columns result rows) — the table is read once no matter how many
     columns are profiled."""
-    li = load_table(spark, sf_dir, "lineitem").select(*PROFILE_COLUMNS)
+    # the fixture parquet is a single row group ⇒ a 1-partition scan that
+    # maxPartitionBytes cannot split; the 6-way distinct Expand is the
+    # per-row-heavy case the fan_out gate exists for (measured 8.7 → 1.3 s
+    # at sf0.1).  Project FIRST so the repartition ships only the profiled
+    # columns; no-op on real multi-split sources.
+    li = fan_out(load_table(spark, sf_dir, "lineitem").select(*PROFILE_COLUMNS))
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in PROFILE_COLUMNS:
         aggs += [
