@@ -5,11 +5,12 @@ operators.
 The Spark-side architecture is fully real — schema (``schemas.MEDIA_SCHEMA``),
 partition-parallel batch iteration, bounded batch sizes via
 ``spark.sql.execution.arrow.maxRecordsPerBatch``, feature columns appended
-without shuffles.  The *codec* layer is stubbed: this container has no
-image/audio libraries, so ``decode_image``/``decode_audio`` raise
-``NotImplementedError`` unless given the deterministic fake codec, which
-derives reproducible pseudo-features from the payload bytes.  Swapping the
-fake for Pillow/libsndfile changes one function, not the plan.
+without shuffles.  The codec layer is REAL for binary PGM/PPM, 8-bit PNG
+(stdlib zlib), baseline grayscale JPEG (``operators/jpeg.py``), 16-bit PCM
+WAV, and mono IMA-ADPCM WAV — all pure stdlib, all integer-exact decode
+paths.  Color/progressive JPEG and MP3 raise ``CodecUnavailable`` honestly
+(they need Pillow/soundfile, absent here); swapping a stub for a library
+codec changes one function, not the plan.
 
 Scale notes: media payloads dominate row width, so the operators (a) never
 shuffle rows with the payload attached, (b) project the payload away as soon
@@ -275,20 +276,27 @@ def decode_image(payload: bytes) -> dict:
 
 
 def decode_audio(payload: bytes) -> dict:
-    """Real audio decode — stdlib ``wave`` for 16-bit PCM WAV.
+    """Real audio decode — stdlib ``wave`` for 16-bit PCM WAV, plus the
+    pure-integer IMA-ADPCM decoder below for compressed (fmt tag 0x11)
+    WAV.
 
     Returns ``{"sample_rate", "n_channels", "n_frames", "sample_sum"}``;
     ``sample_sum`` is the exact integer sum of all int16 samples.  Other
-    containers/codecs raise ``CodecUnavailable`` (need soundfile/librosa)."""
+    containers/codecs (MP3, …) raise ``CodecUnavailable`` (need
+    soundfile/librosa)."""
     import io
     import struct
     import wave
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise CodecUnavailable(
-            "real audio decode implemented for PCM WAV only; other codecs "
-            "need soundfile/librosa (not in this container)"
+            "real audio decode implemented for PCM and IMA-ADPCM WAV; "
+            "other codecs need soundfile/librosa (not in this container)"
         )
+    # fmt tag lives right after the 'fmt ' chunk header; 0x11 = IMA ADPCM
+    fmt_at = payload.find(b"fmt ")
+    if fmt_at >= 0 and payload[fmt_at + 8 : fmt_at + 10] == b"\x11\x00":
+        return decode_adpcm_wav(payload)
     try:
         with wave.open(io.BytesIO(payload), "rb") as w:
             if w.getsampwidth() != 2:
@@ -408,3 +416,149 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             (F.col("frame_idx") * every_ms).cast("long").alias("frame_ts_ms"),
         )
     )
+
+
+# ---- IMA ADPCM (compressed audio) ------------------------------------------
+#
+# 4:1 compressed audio as a REAL codec: IMA/DVI ADPCM (the classic
+# adaptive-delta scheme, public constants from the IMA ADPCM spec) in a
+# WAV container (wFormatTag 0x11).  Pure integer arithmetic start to
+# finish, so encode→decode is deterministic on any platform; a
+# constant-amplitude signal round-trips EXACTLY (the block header stores
+# the first sample verbatim and zero deltas leave the predictor
+# untouched), which gives the lossy codec an arithmetic oracle row.
+# MP3 remains an honest CodecUnavailable stub.
+
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_clamp16(v: int) -> int:
+    return -32768 if v < -32768 else 32767 if v > 32767 else v
+
+
+def _ima_encode_sample(sample: int, pred: int, index: int) -> tuple:
+    """One sample → (nibble, new predictor, new index) — the canonical
+    IMA quantize/reconstruct pair (encoder reconstructs exactly like the
+    decoder, so their predictors never drift)."""
+    step = _IMA_STEPS[index]
+    diff = sample - pred
+    nibble = 0
+    if diff < 0:
+        nibble = 8
+        diff = -diff
+    if diff >= step:
+        nibble |= 4
+        diff -= step
+    if diff >= step >> 1:
+        nibble |= 2
+        diff -= step >> 1
+    if diff >= step >> 2:
+        nibble |= 1
+    pred = _ima_decode_sample(nibble, pred, index)[0]
+    index = max(0, min(88, index + _IMA_INDEX[nibble & 7]))
+    return nibble, pred, index
+
+
+def _ima_decode_sample(nibble: int, pred: int, index: int) -> tuple:
+    """One nibble → (new predictor, new index)."""
+    step = _IMA_STEPS[index]
+    delta = step >> 3
+    if nibble & 1:
+        delta += step >> 2
+    if nibble & 2:
+        delta += step >> 1
+    if nibble & 4:
+        delta += step
+    if nibble & 8:
+        delta = -delta
+    return _ima_clamp16(pred + delta), max(0, min(88, index + _IMA_INDEX[nibble & 7]))
+
+
+def encode_adpcm_wav(sample_rate: int, samples: "list[int]") -> bytes:
+    """Mono IMA-ADPCM WAV encoder (one block; stdlib struct only).  The
+    block header carries sample[0] verbatim; remaining samples encode as
+    4-bit adaptive deltas (≈4:1 vs 16-bit PCM)."""
+    import struct
+
+    if not samples:
+        raise ValueError("need at least one sample")
+    pred, index = samples[0], 0
+    nibbles = []
+    for s in samples[1:]:
+        nib, pred, index2 = _ima_encode_sample(s, pred, index)
+        index = index2
+        nibbles.append(nib)
+    if len(nibbles) % 2:
+        nibbles.append(0)
+    data = struct.pack("<hBB", samples[0], 0, 0) + bytes(
+        (nibbles[i] | (nibbles[i + 1] << 4)) for i in range(0, len(nibbles), 2)
+    )
+    samples_per_block = len(samples)
+    block_align = len(data)
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        0x11, 1, sample_rate,
+        sample_rate * block_align // max(samples_per_block, 1),
+        block_align, 4, 2, samples_per_block,
+    )
+    riff = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, len(samples))
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(riff)) + b"WAVE" + riff
+
+
+def decode_adpcm_wav(payload: bytes) -> dict:
+    """Mono IMA-ADPCM WAV decoder (single-block scope matching the
+    encoder; other layouts raise).  Returns the decode_audio dict with
+    the exact integer sample sum."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise CodecUnavailable("not a WAV container")
+    pos, fmt, data, n_samples = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"fact":
+            (n_samples,) = struct.unpack("<I", body[:4])
+        elif cid == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise CodecUnavailable("WAV missing fmt/data")
+    tag, channels, rate = fmt[0], fmt[1], fmt[2]
+    if tag != 0x11:
+        raise CodecUnavailable(f"not IMA ADPCM (fmt tag {tag:#x})")
+    if channels != 1:
+        raise CodecUnavailable("mono IMA ADPCM only")
+    pred, index, _ = struct.unpack("<hBB", data[:4])
+    if index > 88:
+        raise CodecUnavailable("corrupt ADPCM block header")
+    total, count = pred, 1
+    for byte in data[4:]:
+        for nib in (byte & 0x0F, byte >> 4):
+            if n_samples is not None and count >= n_samples:
+                break
+            pred, index = _ima_decode_sample(nib, pred, index)
+            total += pred
+            count += 1
+    return {
+        "sample_rate": rate,
+        "n_channels": 1,
+        "n_frames": count,
+        "sample_sum": total,
+    }

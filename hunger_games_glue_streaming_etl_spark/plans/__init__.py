@@ -94,6 +94,7 @@ _SAMPLE_FIRST = [
     "retention_cohort_weekly",
     "streaming_funnel_state",
     "anomaly_hourly_event_rate",
+    "profile_join_key_skew",
     # carries the new JPEG oracle row — needs its r04 record more than the
     # similarity tier's tail does
     "multimodal_real_codec_features",

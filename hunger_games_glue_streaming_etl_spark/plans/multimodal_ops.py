@@ -47,6 +47,13 @@ from .registry import register
         SELECT n_nationkey,
                64 * (((n_nationkey * 37) % 128) * 2) AS s
         FROM nation
+    ), ad AS (
+        -- constant-amplitude IMA-ADPCM: the block header stores sample 0
+        -- verbatim and zero deltas leave the predictor untouched, so the
+        -- compressed round trip is value-exact
+        SELECT n_nationkey,
+               80 * (((n_nationkey * 7) % 200) - 100) AS s
+        FROM nation
     )
     SELECT CAST(n_nationkey AS BIGINT) AS media_id, 'image' AS kind,
            8 AS width, 8 AS height,
@@ -65,6 +72,10 @@ from .registry import register
     SELECT CAST(n_nationkey + 300 AS BIGINT), 'image',
            8, 8, NULL, NULL, CAST(s AS BIGINT)
     FROM jp
+    UNION ALL
+    SELECT CAST(n_nationkey + 400 AS BIGINT), 'audio',
+           NULL, NULL, 8000, 80, CAST(s AS BIGINT)
+    FROM ad
     """,
 )
 def multimodal_real_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -82,6 +93,7 @@ def multimodal_real_codec_features(spark: SparkSession, sf_dir: str) -> DataFram
     is value-hash-checked."""
     from ..operators.jpeg import encode_jpeg
     from ..operators.multimodal import (
+        encode_adpcm_wav,
         encode_pgm,
         encode_png,
         encode_wav,
@@ -118,6 +130,11 @@ def multimodal_real_codec_features(spark: SparkSession, sf_dir: str) -> DataFram
                 out["kind"].append("image")
                 out["payload"].append(
                     encode_jpeg(8, 8, bytes([((k * 37) % 128) * 2]) * 64)
+                )
+                out["media_id"].append(k + 400)
+                out["kind"].append("audio")
+                out["payload"].append(
+                    encode_adpcm_wav(8000, [((k * 7) % 200) - 100] * 80)
                 )
             yield pd.DataFrame(out)
 

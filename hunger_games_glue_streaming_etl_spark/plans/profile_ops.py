@@ -92,3 +92,60 @@ def profile_table_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+# (display name, table, key column) — the join keys a planner would ask
+# "do I need salting / AQE skew handling for this?" about
+SKEW_KEYS = [
+    ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+    ("events.user_id", "events", "user_id"),
+]
+
+_SKEW_ORACLE = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{name}' AS key_name,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MIN(n) AS BIGINT) AS min_rows,
+           ROUND(quantile_cont(n, 0.5), 4) AS p50_rows,
+           CAST(MAX(n) AS BIGINT) AS max_rows,
+           CAST((1000000 * MAX(n)) // (SUM(n) // COUNT(*)) AS BIGINT)
+               AS skew_ratio_fp
+    FROM (SELECT {col}, COUNT(*) AS n FROM {table} GROUP BY {col})
+    """
+    for name, table, col in SKEW_KEYS
+)
+
+
+@register("profile_join_key_skew", oracle=_SKEW_ORACLE)
+def profile_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew report — the statistic that decides whether a join
+    needs salting or AQE skew splitting before it runs at 100 TB: per
+    candidate key, the group-size distribution (min / exact median / max)
+    and a fixed-point max-to-mean ratio (millionths; mean floor-divided —
+    integer ops only, so the ratio hash-checks exactly).  The exact
+    median rides the established `percentile` ≡ `quantile_cont` parity.
+
+    One partial-agg shuffle per key (the same shuffle the real join would
+    do, on counts not rows) + a per-key singleton rollup."""
+    parts = []
+    for name, table, col in SKEW_KEYS:
+        g = (
+            load_table(spark, sf_dir, table)
+            .groupBy(col)
+            .agg(F.count("*").alias("n"))
+        )
+        parts.append(
+            g.agg(
+                F.count("*").cast("long").alias("n_keys"),
+                F.min("n").cast("long").alias("min_rows"),
+                F.round(F.expr("percentile(n, 0.5D)"), 4).alias("p50_rows"),
+                F.max("n").cast("long").alias("max_rows"),
+                F.expr("(1000000 * max(n)) div (sum(n) div count(*))")
+                .cast("long")
+                .alias("skew_ratio_fp"),
+            ).select(F.lit(name).alias("key_name"), "*")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

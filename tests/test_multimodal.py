@@ -183,3 +183,43 @@ def test_jpeg_via_decode_image_dispatch():
     broken = enc.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with _pytest.raises(CodecUnavailable):
         decode_image(broken)
+
+
+def test_adpcm_constant_roundtrips_exactly_and_tracks_slow_signals():
+    """IMA ADPCM: constant amplitude is value-exact (header sample + zero
+    deltas); a slow ramp tracks within the adaptive step's lag; encoding
+    is deterministic and ~4:1 smaller than 16-bit PCM."""
+    from hunger_games_glue_streaming_etl_spark.operators.multimodal import (
+        decode_adpcm_wav,
+        encode_adpcm_wav,
+        encode_wav,
+    )
+
+    for v in (-100, 0, 77, 32000):
+        d = decode_adpcm_wav(encode_adpcm_wav(8000, [v] * 64))
+        assert d["sample_sum"] == v * 64 and d["n_frames"] == 64
+
+    ramp = [i * 3 for i in range(400)]
+    enc = encode_adpcm_wav(8000, ramp)
+    assert enc == encode_adpcm_wav(8000, ramp)
+    d = decode_adpcm_wav(enc)
+    assert abs(d["sample_sum"] - sum(ramp)) <= 8 * len(ramp)
+    assert len(enc) < len(encode_wav(8000, ramp)) // 2
+
+
+def test_adpcm_via_decode_audio_dispatch():
+    """decode_audio routes on the WAV fmt tag: 0x01 PCM -> stdlib wave,
+    0x11 -> the ADPCM decoder; anything else refuses honestly."""
+    import pytest as _pytest
+
+    from hunger_games_glue_streaming_etl_spark.operators.multimodal import (
+        CodecUnavailable,
+        decode_audio,
+        encode_adpcm_wav,
+        encode_wav,
+    )
+
+    assert decode_audio(encode_adpcm_wav(8000, [50] * 10))["sample_sum"] == 500
+    assert decode_audio(encode_wav(8000, [50] * 10))["sample_sum"] == 500
+    with _pytest.raises(CodecUnavailable):
+        decode_audio(b"ID3\x03mp3-ish-not-a-wav" * 3)
