@@ -167,15 +167,13 @@ def test_compaction_dial_broadcasts_no_global_window(spark):
     the slice key)."""
     plan = _plan(QUERIES["layout_compaction_plan"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
-    # the only unpartitioned window is over the ≤32 slice-total rows
-    import re
-
-    global_windows = [
-        l for l in plan.splitlines()
-        if "Window" in l and "__slice_total" not in l and "partitionBy" not in l
-    ]
-    # per-slice window partitions on __slice; offsets window is metadata-scale
-    assert any("__slice" in l for l in plan.splitlines() if "Window" in l)
+    window_lines = [l for l in plan.splitlines() if "Window" in l]
+    # the manifest-scale running sum partitions on the slice key; the only
+    # unpartitioned window is the metadata-scale per-slice-totals offsets
+    assert any("__slice" in l for l in window_lines)
+    for line in window_lines:
+        if "__slice_total" not in line:
+            assert "__slice" in line
 
 
 def test_bigram_coherence_shuffles_hashes_not_text(spark):
