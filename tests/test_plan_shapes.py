@@ -183,3 +183,64 @@ def test_bigram_coherence_shuffles_hashes_not_text(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "gram#" not in line
+
+
+def test_dynamic_partition_pruning_injected(spark, tmp_path):
+    """Catalyst injects dynamic partition pruning when a partitioned fact
+    joins a filtered dim: the fact scan carries a dynamicpruning subquery
+    on the partition key, so only the dim-selected partitions are read —
+    the file-skipping mechanism (beyond static pushdown) that the 100 TB
+    story relies on for star joins over date/region-partitioned lakes."""
+    from hunger_games_glue_streaming_etl_spark.sources.batch import load_table
+
+    orders = load_table(spark, SF_DIR, "orders")
+    cust = load_table(spark, SF_DIR, "customer")
+    fact_dir = str(tmp_path / "fact")
+    (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .select("o_orderkey", "o_totalprice", "c_nationkey")
+        .write.partitionBy("c_nationkey")
+        .parquet(fact_dir)
+    )
+    fact = spark.read.parquet(fact_dir)
+    dim = load_table(spark, SF_DIR, "nation").filter(F.col("n_name") == "NATION_3")
+    j = fact.join(dim, fact.c_nationkey == dim.n_nationkey).agg(
+        F.sum("o_totalprice")
+    )
+    assert "dynamicpruning" in _plan(j).lower()
+
+
+def test_runtime_bloom_filter_injected(spark):
+    """With runtime row-level filtering enabled, Catalyst builds a Bloom
+    filter on the selective join side and pushes might_contain onto the
+    large side's scan — shuffle-join input shrinks before the exchange.
+    The size thresholds exist because the feature targets LARGE scans;
+    the test lowers them to exercise the rewrite at fixture scale (a real
+    deployment keeps the defaults and triggers it on multi-GB scans)."""
+    from hunger_games_glue_streaming_etl_spark.sources.batch import load_table
+
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a shuffle join
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF_DIR, "lineitem")
+        sel = load_table(spark, SF_DIR, "orders").filter(
+            F.col("o_totalprice") > 90000
+        )
+        j = li.join(sel, li.l_orderkey == sel.o_orderkey).agg(
+            F.sum("l_extendedprice")
+        )
+        plan = _plan(j)
+        assert "bloom_filter_agg" in plan and "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
