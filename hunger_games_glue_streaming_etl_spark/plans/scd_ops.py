@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..operators.scd import scd2_apply
 from ..sources.batch import load_table
-from .registry import register
+from .registry import ORACLE, register
 
 
 @register(
@@ -84,3 +84,57 @@ def merge_upsert_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_custkey") + 1000000).alias("c_custkey"), "c_acctbal"
     )
     return merge_upsert(cust, updates.unionByName(inserts), "c_custkey")
+
+
+# the registered SCD2 oracle is a complete SELECT; nesting it keeps the
+# snapshot's version history definitionally identical to the history entry
+# (same pattern as graph_ops reusing the pairs SQL)
+_SCD2_HISTORY_SQL = ORACLE["scd2_customer_balance"]
+
+SNAPSHOT_BEFORE = "2024-03-01"
+SNAPSHOT_AFTER = "2024-09-01"
+
+
+@register(
+    "scd2_asof_snapshot",
+    oracle=f"""
+    WITH hist AS (
+        {_SCD2_HISTORY_SQL}
+    )
+    SELECT TIMESTAMP '{SNAPSHOT_BEFORE}' AS snapshot_ts, k, bal
+    FROM hist
+    WHERE valid_from <= TIMESTAMP '{SNAPSHOT_BEFORE}'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '{SNAPSHOT_BEFORE}')
+    UNION ALL
+    SELECT TIMESTAMP '{SNAPSHOT_AFTER}', k, bal
+    FROM hist
+    WHERE valid_from <= TIMESTAMP '{SNAPSHOT_AFTER}'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '{SNAPSHOT_AFTER}')
+    """,
+)
+def scd2_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the SCD2 history: reconstruct the full keyed table
+    AS OF two instants — one before the June update wave (every key shows
+    its original balance) and one after (every third key shows the
+    updated row) — with the standard half-open validity predicate
+    ``valid_from <= t < valid_to``.  This is the query a versioned lake
+    answers with `VERSION AS OF`; on plain parquet the SCD2 columns ARE
+    the time-travel index.
+
+    At scale: the history scan filters map-side on the validity range
+    (min/max file stats prune closed versions) — no shuffle at all beyond
+    what history construction itself needs; the two snapshots are
+    independent filters unioned."""
+    from ..caching import pin
+
+    hist = pin(scd2_customer_balance(spark, sf_dir))
+    parts = []
+    for snap in (SNAPSHOT_BEFORE, SNAPSHOT_AFTER):
+        ts = F.lit(snap).cast("timestamp")
+        parts.append(
+            hist.filter(
+                (F.col("valid_from") <= ts)
+                & (F.col("valid_to").isNull() | (F.col("valid_to") > ts))
+            ).select(ts.alias("snapshot_ts"), "k", "bal")
+        )
+    return parts[0].unionByName(parts[1])
