@@ -179,9 +179,11 @@ def connected_components_star(
         return tuple(row)
 
     def _same_exact(a: DataFrame, b: DataFrame) -> bool:
-        return (
-            a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
-        )
+        # both sides are distinct() outputs and the signature check that
+        # gates this call already proved equal COUNTs, so one-sided
+        # containment (a \ b = ∅ with |a| = |b|) is full set equality —
+        # half the anti-join cost of the two-sided form
+        return a.exceptAll(b).isEmpty()
 
     prev_sig = _sig(e)
     for _ in range(max_rounds):

@@ -96,6 +96,7 @@ _SAMPLE_FIRST = [
     "anomaly_hourly_event_rate",
     "profile_join_key_skew",
     "scd2_asof_snapshot",
+    "dedup_cluster_components_star",
     # carries the new JPEG oracle row — needs its r04 record more than the
     # similarity tier's tail does
     "multimodal_real_codec_features",

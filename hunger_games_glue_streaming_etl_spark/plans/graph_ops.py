@@ -16,7 +16,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import minhash_lsh_pairs
-from ..operators.graph import component_sizes, connected_components
+from ..operators.graph import (
+    component_sizes,
+    connected_components,
+    connected_components_star,
+)
 from ..sources.batch import load_table
 from .registry import ORACLE, register
 
@@ -123,4 +127,38 @@ def dedup_cluster_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
             "n_dropped",
         )
+    )
+
+
+@register(
+    "dedup_cluster_components_star",
+    oracle=f"""
+    {_COMPONENTS_SQL}
+    SELECT doc_id, component_id,
+           CAST(COUNT(*) OVER (PARTITION BY component_id) AS BIGINT)
+               AS component_size
+    FROM lab
+    """,
+)
+def dedup_cluster_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same clusters via the alternating large-star/small-star
+    algorithm (O(log n) rounds, per-round lineage truncation) — the
+    adversarial-chain fallback hash-checked END TO END against the same
+    recursive-CTE oracle as the propagation entry (both converge to the
+    min-reachable-id fixpoint, so one oracle pins both implementations;
+    cross-implementation parity is additionally unit-tested on random
+    graphs).  At scale the star rounds shuffle (long, long) edges only,
+    like the propagation rounds — the difference is round COUNT on
+    high-diameter graphs, not round shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs)
+    labels = connected_components_star(
+        docs.select("doc_id"),
+        pairs.select("id_a", "id_b"),
+        id_col="doc_id",
+        src_col="id_a",
+        dst_col="id_b",
+    )
+    return component_sizes(labels).select(
+        F.col("node").alias("doc_id"), "component_id", "component_size"
     )
