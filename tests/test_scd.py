@@ -121,3 +121,29 @@ def test_scd2_consecutive_duplicate_updates_collapse(spark):
     )
     assert [r["addr"] for r in out] == ["v0", "v1", "v2"]
     assert sum(r["is_current"] for r in out) == 1
+
+
+def test_asof_snapshot_reconstructs_both_instants(spark):
+    """Hand-checkable time travel: before the June wave every key shows
+    its original balance; after it, exactly the keys divisible by 3 show
+    +100 and everyone else is unchanged — both snapshots cover the full
+    key set exactly once."""
+    from hunger_games_glue_streaming_etl_spark.plans.scd_ops import (
+        SNAPSHOT_AFTER,
+        SNAPSHOT_BEFORE,
+        scd2_asof_snapshot,
+    )
+    from hunger_games_glue_streaming_etl_spark.sources.batch import load_table
+
+    sf = "/root/testdata/sf0.001"
+    orig = {
+        r["c_custkey"]: r["c_acctbal"]
+        for r in load_table(spark, sf, "customer").collect()
+    }
+    rows = scd2_asof_snapshot(spark, sf).collect()
+    before = {r["k"]: r["bal"] for r in rows if str(r["snapshot_ts"]).startswith(SNAPSHOT_BEFORE)}
+    after = {r["k"]: r["bal"] for r in rows if str(r["snapshot_ts"]).startswith(SNAPSHOT_AFTER)}
+    assert set(before) == set(orig) and set(after) == set(orig)
+    assert before == orig
+    for k, bal in after.items():
+        assert bal == orig[k] + (100 if k % 3 == 0 else 0)
