@@ -8,6 +8,7 @@ from . import (  # noqa: E402,F401
     core,
     curation,
     dedup_ops,
+    dq_ops,
     event_time,
     graph_ops,
     layout_ops,
@@ -97,6 +98,7 @@ _SAMPLE_FIRST = [
     "profile_join_key_skew",
     "scd2_asof_snapshot",
     "dedup_cluster_components_star",
+    "dq_referential_orphans",
     # carries the new JPEG oracle row — needs its r04 record more than the
     # similarity tier's tail does
     "multimodal_real_codec_features",

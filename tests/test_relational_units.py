@@ -46,3 +46,21 @@ def test_approx_count_distinct_error_bound(spark):
     }
     for k, n in exact.items():
         assert abs(approx[k] - n) / n < 0.1, (k, approx[k], n)
+
+
+def test_dq_audit_finds_exactly_planted_orphans(spark):
+    """The audit reports exactly the planted violation counts per FK edge
+    (5/4/3) — clean fixture rows contribute zero orphans."""
+    from hunger_games_glue_streaming_etl_spark.plans.dq_ops import (
+        dq_referential_orphans,
+    )
+
+    rows = {
+        r["relationship"]: r["n_orphans"]
+        for r in dq_referential_orphans(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert rows == {
+        "lineitem.l_orderkey -> orders": 5,
+        "orders.o_custkey -> customer": 4,
+        "customer.c_nationkey -> nation": 3,
+    }
