@@ -545,12 +545,33 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     cosine_threshold: float = 0.35,
+    max_crossjoin_rows: int = 100_000,
+    known_row_count: int | None = None,
 ) -> DataFrame:
     """Brute-force cosine near-dup pairs (id_a < id_b, cosine ≥ threshold).
 
     O(n²) correctness baseline — unit-norm inputs make dot product = cosine.
     The scale path is ``similarity.lsh_bucket_pairs`` (random-hyperplane
-    buckets), same verify expression."""
+    buckets), same verify expression.
+
+    Guarded: above ``max_crossjoin_rows`` (bounded cached probe, same
+    mechanism as ``similarity._fits_broadcast``) the call auto-routes to
+    ``similarity.embedding_pairs_exact_tiled`` — value-identical pairs
+    (sequential bit-exact accumulation, same HALF_UP rounding) through a
+    distributed block-pair plan, so no direct caller can ever get an
+    unbounded crossJoin at scale.  Below the ceiling the expression-tree
+    crossJoin stays, as the zero-dependency reference plan the oracle was
+    originally validated against."""
+    from .similarity import _fits_broadcast, embedding_pairs_exact_tiled
+
+    if not _fits_broadcast(embeddings, max_crossjoin_rows, known_row_count):
+        return embedding_pairs_exact_tiled(
+            embeddings,
+            cosine_threshold,
+            vec_col=vec_col,
+            id_col=id_col,
+            exact_accumulation=True,
+        )
     # materialize the double-cast arrays once per ROW before the pair join —
     # casting inside the per-pair dot would repeat n× per vector (measured
     # −29% at sf0.1; arithmetic identical, still bit-exact vs the oracle)

@@ -36,6 +36,23 @@ from pyspark.sql import functions as F
 from ..caching import pin
 
 
+def _make_truncate(frame: DataFrame, checkpoint_dir: str | None):
+    """Return the per-round lineage-truncation function for an iterative
+    loop.  Default: ``localCheckpoint(eager=True)`` — blocks live on
+    executors, which is the right local/dev deal but loses partitions if
+    an executor dies mid-loop.  With ``checkpoint_dir`` set, rounds go
+    through reliable ``DataFrame.checkpoint()`` to that directory (HDFS/
+    S3/DBFS on a real cluster): on a preemptible 100 TB fleet one lost
+    executor must not kill a 10-round job, and recomputing a truncated
+    round is impossible by construction — reliable storage is the only
+    recovery path.  Same values either way (parity unit-tested)."""
+    if checkpoint_dir is None:
+        return lambda df: df.localCheckpoint(eager=True)
+    sc = frame.sparkSession.sparkContext
+    sc.setCheckpointDir(checkpoint_dir)
+    return lambda df: df.checkpoint(eager=True)
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
@@ -43,6 +60,7 @@ def connected_components(
     src_col: str = "src",
     dst_col: str = "dst",
     max_rounds: int = 50,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Label every node with the smallest node id reachable from it.
 
@@ -81,9 +99,12 @@ def connected_components(
     # 120-node random graph).  localCheckpoint(eager=True) materializes
     # the round's (node, label) longs and roots the next round's plan
     # there — constant-size plans at any diameter, same values.
-    labels = nodes.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("component_id")
-    ).localCheckpoint(eager=True)
+    _truncate = _make_truncate(nodes, checkpoint_dir)
+    labels = _truncate(
+        nodes.select(
+            F.col(id_col).alias("node"), F.col(id_col).alias("component_id")
+        )
+    )
 
     # Convergence check: min-propagation is monotone (labels only ever
     # decrease), so Σ label is strictly decreasing until the fixpoint and
@@ -102,11 +123,10 @@ def connected_components(
         neighbor_labels = und.join(
             labels, und["__src"] == labels["node"]
         ).select(F.col("__dst").alias("node"), "component_id")
-        new_labels = (
+        new_labels = _truncate(
             labels.union(neighbor_labels)
             .groupBy("node")
             .agg(F.min("component_id").alias("component_id"))
-            .localCheckpoint(eager=True)
         )
         cur_sum = _label_sum(new_labels)
         labels = new_labels
@@ -127,6 +147,7 @@ def connected_components_star(
     src_col: str = "src",
     dst_col: str = "dst",
     max_rounds: int = 60,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Alternating large-star / small-star connected components (Kiveris
     et al., "Connected Components in MapReduce and Beyond") — the
@@ -141,9 +162,12 @@ def connected_components_star(
     neighborhood min, small-star re-points the smaller ones — each is one
     groupBy + one join over (long, long) edges, nothing else shuffles.
     Convergence is detected by an edge-multiset signature (count + exact
-    decimal sums + a product-mod check) and then CONFIRMED exactly with a
-    two-sided anti-join before returning — the signature only decides
-    when to pay for the exact check.
+    decimal sums + a product-mod check) and then confirmed exactly with a
+    ONE-SIDED ``exceptAll`` before returning — sound only because the
+    signature already proved equal exact COUNT(*)s, so one-sided
+    containment under equal cardinality is full set equality (see
+    ``_same_exact``; weakening the signature's count component would
+    invalidate this and require the two-sided check).
 
     Lineage discipline: each round ends in ``localCheckpoint(eager=True)``
     — caching alone is NOT enough for an O(log n)-round loop, because the
@@ -154,7 +178,9 @@ def connected_components_star(
     graphs converge in ≤4 rounds.  localCheckpoint trades fault-tolerance
     of the stored partitions for truncation, the standard deal for
     iterative graph algorithms (GraphX's Pregel checkpoints the same
-    way)."""
+    way); pass ``checkpoint_dir`` to route rounds through reliable
+    ``DataFrame.checkpoint()`` instead (see ``_make_truncate``)."""
+    _truncate = _make_truncate(nodes, checkpoint_dir)
     e = pin(
         edges.select(
             F.col(src_col).cast("long").alias("u"),
@@ -205,12 +231,11 @@ def connected_components_star(
         # emit (v, m) for every smaller neighbor, plus (u, m)
         smins = e1.groupBy("u").agg(F.min("v").alias("m"))
         joined = e1.join(smins, "u")
-        e2 = (
+        e2 = _truncate(  # truncate lineage every round (see docstring)
             joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(joined.select("u", F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)  # truncate lineage (see docstring)
         )
         cur_sig = _sig(e2)
         e1.unpersist()

@@ -6,11 +6,12 @@ The Spark-side architecture is fully real — schema (``schemas.MEDIA_SCHEMA``),
 partition-parallel batch iteration, bounded batch sizes via
 ``spark.sql.execution.arrow.maxRecordsPerBatch``, feature columns appended
 without shuffles.  The codec layer is REAL for binary PGM/PPM, 8-bit PNG
-(stdlib zlib), baseline grayscale JPEG (``operators/jpeg.py``), 16-bit PCM
-WAV, and mono IMA-ADPCM WAV — all pure stdlib, all integer-exact decode
-paths.  Color/progressive JPEG and MP3 raise ``CodecUnavailable`` honestly
-(they need Pillow/soundfile, absent here); swapping a stub for a library
-codec changes one function, not the plan.
+(stdlib zlib), baseline grayscale AND color-4:4:4 JPEG
+(``operators/jpeg.py``), 16-bit PCM WAV, and mono IMA-ADPCM WAV — all
+pure stdlib, all integer-exact decode paths.  Subsampled/progressive JPEG
+and MP3 raise ``CodecUnavailable`` honestly (they need Pillow/soundfile,
+absent here); swapping a stub for a library codec changes one function,
+not the plan.
 
 Scale notes: media payloads dominate row width, so the operators (a) never
 shuffle rows with the payload attached, (b) project the payload away as soon
@@ -217,14 +218,15 @@ def decode_png(payload: bytes) -> dict:
 
 def decode_image(payload: bytes) -> dict:
     """Real image decode — pure-stdlib binary PGM/PPM (P5/P6) parser, the
-    stdlib-zlib PNG decoder above, and the baseline grayscale JPEG codec
-    (``operators/jpeg.py`` — exact-integer DCT, standard tables).
+    stdlib-zlib PNG decoder above, and the baseline JPEG codec
+    (``operators/jpeg.py`` — exact-integer DCT, standard tables;
+    grayscale and color 4:4:4).
 
     Returns ``{"width", "height", "maxval", "n_channels", "pixel_sum"}``;
     ``pixel_sum`` is the integer sum of all sample bytes (exact — every
-    decode path is integer arithmetic, including the JPEG IDCT).
-    Color/progressive JPEG raises ``CodecUnavailable`` (needs
-    Pillow/opencv, absent here)."""
+    decode path is integer arithmetic, including the JPEG IDCT and its
+    fixed-point YCbCr→RGB).  Subsampled/progressive JPEG raises
+    ``CodecUnavailable`` (needs Pillow/opencv, absent here)."""
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
     if payload[:2] == b"\xff\xd8":
@@ -235,8 +237,9 @@ def decode_image(payload: bytes) -> dict:
     if magic not in (b"P5", b"P6"):
         raise CodecUnavailable(
             "real image decode implemented for binary PGM/PPM (P5/P6), "
-            "8-bit PNG, and baseline grayscale JPEG; color/progressive "
-            "JPEG needs Pillow/opencv (not in this container)"
+            "8-bit PNG, and baseline JPEG (grayscale / color 4:4:4); "
+            "subsampled or progressive JPEG needs Pillow/opencv (not in "
+            "this container)"
         )
     # header = magic + 3 ASCII ints separated by whitespace/comments, then
     # exactly one whitespace byte before the raster
@@ -526,16 +529,24 @@ def decode_adpcm_wav(payload: bytes) -> dict:
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise CodecUnavailable("not a WAV container")
-    pos, fmt, data, n_samples = 12, None, None, None
+    pos, fmt, data, n_samples, spb = 12, None, None, None, None
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
         body = payload[pos + 8 : pos + 8 + ln]
         pos += 8 + ln + (ln & 1)
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise CodecUnavailable("short WAV fmt chunk")
             fmt = struct.unpack("<HHIIHH", body[:16])
+            if len(body) >= 20:
+                # IMA-ADPCM fmt extension: cbSize at [16:18], then
+                # wSamplesPerBlock — the per-block sample bound that
+                # distinguishes real samples from the pad nibble
+                (spb,) = struct.unpack("<H", body[18:20])
         elif cid == b"fact":
-            (n_samples,) = struct.unpack("<I", body[:4])
+            if len(body) >= 4:
+                (n_samples,) = struct.unpack("<I", body[:4])
         elif cid == b"data":
             data = body
     if fmt is None or data is None:
@@ -545,6 +556,13 @@ def decode_adpcm_wav(payload: bytes) -> dict:
         raise CodecUnavailable(f"not IMA ADPCM (fmt tag {tag:#x})")
     if channels != 1:
         raise CodecUnavailable("mono IMA ADPCM only")
+    if len(data) < 4:
+        raise CodecUnavailable("ADPCM data chunk shorter than block header")
+    if n_samples is None:
+        # no fact chunk: bound by fmt's samples-per-block when present so
+        # an odd-length stream's pad nibble never decodes as a sample;
+        # last resort is the nibble count itself (even-length streams only)
+        n_samples = spb if spb else 1 + 2 * (len(data) - 4)
     pred, index, _ = struct.unpack("<hBB", data[:4])
     if index > 88:
         raise CodecUnavailable("corrupt ADPCM block header")

@@ -41,7 +41,35 @@ from . import (  # noqa: E402,F401
 # already have green rows in CORRECTNESS_r01-r03 follow in import order.
 # ---------------------------------------------------------------------------
 _SAMPLE_FIRST = [
-    # streaming tier (7) — round-3's headline oracles, never recorded
+    # ---- round-5 rotation: the 12 entries with no recorded row in any of
+    # CORRECTNESS_r01-r04 go FIRST (VERDICT r04 "Next round #1") ----
+    "range_join_value_bands",
+    "sim_lsh_ann_topk_fullprobe",
+    "sim_ivf_ann_topk_fullprobe",
+    "sim_pq_ann_topk",
+    "sim_ivf_recall_check",
+    "sim_pq_recall_check",
+    "sim_lsh_bucket_stats",
+    "scan_csv_explicit_schema",
+    "scan_json_explicit_schema",
+    "scan_orc_roundtrip",
+    "agg_grouping_sets",
+    "sql_api_shipping_priority",
+    # ---- round-5 new entries (need their first recorded row) ----
+    "pipeline_near_dedup",
+    "profile_table_columns_approx",
+    # ---- backfill: re-record the heavyweight / most-load-bearing tiers so
+    # every round's artifact keeps fresh evidence for them ----
+    "q5_local_supplier_volume",
+    "tribute_status_reference_corpus",
+    "pipeline_pretrain_corpus",
+    "dedup_cluster_components",
+    "dedup_cluster_components_star",
+    "dedup_cluster_canonical_keep",
+    "semantic_dedup_cells",
+    "corpus_token_budget_select",
+    "shuffle_training_order",
+    "streaming_funnel_state",
     "streaming_tumbling_agg",
     "streaming_keyed_dedup",
     "streaming_stream_stream_join",
@@ -49,76 +77,26 @@ _SAMPLE_FIRST = [
     "streaming_session_window",
     "streaming_left_outer_join",
     "streaming_corpus_ingest",
-    # de-vacuated gate (VERDICT r03 #2) — needs a recorded spark_rows > 0
-    "q5_local_supplier_volume",
-    # SQL front-end subqueries (3)
-    "subquery_correlated_avg",
-    "subquery_not_exists_agg",
-    "subquery_in_having",
-    # window functions (5)
-    "window_rank_dense",
-    "window_lag_lead",
-    "window_running_frame",
-    "window_topk_per_group",
-    "window_distribution_funcs",
-    # UDF/UDAF/UDTF surface (4)
-    "udf_pandas_zscore",
-    "udtf_token_positions",
-    "udf_grouped_map_normalize",
-    "udaf_grouped_agg_median",
-    # LLM-pipeline entries without a recorded row (6)
-    "pipeline_pretrain_corpus",
-    "text_bm25_search",
-    "mix_weighted_sample",
-    "shuffle_training_order",
-    "semantic_dedup_cells",
-    "corpus_token_budget_select",
-    # round-4 additions (need their first recorded row)
-    "pii_scrub_planted",
-    "dedup_cluster_components",
-    "dedup_cluster_canonical_keep",
-    "text_duplicate_segments",
-    "text_segment_dedup_stats",
-    "layout_zorder_file_stats",
-    "layout_zorder_pruning_ratio",
-    # round-4 second-session additions (first recorded rows needed;
-    # placed before the similarity tier so they stay inside the driver's
-    # ~50-row sampling window — the list is slightly over 50, and the
-    # tail stragglers below have sim-green history to fall back on)
-    "layout_compaction_plan",
-    "layout_compaction_ratio",
+    "multimodal_real_codec_features",
+    "scd2_asof_snapshot",
+    "dq_referential_orphans",
+    "anomaly_hourly_event_rate",
     "profile_table_columns",
-    "text_bigram_coherence",
+    "profile_join_key_skew",
+    "layout_zorder_pruning_ratio",
+    "layout_compaction_plan",
     "mix_temperature_sample",
-    "text_vocab_oov",
+    "pii_scrub_planted",
+    "text_duplicate_segments",
     "funnel_conversion_steps",
     "retention_cohort_weekly",
-    "streaming_funnel_state",
-    "anomaly_hourly_event_rate",
-    "profile_join_key_skew",
-    "scd2_asof_snapshot",
-    "dedup_cluster_components_star",
-    "dq_referential_orphans",
-    # carries the new JPEG oracle row — needs its r04 record more than the
-    # similarity tier's tail does
-    "multimodal_real_codec_features",
-    # reference-corpus parity + temporal joins + SCD-adjacent
-    "tribute_status_reference_corpus",
     "asof_latest_purchase_before_click",
-    "range_join_value_bands",
-    # similarity tier without a recorded row (7)
-    "sim_lsh_ann_topk_fullprobe",
-    "sim_ivf_ann_topk_fullprobe",
-    "sim_pq_ann_topk",
-    "sim_ivf_recall_check",
-    "sim_pq_recall_check",
-    "sim_lsh_bucket_stats",
-    # sources + straggler relational entries
-    "scan_csv_explicit_schema",
-    "scan_json_explicit_schema",
-    "scan_orc_roundtrip",
-    "agg_grouping_sets",
-    "sql_api_shipping_priority",
+    "window_topk_per_group",
+    "udf_grouped_map_normalize",
+    "udaf_grouped_agg_median",
+    "subquery_correlated_avg",
+    "text_bm25_search",
+    "mix_weighted_sample",
 ]
 
 

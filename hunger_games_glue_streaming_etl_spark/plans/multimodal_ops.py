@@ -47,6 +47,15 @@ from .registry import register
         SELECT n_nationkey,
                64 * (((n_nationkey * 37) % 128) * 2) AS s
         FROM nation
+    ), jc AS (
+        -- flat gray COLOR JPEG (R=G=B=even v): the 2^16 fixed-point
+        -- converter maps it to Y=v, Cb=Cr=128 exactly (luma row sums to
+        -- 65536, chroma rows to 0), every block is DC-only, and the
+        -- inverse adds back nothing — so the color round trip is
+        -- value-exact: 64 pixels x 3 channels x v
+        SELECT n_nationkey,
+               192 * (((n_nationkey * 53) % 128) * 2) AS s
+        FROM nation
     ), ad AS (
         -- constant-amplitude IMA-ADPCM: the block header stores sample 0
         -- verbatim and zero deltas leave the predictor untouched, so the
@@ -76,6 +85,10 @@ from .registry import register
     SELECT CAST(n_nationkey + 400 AS BIGINT), 'audio',
            NULL, NULL, 8000, 80, CAST(s AS BIGINT)
     FROM ad
+    UNION ALL
+    SELECT CAST(n_nationkey + 500 AS BIGINT), 'image',
+           8, 8, NULL, NULL, CAST(s AS BIGINT)
+    FROM jc
     """,
 )
 def multimodal_real_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -85,13 +98,15 @@ def multimodal_real_codec_features(spark: SparkSession, sf_dir: str) -> DataFram
     ``(key*17 + i*11) % 256``; the encoder cycles all five scanline
     filters, so zlib inflate + every unfilter path runs), and a flat
     grayscale baseline JPEG (even value ⇒ DC-only block round-trips
-    value-exactly through the integer DCT) with the stdlib encoders,
-    then decode them back through ``decode_image``/
+    value-exactly through the integer DCT) plus a flat-gray COLOR JPEG
+    (YCbCr 4:4:4 — Y=v, Cb=Cr=128 exact through the 2¹⁶ fixed-point
+    converter, so all three RGB channels round-trip exactly) with the
+    stdlib encoders, then decode them back through ``decode_image``/
     ``decode_audio`` (no fake codec anywhere in this plan).  The decoded
     dimensions and exact integer pixel/sample sums are reproduced
     arithmetically by the oracle, so the whole encode→binary→decode loop
     is value-hash-checked."""
-    from ..operators.jpeg import encode_jpeg
+    from ..operators.jpeg import encode_jpeg, encode_jpeg_color
     from ..operators.multimodal import (
         encode_adpcm_wav,
         encode_pgm,
@@ -135,6 +150,12 @@ def multimodal_real_codec_features(spark: SparkSession, sf_dir: str) -> DataFram
                 out["kind"].append("audio")
                 out["payload"].append(
                     encode_adpcm_wav(8000, [((k * 7) % 200) - 100] * 80)
+                )
+                out["media_id"].append(k + 500)
+                out["kind"].append("image")
+                vc = ((k * 53) % 128) * 2
+                out["payload"].append(
+                    encode_jpeg_color(8, 8, bytes([vc, vc, vc]) * 64)
                 )
             yield pd.DataFrame(out)
 

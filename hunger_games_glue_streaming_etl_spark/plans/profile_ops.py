@@ -94,6 +94,58 @@ def profile_table_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_APPROX_ORACLE = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{c}' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS exact_distinct,
+           TRUE AS within_tolerance
+    FROM lineitem
+    """
+    for c in PROFILE_COLUMNS
+)
+
+
+@register("profile_table_columns_approx", oracle=_APPROX_ORACLE)
+def profile_table_columns_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANALYZE-shaped default at 100 TB: per-column NDV via
+    HyperLogLog++ (``approx_count_distinct``, rsd 2%) instead of the exact
+    6-way Expand plan — at warehouse scale exact NDV is a luxury (the
+    Expand multiplies scan rows by #distinct-aggs before the shuffle; HLL
+    ships one 1.5 KB sketch per column per partition, mergeable map-side).
+
+    Gate shape is the ``agg_approx_distinct_error`` tolerance band: the
+    exact count is emitted NEXT TO a boolean asserting the sketch landed
+    within ±5%, and the oracle pins the boolean TRUE — estimator drift
+    fails the value hash, which is the strongest check an engine-specific
+    sketch admits.  (The exact column exists only to power the gate; the
+    100 TB deployment would drop it and keep the sketches.)"""
+    li = fan_out(load_table(spark, sf_dir, "lineitem").select(*PROFILE_COLUMNS))
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in PROFILE_COLUMNS:
+        aggs += [
+            F.countDistinct(c).alias(f"__nd_{c}"),
+            F.approx_count_distinct(c, rsd=0.02).alias(f"__ad_{c}"),
+        ]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __nd_{c}, __ad_{c}" for c in PROFILE_COLUMNS
+    )
+    return wide.selectExpr(
+        f"stack({len(PROFILE_COLUMNS)}, {stack_args}) AS "
+        "(column_name, exact_distinct, __approx)",
+        "__n",
+    ).select(
+        "column_name",
+        F.col("__n").cast("long").alias("n_rows"),
+        F.col("exact_distinct").cast("long"),
+        (
+            F.abs(F.col("__approx") - F.col("exact_distinct"))
+            <= F.col("exact_distinct") * 0.05
+        ).alias("within_tolerance"),
+    )
+
+
 # (display name, table, key column) — the join keys a planner would ask
 # "do I need salting / AQE skew handling for this?" about
 SKEW_KEYS = [

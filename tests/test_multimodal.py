@@ -223,3 +223,135 @@ def test_adpcm_via_decode_audio_dispatch():
     assert decode_audio(encode_wav(8000, [50] * 10))["sample_sum"] == 500
     with _pytest.raises(CodecUnavailable):
         decode_audio(b"ID3\x03mp3-ish-not-a-wav" * 3)
+
+
+def test_jpeg_color_flat_gray_roundtrips_exactly():
+    """Color 4:4:4 JPEG: a flat R=G=B=even image converts to exactly
+    (Y=v, Cb=Cr=128) in the 2^16 fixed-point converter (luma row sums to
+    65536, chroma rows to 0), is DC-only in every block, and round-trips
+    value-exactly in all three channels — the arithmetic the oracle row
+    in multimodal_real_codec_features relies on."""
+    from hunger_games_glue_streaming_etl_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_color,
+    )
+
+    for v in (0, 2, 104, 128, 200, 254):
+        d = decode_jpeg(encode_jpeg_color(16, 8, bytes([v, v, v]) * 128))
+        assert d["n_channels"] == 3
+        assert d["pixel_sum"] == 3 * v * 128, v
+    # non-multiple-of-8 dims (edge replication path)
+    d = decode_jpeg(encode_jpeg_color(11, 5, bytes([104, 104, 104]) * 55))
+    assert (d["width"], d["height"]) == (11, 5)
+    assert d["pixel_sum"] == 3 * 104 * 55
+
+
+def test_jpeg_color_textured_close_and_deterministic():
+    """Textured color image: encode is byte-deterministic, decode stays
+    within ~1.5% of the raw RGB sum (chroma quantization is the coarse
+    Annex K.2 table)."""
+    import random
+
+    from hunger_games_glue_streaming_etl_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_color,
+    )
+
+    rnd = random.Random(7)
+    w, h = 24, 17
+    pixels = bytes(rnd.randrange(256) for _ in range(3 * w * h))
+    enc = encode_jpeg_color(w, h, pixels)
+    assert enc == encode_jpeg_color(w, h, pixels)
+    d = decode_jpeg(enc)
+    assert (d["width"], d["height"], d["n_channels"]) == (w, h, 3)
+    raw = sum(pixels)
+    assert abs(d["pixel_sum"] - raw) <= raw * 0.015
+    # dispatches through decode_image too
+    assert decode_image(enc)["pixel_sum"] == d["pixel_sum"]
+
+
+def test_jpeg_malformed_segments_raise_codec_unavailable():
+    """The module error contract (ADVICE r4): truncated/short segment
+    bodies surface as CodecUnavailable, never bare struct.error or
+    IndexError."""
+    from hunger_games_glue_streaming_etl_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    good = encode_jpeg(8, 8, bytes([100]) * 64)
+    # truncate at every prefix of the header region: all must soft-fail
+    for cut in range(2, 180, 7):
+        with pytest.raises(CodecUnavailable):
+            decode_jpeg(good[:cut] + b"\xff\xd9")
+    # short DQT body (claims a table but supplies 3 bytes)
+    bad_dqt = b"\xff\xd8\xff\xdb\x00\x05\x00\x01\x02\xff\xd9"
+    with pytest.raises(CodecUnavailable):
+        decode_jpeg(bad_dqt)
+    # short SOF0 body
+    bad_sof = b"\xff\xd8\xff\xc0\x00\x04\x08\x00\xff\xd9"
+    with pytest.raises(CodecUnavailable):
+        decode_jpeg(bad_sof)
+    # short DHT body
+    bad_dht = b"\xff\xd8\xff\xc4\x00\x06\x00\x01\x02\x03\xff\xd9"
+    with pytest.raises(CodecUnavailable):
+        decode_jpeg(bad_dht)
+
+
+def test_jpeg_fill_bytes_and_standalone_markers_tolerated():
+    """T.81 B.1.1.2: 0xFF fill bytes before a marker and standalone
+    markers (TEM 0x01) between segments must not derail the scan; a
+    multi-table DQT body must load both tables."""
+    from hunger_games_glue_streaming_etl_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_color,
+    )
+
+    good = encode_jpeg(8, 8, bytes([100]) * 64)
+    # inject a fill byte + TEM after SOI
+    padded = good[:2] + b"\xff\x01" + good[2:]
+    assert decode_jpeg(padded)["pixel_sum"] == 6400
+    fill = good[:2] + b"\xff" + good[2:]  # extra 0xFF before APP0 marker
+    assert decode_jpeg(fill)["pixel_sum"] == 6400
+    # the color encoder emits a two-table DQT segment — decoding it at
+    # all proves multi-table DQT parsing works
+    d = decode_jpeg(encode_jpeg_color(8, 8, bytes([104, 104, 104]) * 64))
+    assert d["pixel_sum"] == 3 * 104 * 64
+
+
+def test_adpcm_no_fact_chunk_uses_samples_per_block():
+    """ADVICE r4: with the fact chunk stripped, the decoder must bound
+    sample count by fmt's samples-per-block so an odd-sample stream's pad
+    nibble never decodes as a real sample; a data chunk shorter than the
+    block header refuses honestly."""
+    import struct
+
+    from hunger_games_glue_streaming_etl_spark.operators.multimodal import (
+        decode_adpcm_wav,
+        encode_adpcm_wav,
+    )
+
+    samples = [40] * 11  # odd count -> one pad nibble in the block
+    enc = encode_adpcm_wav(8000, samples)
+    ref = decode_adpcm_wav(enc)
+    assert ref["n_frames"] == 11 and ref["sample_sum"] == 440
+
+    # strip the fact chunk (12-byte RIFF header, then chunks)
+    pos, out = 12, enc[:12]
+    while pos + 8 <= len(enc):
+        cid = enc[pos : pos + 4]
+        (ln,) = struct.unpack("<I", enc[pos + 4 : pos + 8])
+        chunk = enc[pos : pos + 8 + ln + (ln & 1)]
+        pos += len(chunk)
+        if cid != b"fact":
+            out += chunk
+    out = out[:4] + struct.pack("<I", len(out) - 8) + out[8:]
+    d = decode_adpcm_wav(out)
+    assert d["n_frames"] == 11 and d["sample_sum"] == 440
+
+    # truncated data chunk -> CodecUnavailable, not struct.error
+    hdr = enc[: enc.find(b"data") + 8]
+    short = hdr[:-4] + struct.pack("<I", 2) + b"\x28\x00"
+    with pytest.raises(CodecUnavailable):
+        decode_adpcm_wav(short[: short.find(b"data") + 8 + 2])
