@@ -58,6 +58,13 @@ _SAMPLE_FIRST = [
     # ---- round-5 new entries (need their first recorded row) ----
     "pipeline_near_dedup",
     "profile_table_columns_approx",
+    "window_time_range_frame",
+    "timeseries_gap_fill_hourly",
+    "quality_classifier_linear",
+    "scalar_variant_shred",
+    "join_lateral_topk",
+    "scan_python_datasource",
+    "streaming_transform_with_state",
     # ---- backfill: re-record the heavyweight / most-load-bearing tiers so
     # every round's artifact keeps fresh evidence for them ----
     "q5_local_supplier_volume",

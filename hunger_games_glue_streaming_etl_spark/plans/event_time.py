@@ -16,7 +16,7 @@ or pre-aggregate into tumbling buckets first.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.batch import load_table
@@ -380,4 +380,87 @@ def anomaly_hourly_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long"),
         F.round(z, 6).alias("zscore"),
         (F.abs(z) > 2).cast("long").alias("is_anomaly"),
+    )
+
+
+@register(
+    "timeseries_gap_fill_hourly",
+    oracle="""
+    WITH hourly AS (
+        SELECT user_id,
+               CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS v
+        FROM events
+        WHERE user_id % 20 = 3
+        GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT user_id, MIN(h) AS mn, MAX(h) AS mx FROM hourly GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id, UNNEST(range(mn, mx + 1)) AS h FROM bounds
+    )
+    SELECT g.user_id,
+           g.h AS hour_idx,
+           COALESCE(hh.n, 0) AS n_events,
+           LAST_VALUE(hh.v IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_fp,
+           (hh.n IS NULL) AS is_gap
+    FROM grid g LEFT JOIN hourly hh ON g.user_id = hh.user_id AND g.h = hh.h
+    """,
+)
+def timeseries_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification + forward fill — the resample shape every
+    metrics/sensor pipeline needs and plain GROUP BY can't produce: per
+    user, an hourly grid spanning that user's first..last event hour, with
+    silent hours materialized (``is_gap``, ``n_events = 0``) and the
+    fixed-point hourly value carried forward from the last observed hour
+    (``last(..., ignorenulls)`` over the per-user ordered grid).
+
+    Deterministic end to end: hour index is integer-µs floor-division,
+    the filled metric is the FLOOR-fixed-point BIGINT sum (order-free),
+    and the fill is a per-user ROWS window.  The user subset (1 in 20 by
+    key) keeps the densified grid a bounded multiple of the input at any
+    sf — the dial a real deployment would drop.
+
+    At scale: grid bounds are per-user (activity-bounded, not global
+    min..max — a one-day user doesn't explode into the corpus's full
+    span); sequence+explode fans out map-side; one shuffle joins
+    observations back on (user, hour); the fill window repartitions by
+    user only."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 20 == 3)
+    hourly = (
+        ev.groupBy(
+            "user_id",
+            F.expr("unix_micros(ts) div 3600000000").alias("h"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long")
+            ).cast("long").alias("v"),
+        )
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("h"),
+        )
+    )
+    joined = grid.join(hourly, ["user_id", "h"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        F.col("h").alias("hour_idx"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+        F.last("v", ignorenulls=True).over(w).alias("value_fp"),
+        F.col("n").isNull().alias("is_gap"),
     )

@@ -119,15 +119,23 @@ def profile_table_columns_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     within ±5%, and the oracle pins the boolean TRUE — estimator drift
     fails the value hash, which is the strongest check an engine-specific
     sketch admits.  (The exact column exists only to power the gate; the
-    100 TB deployment would drop it and keep the sketches.)"""
+    100 TB deployment would drop it and keep the sketches.)
+
+    Plan note: the exact and approx aggregates run as TWO single-row
+    aggregations cross-joined (1×1), not one wide agg — mixing six
+    ``countDistinct`` with six HLL sketches in one aggregate drags the
+    sketch columns through the 7-way Expand the distincts need, and the
+    combined plan measured 40 s vs ~5 s split (the Expand multiplies scan
+    rows by #distinct-aggs; the HLL pass alone is ~0.7 s)."""
     li = fan_out(load_table(spark, sf_dir, "lineitem").select(*PROFILE_COLUMNS))
-    aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in PROFILE_COLUMNS:
-        aggs += [
-            F.countDistinct(c).alias(f"__nd_{c}"),
-            F.approx_count_distinct(c, rsd=0.02).alias(f"__ad_{c}"),
-        ]
-    wide = li.agg(*aggs)
+    exact_aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.countDistinct(c).alias(f"__nd_{c}") for c in PROFILE_COLUMNS
+    ]
+    approx_aggs = [
+        F.approx_count_distinct(c, rsd=0.02).alias(f"__ad_{c}")
+        for c in PROFILE_COLUMNS
+    ]
+    wide = li.agg(*exact_aggs).crossJoin(li.agg(*approx_aggs))
     stack_args = ", ".join(
         f"'{c}', __nd_{c}, __ad_{c}" for c in PROFILE_COLUMNS
     )

@@ -218,3 +218,59 @@ def scalar_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("source", r"[0-9]+", "#").alias("source_masked"),
         F.size(F.expr("regexp_extract_all(text, 'spark', 0)")).alias("n_spark"),
     )
+
+
+@register(
+    "scalar_variant_shred",
+    oracle="""
+    WITH j AS (
+        SELECT o_orderkey,
+               CONCAT('{"cust": ', o_custkey,
+                      ', "tier": "', o_orderpriority, '"',
+                      ', "items": [', o_orderkey % 7, ', ', o_orderkey % 11,
+                      '], "meta": {"status": "', o_orderstatus, '"}}') AS payload
+        FROM orders
+    )
+    SELECT o_orderkey,
+           CAST(json_extract(payload, '$.cust') AS BIGINT) AS cust,
+           json_extract_string(payload, '$.tier') AS tier,
+           CAST(json_extract(payload, '$.items[1]') AS BIGINT) AS second_item,
+           json_extract_string(payload, '$.meta.status') AS status,
+           (json_extract_string(payload, '$.meta.status') = 'O') AS is_open
+    FROM j
+    """,
+)
+def scalar_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured shredding through Spark 4's VARIANT type:
+    ``parse_json`` → binary variant → typed ``variant_get`` path
+    extraction (nested object + array index), the engine's answer to
+    open-schema JSON columns where ``from_json``'s fixed StructType can't
+    be declared up front.
+
+    The fixtures' only JSON column is the flat ``events.props``, so the
+    entry CONSTRUCTS a nested payload from orders columns — with the
+    identical CONCAT in the oracle (the planted-corpus pattern:
+    both engines build the same strings, then shred them with their own
+    JSON machinery, and the typed results must value-hash equal).
+
+    At scale VARIANT is the right default for ingest: parse once into the
+    shredded binary encoding, extract columnar paths without re-parsing
+    text per access — `variant_get` is JVM-side and codegen'd."""
+    orders = load_table(spark, sf_dir, "orders")
+    payload = F.concat(
+        F.lit('{"cust": '), F.col("o_custkey").cast("string"),
+        F.lit(', "tier": "'), F.col("o_orderpriority"), F.lit('"'),
+        F.lit(', "items": ['), (F.col("o_orderkey") % 7).cast("string"),
+        F.lit(", "), (F.col("o_orderkey") % 11).cast("string"),
+        F.lit('], "meta": {"status": "'), F.col("o_orderstatus"),
+        F.lit('"}}'),
+    )
+    v = F.parse_json(payload)
+    return orders.select(
+        "o_orderkey",
+        F.variant_get(v, "$.cust", "bigint").alias("cust"),
+        F.variant_get(v, "$.tier", "string").alias("tier"),
+        F.variant_get(v, "$.items[1]", "bigint").alias("second_item"),
+        F.variant_get(v, "$.meta.status", "string").alias("status"),
+        (F.variant_get(v, "$.meta.status", "string") == "O").alias("is_open"),
+    )

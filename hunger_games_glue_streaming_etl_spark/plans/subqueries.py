@@ -138,3 +138,36 @@ def subquery_in_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY p_brand
         """
     )
+
+
+@register(
+    "join_lateral_topk",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+    FROM customer c,
+         LATERAL (SELECT o_orderkey, o_totalprice
+                  FROM orders
+                  WHERE o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey
+                  LIMIT 2) o
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery — the per-row top-k join shape
+    (each customer's two biggest orders) SQL users reach for before
+    discovering window functions; Catalyst must decorrelate the LIMIT'd
+    ordered subquery rather than re-executing it per outer row.
+    Runs through the SQL parser like the other subquery entries; the
+    oracle is textually identical DuckDB SQL."""
+    vs = _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(f"""
+        SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+        FROM {vs["customer"]} c,
+             LATERAL (SELECT o_orderkey, o_totalprice
+                      FROM {vs["orders"]}
+                      WHERE o_custkey = c.c_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey
+                      LIMIT 2) o
+        WHERE c.c_mktsegment = 'BUILDING'
+    """)

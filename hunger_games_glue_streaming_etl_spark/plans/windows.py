@@ -151,3 +151,54 @@ def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(wf).alias("last_ok"),
         F.nth_value("o_orderkey", 2).over(wf).alias("second_ok"),
     )
+
+
+@register(
+    "window_time_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(vfp) OVER (PARTITION BY user_id ORDER BY us
+                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS rolling_1h_value_fp,
+           CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY us
+                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS rolling_1h_events
+    FROM (SELECT event_id, user_id, epoch_us(ts) AS us,
+                 CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vfp
+          FROM events)
+    """,
+)
+def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-TIME range frame — the rolling window ROWS frames can't
+    express: per user, the sum/count of everything in the trailing HOUR
+    of event time (RANGE over integer µs, not a row count), the
+    time-decayed-metrics shape of ops analytics.
+
+    RANGE frames include all ORDER-BY peers, so the frame is a SET and
+    needs no tiebreak — but that also means the in-frame accumulation
+    ORDER is engine-private, so the summed metric must be associative:
+    value goes through the fixed-point ``FLOOR(v·1000 + 0.5)`` BIGINT
+    (multiply/add are correctly-rounded IEEE, identical both engines;
+    integer addition is order-free).  Summing raw doubles here would be
+    a latent last-ULP hash bug.
+
+    At scale: one shuffle on user_id + per-partition sort — same cost
+    shape as any window; the range frame is a two-pointer pass."""
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias("vfp"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        F.sum("vfp").over(w).cast("long").alias("rolling_1h_value_fp"),
+        F.count("*").over(w).cast("long").alias("rolling_1h_events"),
+    )

@@ -243,3 +243,61 @@ def funnel_user_state(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---- arbitrary state v2: transformWithStateInPandas ------------------------
+
+TWS_OUTPUT_SCHEMA = "user_id long, n_events long, value_sum_fp long"
+
+
+def running_user_state_v2(stream: DataFrame) -> DataFrame:
+    """Per-user running (count, fixed-point value sum) through
+    ``transformWithStateInPandas`` — Spark 4's arbitrary-state v2 API
+    (``StatefulProcessor`` + typed state handles), the successor surface
+    to ``applyInPandasWithState``: named state variables, timers, and TTL
+    instead of one opaque tuple.  Semantics here mirror
+    ``running_user_state`` so the same replay-oracle shape pins it.
+
+    The value sum is fixed-point ``FLOOR(v·1000 + 0.5)`` BIGINT (IEEE
+    multiply/add then exact floor — bit-identical in pandas, Spark and
+    DuckDB), never a raw double accumulation.
+
+    Requires the RocksDB state-store provider (the v2 API does not
+    support the default HDFS-backed store) — the plan entry sets it for
+    the query's duration."""
+    import numpy as np
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n long, vfp long")
+
+        def handleInputRows(self, key, rows, timer_values) -> Iterator[pd.DataFrame]:
+            if self._totals.exists():
+                n, vfp = self._totals.get()
+            else:
+                n, vfp = 0, 0
+            for pdf in rows:
+                n += len(pdf)
+                vfp += int(
+                    np.floor(pdf["value"].to_numpy(dtype="float64") * 1000 + 0.5)
+                    .astype("int64")
+                    .sum()
+                )
+            self._totals.update((n, vfp))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "value_sum_fp": [vfp]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_RunningTotals(),
+        outputStructType=TWS_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

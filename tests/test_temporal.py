@@ -97,3 +97,75 @@ def test_blas_pairs_equal_exact(spark):
     assert set(exact) == set(blas)
     mismatched = [k for k in exact if abs(exact[k] - blas[k]) > 1e-6]
     assert not mismatched
+
+
+def test_gap_fill_semantics_planted(spark):
+    """timeseries_gap_fill_hourly contract on a hand-built series: silent
+    hours materialize with n_events=0/is_gap=true and carry the LAST
+    observed fixed-point value forward; observed hours carry their own."""
+    from hunger_games_glue_streaming_etl_spark.plans.event_time import (
+        timeseries_gap_fill_hourly,
+    )
+
+    # build a miniature events table matching the entry's schema; user 3
+    # passes the entry's 1-in-20 subset filter (3 % 20 == 3)
+    rows = [
+        # (event_id, ts, user_id, event_type, value)
+        (1, datetime(2024, 1, 1, 0, 10), 3, "view", 1.0),
+        (2, datetime(2024, 1, 1, 0, 40), 3, "view", 2.0),
+        # hours 1-2 silent
+        (3, datetime(2024, 1, 1, 3, 5), 3, "click", 10.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).withColumn("props", F.lit("{}"))
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        out = {
+            r["hour_idx"] - 473352: (r["n_events"], r["value_fp"], r["is_gap"])
+            for r in timeseries_gap_fill_hourly(spark, d).collect()
+        }
+    # hour 0: two events, 1000+2000 fp; hours 1-2 gap carrying 3000;
+    # hour 3 observed 10000
+    assert out == {
+        0: (2, 3000, False),
+        1: (0, 3000, True),
+        2: (0, 3000, True),
+        3: (1, 10000, False),
+    }
+
+
+def test_time_range_frame_includes_peers_and_trailing_hour(spark):
+    """window_time_range_frame: RANGE frame spans the trailing hour of
+    event time (not a row count) and includes ORDER-BY peers on both
+    sides of a tie."""
+    from hunger_games_glue_streaming_etl_spark.plans.windows import (
+        window_time_range_frame,
+    )
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0), 5, "a", 1.0),
+        (2, datetime(2024, 1, 1, 0, 30), 5, "a", 2.0),
+        (3, datetime(2024, 1, 1, 0, 30), 5, "a", 4.0),   # tie with #2
+        (4, datetime(2024, 1, 1, 2, 0), 5, "a", 8.0),    # out of range
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).withColumn("props", F.lit("{}"))
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        out = {
+            r["event_id"]: (r["rolling_1h_value_fp"], r["rolling_1h_events"])
+            for r in window_time_range_frame(spark, d).collect()
+        }
+    # events 2 AND 3 are peers: each sees 1+2+4; event 4 sees only itself
+    assert out == {
+        1: (1000, 1),
+        2: (7000, 3),
+        3: (7000, 3),
+        4: (8000, 1),
+    }

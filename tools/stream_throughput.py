@@ -55,6 +55,80 @@ def generate_events(path: str, n_events: int, n_files: int) -> None:
                 seq += 1
 
 
+def generate_funnel_events(path: str, n_events: int, n_files: int, n_users: int) -> None:
+    """Synthetic funnel feed: per-user event sequences over the four step
+    types, time-ordered within each file (the state machine's contract)."""
+    rng = random.Random(7)
+    per_file = n_events // n_files
+    types = ["signup", "view", "click", "purchase", "scroll", "hover"]
+    base_us = 1_700_000_000_000_000
+    seq = 0
+    for f in range(n_files):
+        with open(os.path.join(path, f"ev_{f:04d}.json"), "w") as out:
+            for _ in range(per_file):
+                ts_us = base_us + seq * 1_000_000
+                e = {
+                    "event_id": seq,
+                    "ts": time.strftime(
+                        "%Y-%m-%dT%H:%M:%S", time.gmtime(ts_us // 1_000_000)
+                    )
+                    + ".000000Z",
+                    "user_id": rng.randrange(n_users),
+                    "event_type": rng.choice(types),
+                    "value": round(rng.uniform(0, 100), 3),
+                    "props": "{}",
+                }
+                out.write(json.dumps(e) + "\n")
+                seq += 1
+
+
+def run_funnel_state_throughput(spark, base: str) -> dict:
+    """Drive the applyInPandasWithState per-user funnel machine end to end
+    (VERDICT r4 #7): events/sec through the stateful tier, alongside the
+    stateless tribute number — state-store commit cost included."""
+    from hunger_games_glue_streaming_etl_spark.schemas import EVENTS_SCHEMA
+    from hunger_games_glue_streaming_etl_spark.streaming.ops import funnel_user_state
+
+    n_events = int(os.environ.get("N_FUNNEL_EVENTS", "100000"))
+    n_files = int(os.environ.get("N_FUNNEL_FILES", "10"))
+    n_users = int(os.environ.get("N_FUNNEL_USERS", "5000"))
+    events_dir = os.path.join(base, "funnel_events")
+    os.makedirs(events_dir)
+    generate_funnel_events(events_dir, n_events, n_files, n_users)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(events_dir)
+    )
+    counts = {"rows": 0}
+
+    def sink(df, _epoch):
+        counts["rows"] += df.count()
+
+    query = (
+        funnel_user_state(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(base, "funnel_ckpt"))
+        .start()
+    )
+    start = time.perf_counter()
+    query.processAllAvailable()
+    elapsed = time.perf_counter() - start
+    query.stop()
+    return {
+        "metric": "funnel_state_events_per_sec",
+        "value": round(n_events / elapsed, 1),
+        "unit": "events/sec",
+        "events": n_events,
+        "micro_batches": n_files,
+        "state_users": n_users,
+        "elapsed_sec": round(elapsed, 2),
+        "emitted_rows": counts["rows"],
+    }
+
+
 def main() -> None:
     n_events = int(os.environ.get("N_EVENTS", "100000"))
     n_files = int(os.environ.get("N_FILES", "10"))
@@ -98,6 +172,7 @@ def main() -> None:
             }
         )
     )
+    print(json.dumps(run_funnel_state_throughput(spark, base)))
     spark.stop()
     shutil.rmtree(base)
 
