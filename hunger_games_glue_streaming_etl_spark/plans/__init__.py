@@ -65,6 +65,9 @@ _SAMPLE_FIRST = [
     "join_lateral_topk",
     "scan_python_datasource",
     "streaming_transform_with_state",
+    "streaming_python_datasource",
+    "graph_pagerank_trade",
+    "dq_expectations_summary",
     # ---- backfill: re-record the heavyweight / most-load-bearing tiers so
     # every round's artifact keeps fresh evidence for them ----
     "q5_local_supplier_volume",

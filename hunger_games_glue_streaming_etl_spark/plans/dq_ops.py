@@ -89,3 +89,95 @@ def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@register(
+    "dq_expectations_summary",
+    oracle="""
+    WITH base AS (
+        SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_shipdate
+        FROM lineitem
+    ),
+    bad AS (
+        SELECT l_orderkey, l_linenumber,
+               -3.0 AS l_quantity, 0.5 AS l_discount,
+               CAST(NULL AS TIMESTAMP) AS l_shipdate
+        FROM base WHERE l_orderkey % 199 = 7
+    ),
+    audited AS (SELECT * FROM base UNION ALL SELECT * FROM bad),
+    scalar AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                             THEN 1 ELSE 0 END) AS BIGINT) AS qty_viol,
+               CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS disc_viol,
+               CAST(COUNT(*) - COUNT(l_shipdate) AS BIGINT) AS null_viol
+        FROM audited
+    ),
+    dup AS (
+        SELECT CAST(SUM(c - 1) AS BIGINT) AS dup_viol
+        FROM (SELECT COUNT(*) AS c FROM audited
+              GROUP BY l_orderkey, l_linenumber)
+    )
+    SELECT 'quantity_in_[1,50]' AS rule, qty_viol AS n_violations, n AS n_checked FROM scalar
+    UNION ALL
+    SELECT 'discount_in_[0,0.1]', disc_viol, n FROM scalar
+    UNION ALL
+    SELECT 'shipdate_not_null', null_viol, n FROM scalar
+    UNION ALL
+    SELECT 'orderkey_linenumber_unique', dup_viol, n FROM scalar, dup
+    """,
+)
+def dq_expectations_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations-suite audit (the Great-Expectations / dbt-tests shape
+    beyond referential integrity): range checks, not-null, and key
+    uniqueness over ``lineitem`` in ONE pass, long-form one row per rule.
+    The fixture data is clean, so a deterministic slice
+    (``l_orderkey % 199 = 7``) is re-appended with all four corruptions —
+    both engines plant identical bad rows and the audit must count
+    exactly those (the planted-violation non-vacuity pattern of
+    ``dq_referential_orphans``).
+
+    Plan shape: the scalar rules share one aggregate over one scan; the
+    uniqueness rule is a SEPARATE keys-only aggregate (per the round-5
+    Expand rule: never drag other aggregates through a distinct-shaped
+    plan), 1×1-joined back.  At 100 TB that is two scans of pruned
+    columns — or one, if the audited frame is already materialized by the
+    ingestion step this audit would piggyback on."""
+    base = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_shipdate"
+    )
+    bad = base.filter(F.col("l_orderkey") % 199 == 7).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.lit(-3.0).alias("l_quantity"),
+        F.lit(0.5).alias("l_discount"),
+        F.lit(None).cast("timestamp").alias("l_shipdate"),
+    )
+    audited = base.unionByName(bad)
+    scalar = audited.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)
+            .otherwise(0)
+        ).cast("long").alias("qty_viol"),
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1)
+            .otherwise(0)
+        ).cast("long").alias("disc_viol"),
+        (F.count(F.lit(1)) - F.count("l_shipdate")).cast("long").alias("null_viol"),
+    )
+    dup = (
+        audited.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count("*").alias("c"))
+        .agg(F.sum(F.col("c") - 1).cast("long").alias("dup_viol"))
+    )
+    wide = scalar.crossJoin(F.broadcast(dup))
+    return wide.selectExpr(
+        "stack(4, "
+        "'quantity_in_[1,50]', qty_viol, "
+        "'discount_in_[0,0.1]', disc_viol, "
+        "'shipdate_not_null', null_viol, "
+        "'orderkey_linenumber_unique', dup_viol) AS (rule, n_violations)",
+        "n AS n_checked",
+    )

@@ -225,3 +225,100 @@ def pipeline_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("long").alias("n_chars"),
         "cluster_size",
     )
+
+
+_PR_SCALE = 1_000_000  # rank micro-units; all arithmetic integer
+
+
+def _pagerank_iter_sql(prev: str, out: str) -> str:
+    """One unrolled PageRank iteration in DuckDB SQL (integer fixed-point:
+    contrib = (85·(r // deg)) // 100, base = (15·SCALE) // (100·N))."""
+    return f"""
+    {out} AS (
+        SELECT e.v AS node,
+               (SELECT (15 * {_PR_SCALE}) // (100 * n) FROM nn)
+               + SUM((85 * (p.r // dg.d)) // 100) AS r
+        FROM ed e
+        JOIN {prev} p ON e.u = p.node
+        JOIN deg dg ON e.u = dg.u
+        GROUP BY e.v
+    )"""
+
+
+@register(
+    "graph_pagerank_trade",
+    oracle=f"""
+    WITH eg AS (
+        SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    ed AS (SELECT u, v FROM eg UNION ALL SELECT v AS u, u AS v FROM eg),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM ed GROUP BY u),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+    r0 AS (SELECT u AS node,
+                  CAST({_PR_SCALE} // (SELECT n FROM nn) AS BIGINT) AS r
+           FROM deg),
+    {_pagerank_iter_sql("r0", "it1")},
+    {_pagerank_iter_sql("it1", "it2")},
+    {_pagerank_iter_sql("it2", "it3")}
+    SELECT node, CAST(r AS BIGINT) AS rank_fp FROM it3
+    """,
+)
+def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 fixed iterations, damping 0.85) over the bipartite
+    customer↔supplier trade graph (an edge per distinct (customer,
+    supplier) pair that shares an order line) — the influence-ranking
+    iterative workload, alongside connected components, that pushes graph
+    processing through DataFrame loops.
+
+    Hash-exact because ALL arithmetic is integer fixed-point micro-units:
+    per-node share ``r // deg``, damped contribution ``(85·share) // 100``,
+    teleport base ``(15·SCALE) // (100·N)`` with N corpus-derived on both
+    engines — integer sums are order-free, so no accumulation-order hazard
+    (float PageRank would diverge in the last ulp across engines).  The
+    oracle unrolls the three iterations as chained CTEs.
+
+    At scale: edges are (long, long) pairs, mirrored once and pinned; each
+    iteration is one join-shuffle + one aggregate (the canonical Pregel
+    round), and every round ends in ``localCheckpoint`` per the iterative-
+    loop lineage rule.  Degenerate nodes can't occur (every node in the
+    edge list has degree ≥ 1 by construction, so no dangling-mass term)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    eg = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+    from ..caching import pin
+
+    ed = pin(eg.union(eg.select(F.col("v").alias("u"), F.col("u").alias("v"))))
+    deg = pin(ed.groupBy("u").agg(F.count("*").alias("d")))
+    nn = F.broadcast(deg.agg(F.count("*").cast("long").alias("n")))
+    ranks = (
+        deg.crossJoin(nn)
+        .selectExpr("u AS node", f"CAST({_PR_SCALE} div n AS BIGINT) AS r")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(3):
+        contrib = (
+            ed.join(ranks, ed.u == ranks.node)
+            .join(deg, "u")
+            .selectExpr("v AS node", "(85 * (r div d)) div 100 AS c")
+        )
+        ranks = (
+            contrib.groupBy("node")
+            .agg(F.sum("c").alias("s"))
+            .crossJoin(nn)
+            .selectExpr(
+                "node",
+                f"CAST((15 * {_PR_SCALE}) div (100 * n) + s AS BIGINT) AS r",
+            )
+            .localCheckpoint(eager=True)
+        )
+    ed.unpersist()
+    deg.unpersist()
+    return ranks.selectExpr("node", "CAST(r AS BIGINT) AS rank_fp")

@@ -649,3 +649,50 @@ def streaming_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFram
             spark.conf.unset(provider_key)
         else:
             spark.conf.set(provider_key, old)
+
+
+@register(
+    "streaming_python_datasource",
+    oracle="""
+    WITH raw AS (
+        SELECT r,
+               r % 97 AS device_id,
+               (r * 31) % 10007 AS m
+        FROM range(0, 8000) t(r)
+    ),
+    trg AS (SELECT device_id, m, (r // 2000) + 1 AS b FROM raw),
+    pts AS (SELECT DISTINCT device_id, b FROM trg)
+    SELECT p.device_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(t.m) AS BIGINT) AS metric_sum
+    FROM pts p JOIN trg t ON t.device_id = p.device_id AND t.b <= p.b
+    GROUP BY p.device_id, p.b
+    """,
+)
+def streaming_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming over a CUSTOM Python streaming source
+    (``SimpleDataSourceStreamReader``): driver-side offset planning
+    (initialOffset → read → commit), 2,000 deterministic rows per
+    trigger, replay via ``readBetweenOffsets`` — the full micro-batch
+    source contract the reference delegates to Kinesis, implemented
+    through the Spark 4 extension point.
+
+    The transform is a per-device running aggregate in update mode, so
+    the memory sink accumulates one row per (device, trigger): every
+    device appears in every 2,000-row batch, giving 97 × 4 rows whose
+    cumulative counts/sums the closed-form oracle reproduces from the
+    same row arithmetic (offset b covers rows [2000·(b−1), 2000·b))."""
+    from ..sources.pydatasource import register_synthetic_source
+
+    register_synthetic_source(spark)
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("rows", "8000")
+        .option("batch_rows", "2000")
+        .load()
+    )
+    agg = stream.groupBy("device_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("metric_fp").cast("long").alias("metric_sum"),
+    )
+    return _run_stream(spark, agg, "pysrc", output_mode="update")

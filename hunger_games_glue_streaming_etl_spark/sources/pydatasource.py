@@ -21,7 +21,12 @@ the identical partition-planning shape.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class SyntheticEventsDataSource(DataSource):
@@ -40,6 +45,9 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema) -> "SyntheticEventsReader":
         return SyntheticEventsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "SyntheticEventsStreamReader":
+        return SyntheticEventsStreamReader(self.options)
 
 
 class SyntheticEventsReader(DataSourceReader):
@@ -63,3 +71,43 @@ class SyntheticEventsReader(DataSourceReader):
 def register_synthetic_source(spark) -> None:
     """Idempotently register the custom format on this session."""
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch offsets over the same deterministic row space: offset =
+    next row index; each trigger serves ``batch_rows`` rows until
+    ``rows`` is exhausted, then reports no-data (empty iterator, same
+    offset) so ``processAllAvailable`` terminates.  ``readBetweenOffsets``
+    re-derives any committed range arithmetically — replay-safe with no
+    buffering, because rows are a pure function of the index (the
+    property a real source gets from its upstream log retention)."""
+
+    def __init__(self, options) -> None:
+        self.n_rows = int(options.get("rows", "1000"))
+        self.batch_rows = max(1, int(options.get("batch_rows", "250")))
+
+    def initialOffset(self) -> dict:
+        return {"offset": 0}
+
+    def read(self, start: dict):
+        lo = int(start["offset"])
+        if lo >= self.n_rows:
+            return iter([]), start
+        hi = min(lo + self.batch_rows, self.n_rows)
+        return iter(self._rows(lo, hi)), {"offset": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._rows(int(start["offset"]), int(end["offset"])))
+
+    @staticmethod
+    def _rows(lo: int, hi: int) -> list:
+        # a concrete list wrapped in iter(): the simple-reader protocol
+        # pickles the batch iterator driver->executor, and list iterators
+        # pickle where generators cannot
+        return [
+            (r, r % 97, (r * 31) % 10007, "IDLE" if r % 5 == 0 else "ACTIVE")
+            for r in range(lo, hi)
+        ]
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up: rows are derived, not buffered
