@@ -5,6 +5,7 @@ from .registry import ORACLE, QUERIES, register
 
 from . import (  # noqa: E402,F401
     aggregates,
+    chat_ops,
     core,
     curation,
     dedup_ops,
@@ -68,6 +69,8 @@ _SAMPLE_FIRST = [
     "streaming_python_datasource",
     "graph_pagerank_trade",
     "dq_expectations_summary",
+    "chat_format_audit",
+    "chat_sft_corpus_totals",
     # ---- backfill: re-record the heavyweight / most-load-bearing tiers so
     # every round's artifact keeps fresh evidence for them ----
     "q5_local_supplier_volume",

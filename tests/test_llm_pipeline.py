@@ -269,3 +269,29 @@ def test_temperature_mixture_rates_derive_from_counts(spark):
     rare = min(counts, key=counts.get)
     kept_rare = sum(1 for r in out if r["lang"] == rare)
     assert rates[rare] == 10000 and kept_rare == counts[rare]
+
+
+def test_chat_format_audit_plants_and_masking(spark):
+    """The chat gate fails EXACTLY the planted corruption classes (role
+    swap at doc_id%13==4 with >=2 turns; empty message at doc_id%17==3)
+    and trainable_tokens counts only assistant turns."""
+    from hunger_games_glue_streaming_etl_spark.plans.chat_ops import (
+        chat_format_audit,
+    )
+
+    rows = {
+        r["doc_id"]: r
+        for r in chat_format_audit(spark, "/root/testdata/sf0.001").collect()
+    }
+    for doc_id, r in rows.items():
+        swap = doc_id % 13 == 4 and r["n_turns"] >= 2
+        empty = doc_id % 17 == 3 and r["n_turns"] >= 2
+        assert r["is_valid"] == (not swap and not empty), doc_id
+        assert r["alternation_ok"] == (not swap), doc_id
+        assert r["n_empty"] == (1 if empty else 0), doc_id
+        assert r["first_role_ok"] is True, doc_id
+        # assistant turns are the odd indices; with 16-token turns the
+        # trainable share can never exceed the total
+        assert 0 <= r["trainable_tokens"] <= r["total_tokens"], doc_id
+    assert any(not r["is_valid"] for r in rows.values())
+    assert any(r["is_valid"] for r in rows.values())
