@@ -65,6 +65,7 @@ _SAMPLE_FIRST = [
     "scalar_variant_shred",
     "join_lateral_topk",
     "scan_python_datasource",
+    "scan_python_datasource_pushdown",
     "streaming_transform_with_state",
     "streaming_python_datasource",
     "graph_pagerank_trade",

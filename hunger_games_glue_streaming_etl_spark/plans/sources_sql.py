@@ -212,3 +212,46 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_idle"),
     )
+
+
+@register(
+    "scan_python_datasource_pushdown",
+    oracle="""
+    SELECT CAST(r AS BIGINT) AS row_id,
+           CAST(r % 97 AS BIGINT) AS device_id,
+           CAST((r * 31) % 10007 AS BIGINT) AS metric_fp
+    FROM range(2500, 7500) t(r)
+    WHERE r % 5 != 0
+    """,
+)
+def scan_python_datasource_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom Python source with FILTER PUSHDOWN live: range
+    predicates on ``row_id`` reach ``DataSourceReader.pushFilters`` and
+    narrow the planned row ranges before partitioning (rows outside
+    [2500, 7500) are never generated, pruned scans plan fewer tasks),
+    while the non-range ``state`` predicate is yielded back and applied
+    by Spark post-scan — the pushed/post-scan split every file format's
+    ``PushedFilters`` line shows, here through the Python API.
+    ``spark.sql.python.filterPushdown.enabled`` is set and deliberately
+    NOT restored: the reader initializes lazily at execution time (after
+    this function returns), Spark refuses to run a pushFilters reader
+    with the conf off, and the conf only affects Python sources that
+    implement pushFilters — of which the engine has exactly this one
+    format, where enabling it is semantically neutral (bounds narrowing
+    vs post-scan filtering, same rows).  Narrowing behavior is asserted
+    at the reader level in tests/test_plan_shapes.py."""
+    from ..sources.pydatasource import register_synthetic_source
+
+    register_synthetic_source(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    df = (
+        spark.read.format("synthetic_events_pushdown")
+        .option("rows", "20000")
+        .option("partitions", "8")
+        .load()
+    )
+    return df.filter(
+        (F.col("row_id") >= 2500)
+        & (F.col("row_id") < 7500)
+        & (F.col("state") == "ACTIVE")
+    ).select("row_id", "device_id", "metric_fp")

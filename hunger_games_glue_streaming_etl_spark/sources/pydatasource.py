@@ -51,26 +51,100 @@ class SyntheticEventsDataSource(DataSource):
 
 
 class SyntheticEventsReader(DataSourceReader):
+    """Plain batch reader (no pushFilters: Spark ASSERTS if a reader
+    implements it while ``spark.sql.python.filterPushdown.enabled`` is
+    false, so the pushdown-capable reader is a separate format —
+    ``synthetic_events_pushdown`` below)."""
+
     def __init__(self, options) -> None:
         self.n_rows = int(options.get("rows", "1000"))
         self.n_parts = max(1, int(options.get("partitions", "8")))
+        self.lo_bound = 0
+        self.hi_bound = self.n_rows  # exclusive
 
     def partitions(self):
-        # contiguous row ranges — each becomes one Spark task, so the
-        # scan parallelizes like any file source's splits
-        return [InputPartition(i) for i in range(self.n_parts)]
+        # contiguous row ranges over the (possibly filter-narrowed)
+        # bounds — each becomes one Spark task, so the scan parallelizes
+        # like any file source's splits, and fully-pruned scans plan NO
+        # tasks at all
+        lo, hi = self.lo_bound, max(self.lo_bound, self.hi_bound)
+        span = hi - lo
+        if span == 0:
+            return [InputPartition((lo, lo))]
+        parts = min(self.n_parts, span)
+        return [
+            InputPartition((lo + span * i // parts, lo + span * (i + 1) // parts))
+            for i in range(parts)
+        ]
 
     def read(self, partition):
-        i = partition.value
-        lo = self.n_rows * i // self.n_parts
-        hi = self.n_rows * (i + 1) // self.n_parts
+        lo, hi = partition.value
         for r in range(lo, hi):
             yield (r, r % 97, (r * 31) % 10007, "IDLE" if r % 5 == 0 else "ACTIVE")
 
 
+class SyntheticEventsPushdownReader(SyntheticEventsReader):
+    """Batch reader with REAL filter pushdown: range predicates on
+    ``row_id`` (the source's natural sort/partition key — a clustering
+    key, file-footer min/max, or log offset in a real system) narrow the
+    planned row ranges BEFORE partitioning, so pruned work never becomes
+    a task (a contradiction plans an empty range).  Per the API
+    contract, filters this reader CONSUMES (does not yield back) are
+    fully handled by the scan; everything else (device_id predicates,
+    state equality, IsNotNull) is yielded back as unsupported and Spark
+    applies it post-scan.  Requires
+    ``spark.sql.python.filterPushdown.enabled`` at EXECUTION time —
+    Spark refuses to run a pushFilters-implementing reader with the conf
+    off, which is why this lives behind its own format name instead of
+    extending the default one."""
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        range_types = (
+            GreaterThanOrEqual, GreaterThan, LessThan, LessThanOrEqual, EqualTo
+        )
+        for f in filters:
+            if (
+                getattr(f, "attribute", None) == ("row_id",)
+                and isinstance(f, range_types)
+            ):
+                v = int(f.value)
+                if isinstance(f, GreaterThanOrEqual):
+                    self.lo_bound = max(self.lo_bound, v)
+                elif isinstance(f, GreaterThan):
+                    self.lo_bound = max(self.lo_bound, v + 1)
+                elif isinstance(f, LessThan):
+                    self.hi_bound = min(self.hi_bound, v)
+                elif isinstance(f, LessThanOrEqual):
+                    self.hi_bound = min(self.hi_bound, v + 1)
+                else:  # EqualTo
+                    self.lo_bound = max(self.lo_bound, v)
+                    self.hi_bound = min(self.hi_bound, v + 1)
+                continue
+            # unsupported: yield back so Spark applies it after the scan
+            yield f
+
+
+class SyntheticEventsPushdownSource(SyntheticEventsDataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events_pushdown"
+
+    def reader(self, schema) -> "SyntheticEventsPushdownReader":
+        return SyntheticEventsPushdownReader(self.options)
+
+
 def register_synthetic_source(spark) -> None:
-    """Idempotently register the custom format on this session."""
+    """Idempotently register both custom formats on this session."""
     spark.dataSource.register(SyntheticEventsDataSource)
+    spark.dataSource.register(SyntheticEventsPushdownSource)
 
 
 class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):

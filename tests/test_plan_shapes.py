@@ -296,3 +296,44 @@ def test_aqe_skew_join_split_fires(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_python_datasource_filter_pushdown_narrows_scan():
+    """The custom source's pushFilters consumes row_id range predicates
+    (bounds narrow, partition planning covers only the surviving range,
+    EqualTo collapses to one row, contradictions plan an empty range) and
+    yields non-range filters back for Spark to apply."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThanOrEqual,
+        IsNotNull,
+        LessThan,
+    )
+
+    from hunger_games_glue_streaming_etl_spark.sources.pydatasource import (
+        SyntheticEventsPushdownReader,
+    )
+
+    rd = SyntheticEventsPushdownReader({"rows": "20000", "partitions": "8"})
+    rest = list(
+        rd.pushFilters(
+            [
+                GreaterThanOrEqual(("row_id",), 500),
+                LessThan(("row_id",), 1500),
+                IsNotNull(("state",)),
+            ]
+        )
+    )
+    assert rest == [IsNotNull(("state",))]
+    parts = [p.value for p in rd.partitions()]
+    assert parts[0][0] == 500 and parts[-1][1] == 1500
+    assert sum(hi - lo for lo, hi in parts) == 1000
+
+    rd2 = SyntheticEventsPushdownReader({"rows": "100", "partitions": "8"})
+    list(rd2.pushFilters([EqualTo(("row_id",), 42)]))
+    assert [p.value for p in rd2.partitions()] == [(42, 43)]
+
+    rd3 = SyntheticEventsPushdownReader({"rows": "100", "partitions": "8"})
+    list(rd3.pushFilters([EqualTo(("row_id",), 42), LessThan(("row_id",), 10)]))
+    total = sum(hi - lo for lo, hi in (p.value for p in rd3.partitions()))
+    assert total == 0
