@@ -66,6 +66,7 @@ _SAMPLE_FIRST = [
     "join_lateral_topk",
     "scan_python_datasource",
     "scan_python_datasource_pushdown",
+    "scan_schema_evolution",
     "streaming_transform_with_state",
     "streaming_python_datasource",
     "graph_pagerank_trade",

@@ -255,3 +255,45 @@ def scan_python_datasource_pushdown(spark: SparkSession, sf_dir: str) -> DataFra
         & (F.col("row_id") < 7500)
         & (F.col("state") == "ACTIVE")
     ).select("row_id", "device_id", "metric_fp")
+
+
+@register(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT CAST(1 AS INT) AS gen, n_nationkey, n_name,
+           CAST(NULL AS BIGINT) AS n_regionkey
+    FROM nation
+    UNION ALL
+    SELECT CAST(2 AS INT), n_nationkey, n_name,
+           CAST(n_regionkey AS BIGINT)
+    FROM nation
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: generation 1 files carry (gen, key,
+    name); generation 2 adds ``n_regionkey`` — ``mergeSchema`` unions the
+    footers into one superset schema and back-fills the missing column
+    with NULLs for the old files, the additive-evolution contract every
+    long-lived lake table relies on (columns added over time, old files
+    never rewritten).  The oracle states the merged result in closed
+    form: gen-1 rows NULL, gen-2 rows populated.
+
+    At 100 TB mergeSchema's footer-union costs one metadata pass over
+    the file listing — per-file schemas reconcile at planning time, not
+    per row; incompatible type changes (not exercised here) fail fast at
+    that same planning step."""
+    nation = load_table(spark, sf_dir, "nation")
+    path = _roundtrip_dir()
+    nation.select(
+        F.lit(1).alias("gen"), "n_nationkey", "n_name"
+    ).write.mode("overwrite").parquet(path + "/gen=1x")
+    nation.select(
+        F.lit(2).alias("gen"),
+        "n_nationkey",
+        "n_name",
+        F.col("n_regionkey").cast("long").alias("n_regionkey"),
+    ).write.mode("overwrite").parquet(path + "/gen=2x")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        path + "/gen=1x", path + "/gen=2x"
+    )
+    return merged.select("gen", "n_nationkey", "n_name", "n_regionkey")

@@ -241,6 +241,37 @@ class ParquetLatestSink:
             self.changes_path
         )
 
+    def vacuum_changes(self, keep_epochs: int) -> list[int]:
+        """Retention for the CDC changelog — the VACUUM every log-shaped
+        sink needs or the epoch dirs grow forever: drop all but the
+        newest ``keep_epochs`` committed epoch directories and return the
+        dropped epoch ids (ascending).  The keyed latest-state table is
+        untouched — vacuum bounds REPLAY depth, not state.
+
+        Safety order mirrors the write path: a consumer resuming from a
+        vacuumed epoch sees a clean missing-partition error, never a
+        half-deleted one, because each dir is removed atomically from the
+        newest file down (`_SUCCESS` deleted FIRST, so a concurrent
+        reader's commit probe fails fast).  On an object store, swap the
+        os walk for the FileSystem API like the other markers."""
+        if keep_epochs < 0:
+            raise ValueError("keep_epochs must be >= 0")
+        if not os.path.isdir(self.changes_path):
+            return []
+        epochs = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(self.changes_path)
+            if d.startswith("epoch=")
+        )
+        doomed = epochs[: max(0, len(epochs) - keep_epochs)]
+        for e in doomed:
+            d = os.path.join(self.changes_path, f"epoch={e}")
+            marker = os.path.join(d, "_SUCCESS")
+            if os.path.isfile(marker):
+                os.remove(marker)  # readers' commit probe fails fast now
+            shutil.rmtree(d, ignore_errors=True)
+        return doomed
+
     def upsert(self, batch_df: DataFrame, epoch_id: int | None = None) -> None:
         self._recover_interrupted_migration()
         # exactly-once epoch gate: foreachBatch redelivers a failed epoch;

@@ -345,3 +345,34 @@ def test_epoch_gate_is_scoped_to_checkpoint_lineage(spark, tmp_path):
     # and the gate now tracks the new lineage
     b.upsert(df([("a", 9, "SHOULD_NOT_APPLY")]), epoch_id=0)
     assert {r["v"] for r in b.read().collect()} == {"v3"}
+
+
+def test_changelog_vacuum_bounds_replay_depth(spark, tmp_path):
+    """vacuum_changes drops all but the newest N epoch dirs (returning
+    the dropped ids), leaves the keyed state intact, and the surviving
+    changelog still reads cleanly with partition pruning."""
+    from hunger_games_glue_streaming_etl_spark.sinks.upsert import ParquetLatestSink
+
+    sink = ParquetLatestSink(
+        spark, str(tmp_path / "latest"), keys=["k"], seq_cols=["seq"],
+        track_changes=True,
+    )
+    for epoch in range(4):
+        batch = spark.createDataFrame(
+            [(1, epoch, f"v{epoch}"), (epoch + 10, epoch, "new")],
+            "k long, seq long, val string",
+        )
+        sink.upsert(batch, epoch_id=epoch)
+    assert sink.read_changes().select("epoch").distinct().count() == 4
+
+    dropped = sink.vacuum_changes(keep_epochs=2)
+    assert dropped == [0, 1]
+    left = {r["epoch"] for r in sink.read_changes().select("epoch").distinct().collect()}
+    assert left == {2, 3}
+    # keyed state survives vacuum untouched: key 1 at its newest seq + all inserts
+    state = {r["k"]: r["val"] for r in sink.read().collect()}
+    assert state[1] == "v3" and state[10] == "new" and state[13] == "new"
+    # idempotent + keep-all / keep-zero edges
+    assert sink.vacuum_changes(keep_epochs=2) == []
+    assert sink.vacuum_changes(keep_epochs=0) == [2, 3]
+    assert sink.vacuum_changes(keep_epochs=5) == []
