@@ -67,6 +67,8 @@ _SAMPLE_FIRST = [
     "scan_python_datasource",
     "scan_python_datasource_pushdown",
     "scan_schema_evolution",
+    "agg_boolean_filter_funcs",
+    "relational_unpivot",
     "streaming_transform_with_state",
     "streaming_python_datasource",
     "graph_pagerank_trade",

@@ -297,3 +297,79 @@ def agg_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(l_extendedprice, 0.50)"), 4).alias("p50"),
         F.round(F.expr("percentile(l_extendedprice, 0.90)"), 4).alias("p90"),
     )
+
+
+@register(
+    "agg_boolean_filter_funcs",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT)
+               AS n_big,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+               AS n_finished,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_totalprice > 400000) AS any_jumbo,
+           CAST(MIN(o_orderkey) FILTER (WHERE o_orderstatus = 'O')
+                AS BIGINT) AS first_open_key
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_boolean_filter_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean and FILTER-clause aggregates: conditional counts without a
+    pre-filter subquery (``count_if`` ≡ ``COUNT(*) FILTER``), universal/
+    existential reductions (``every``/``any`` ≡ ``bool_and``/``bool_or``),
+    and a filtered MIN — the SQL:2003 aggregate-FILTER surface.  All
+    integer/boolean outputs, trivially hash-exact; deterministic because
+    none of them depend on accumulation order."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 200000).cast("long").alias("n_big"),
+        F.count_if(F.col("o_orderstatus") == "F").cast("long").alias("n_finished"),
+        F.every(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.some(F.col("o_totalprice") > 400000).alias("any_jumbo"),
+        F.min(
+            F.when(F.col("o_orderstatus") == "O", F.col("o_orderkey"))
+        ).cast("long").alias("first_open_key"),
+    )
+
+
+@register(
+    "relational_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, metric, ROUND(amount, 2) AS amount
+    FROM (
+        SELECT l_orderkey, l_linenumber,
+               'extendedprice' AS metric, l_extendedprice AS amount
+        FROM lineitem WHERE l_orderkey % 50 = 3
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'discount', l_discount
+        FROM lineitem WHERE l_orderkey % 50 = 3
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'tax', l_tax
+        FROM lineitem WHERE l_orderkey % 50 = 3
+    )
+    """,
+)
+def relational_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshaping through the first-class ``DataFrame.unpivot``
+    API (≡ SQL UNPIVOT / pandas melt) — three measure columns become
+    (metric, amount) rows keyed by the line identity.  The oracle states
+    the same reshape as a UNION ALL, the form UNPIVOT desugars to.
+    Map-side only: unpivot is a per-row expand (rows × #measures), no
+    shuffle — at 100 TB the multiplier is the thing to budget, hence the
+    keyed slice."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 50 == 3
+    )
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="amount",
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("substr(metric, 3)").alias("metric"),
+        F.round("amount", 2).alias("amount"),
+    )

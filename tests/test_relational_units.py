@@ -64,3 +64,29 @@ def test_dq_audit_finds_exactly_planted_orphans(spark):
         "orders.o_custkey -> customer": 4,
         "customer.c_nationkey -> nation": 3,
     }
+
+
+def test_observe_metrics_piggyback_on_action(spark):
+    """The Observation API collects named aggregates as a side effect of
+    an existing action — the zero-extra-pass way to get row counts and
+    quality metrics out of a production write (vs a separate count()
+    that re-executes the plan)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from hunger_games_glue_streaming_etl_spark.sources.batch import load_table
+    from conftest import SF_DIR
+
+    obs = Observation("ingest_metrics")
+    li = load_table(spark, SF_DIR, "lineitem")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("l_quantity") > 49).alias("n_hot"),
+        F.max("l_orderkey").alias("max_key"),
+    )
+    n = observed.filter(F.col("l_quantity") > 0).count()  # the real action
+    got = obs.get
+    assert got["n_rows"] == li.count() and n > 0
+    assert got["max_key"] == li.agg(F.max("l_orderkey")).first()[0]
+    assert 0 < got["n_hot"] < got["n_rows"]
