@@ -59,9 +59,12 @@ def udf_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@udtf(returnType="pos int, token string")
+@udtf(returnType="pos int, token string", useArrow=True)
 class _TokenPositions:
-    """UDTF: explode a (pre-tokenized) prefix into (position, token) rows."""
+    """UDTF: explode a (pre-tokenized) prefix into (position, token) rows.
+    Arrow-evaluated (``useArrow=True``) so the plan is ``ArrowEvalPythonUDTF``
+    — batched transfer, not the row-at-a-time ``BatchEvalPythonUDTF`` the
+    plan audit forbids."""
 
     def eval(self, tokens: list):  # noqa: ANN001 — Spark passes the array value
         if tokens:

@@ -446,3 +446,28 @@ def test_transform_with_state_env_gate(spark):
     )
     rows = out.collect()
     assert len(rows) > 0
+
+
+def test_streaming_progress_exposes_state_and_watermark_metrics(spark, tmp_path):
+    """Observability contract: a stateful query's progress reports the
+    state-store rows and the advancing event-time watermark — the signals
+    a production monitor alerts on (state growth ⇒ leak, stuck watermark
+    ⇒ upstream stall).  Pins that the engine's operators are visible
+    through Spark's standard metrics, not a custom side channel."""
+    src = str(tmp_path / "src")
+    feeder = BatchFeeder(src)
+    stream = spark.readStream.schema(STREAM_SCHEMA).json(src)
+    q = _start(
+        spark, windowed_agg(stream, watermark="10 minutes"), "progress_m", "append"
+    )
+    try:
+        feeder.feed(q, ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 10:15:00"))
+        feeder.feed(q, ev(3, "2024-01-01 12:00:00"))
+        p = q.lastProgress
+        assert p is not None
+        ops = p["stateOperators"]
+        assert ops and ops[0]["numRowsTotal"] > 0  # live window state
+        wm = p["eventTime"].get("watermark")
+        assert wm is not None and wm.startswith("2024-01-01T11:50")
+    finally:
+        q.stop()

@@ -1,0 +1,112 @@
+"""Anti-pattern sweep over registry entries' physical plans — the audit
+the round verdicts run by hand (zero cartesians, zero row-wise Python
+UDFs), as a repeatable tool so a future entry can't silently regress.
+
+For every auditable entry the physical plan string is checked for:
+
+* ``CartesianProduct`` — an unbounded cross join.  The engine's only
+  legitimate cross joins are 1-row broadcast dials, which plan as
+  ``BroadcastNestedLoopJoin`` over a single-row aggregate (allowed), not
+  ``CartesianProduct``.
+* ``BatchEvalPython`` — a row-at-a-time Python UDF in the plan.  All
+  Python in this engine is Arrow-batched (``ArrowEvalPython`` /
+  ``MapInPandas`` / ``FlatMapGroupsInPandas*``, allowed).
+
+Entries are SKIPPED (not silently — they're listed) when building their
+DataFrame executes real work: streaming entries run a query to
+completion, iterative entries run checkpointed loops, some scans write
+round-trip files, and the ANN tier runs driver-side seed jobs.  Those
+entries' plan discipline is covered by their dedicated plan tests in
+``tests/test_plan_shapes.py`` and by per-entry docstrings.
+
+Usage: ``python tools/plan_audit.py`` — exits non-zero on any violation.
+The pytest wrapper (``tests/test_plan_audit.py``) runs the same sweep.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# construction executes real work (loops/queries/writes/seed jobs) — plan
+# discipline for these is asserted in dedicated tests instead
+SKIP_PREFIXES = ("streaming_",)
+SKIP_EXECUTING = {
+    # connected-components / PageRank loops run at build time
+    "dedup_cluster_components",
+    "dedup_cluster_components_star",
+    "dedup_cluster_canonical_keep",
+    "pipeline_near_dedup",
+    "graph_pagerank_trade",
+    # round-trip scans write files at build time
+    "scan_csv_explicit_schema",
+    "scan_json_explicit_schema",
+    "scan_orc_roundtrip",
+    "scan_schema_evolution",
+    # sink-backed entries replay upserts at build time
+    "merge_upsert_customer",
+    # ANN tier: driver-side centroid/codebook seed jobs + bounded probes
+    "sim_ivf_ann_topk",
+    "sim_ivf_ann_topk_fullprobe",
+    "sim_ivf_recall_check",
+    "sim_pq_ann_topk",
+    "sim_pq_recall_check",
+    "semantic_dedup_cells",
+    "sim_embedding_pairs_blas",
+    "dedup_embedding_cosine_pairs",
+    "dedup_embedding_lsh_pairs",
+    "sim_lsh_ann_topk",
+    "sim_lsh_ann_topk_fullprobe",
+    "sim_lsh_bucket_stats",
+    "sim_cosine_topk",
+    "pipeline_pretrain_corpus",
+    "curation_clean_corpus",
+}
+
+FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
+
+
+def audit(spark, sf_dir: str) -> tuple[list[str], list[str], list[str]]:
+    """Returns (clean, violations, skipped); violations are
+    'entry: marker' strings."""
+    import hunger_games_glue_streaming_etl_spark.plans as plans
+
+    clean, violations, skipped = [], [], []
+    for name, fn in plans.QUERIES.items():
+        if name.startswith(SKIP_PREFIXES) or name in SKIP_EXECUTING:
+            skipped.append(name)
+            continue
+        df = fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        bad = [m for m in FORBIDDEN if m in plan]
+        if bad:
+            violations.append(f"{name}: {', '.join(bad)}")
+        else:
+            clean.append(name)
+    return clean, violations, skipped
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("plan-audit")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    clean, violations, skipped = audit(spark, sf_dir)
+    print(f"clean: {len(clean)}  skipped (build executes): {len(skipped)}")
+    for v in violations:
+        print("VIOLATION:", v)
+    print("RESULT:", "CLEAN" if not violations else f"{len(violations)} VIOLATIONS")
+    spark.stop()
+    return 1 if violations else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
