@@ -75,6 +75,13 @@ _SAMPLE_FIRST = [
     "dq_expectations_summary",
     "chat_format_audit",
     "chat_sft_corpus_totals",
+    "sim_sq8_ann_topk",
+    "sim_sq8_recall_check",
+    "dedup_incremental_new_vs_base",
+    "agg_listagg_ordered",
+    "join_full_outer",
+    "join_null_safe_eq",
+    "profile_histogram_numeric",
     # ---- backfill: re-record the heavyweight / most-load-bearing tiers so
     # every round's artifact keeps fresh evidence for them ----
     "q5_local_supplier_volume",

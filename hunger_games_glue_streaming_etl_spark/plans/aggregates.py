@@ -373,3 +373,36 @@ def relational_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("substr(metric, 3)").alias("metric"),
         F.round("amount", 2).alias("amount"),
     )
+
+
+@register(
+    "agg_listagg_ordered",
+    oracle="""
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           string_agg(s_name, ',' ORDER BY s_name) AS supplier_list
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY ALL
+    """,
+)
+def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation — Spark 4's ``listagg(...) WITHIN GROUP
+    (ORDER BY ...)`` (ANSI 2016) next to DuckDB's ``string_agg(... ORDER
+    BY)``, with ``GROUP BY ALL`` on both sides (two Spark-4 SQL surfaces
+    in one pinned entry).  Deterministic because the ORDER BY key
+    (s_name) is unique per group — the registry's window-tiebreak rule
+    applied to ordered-set aggregates; an unordered listagg would be
+    partitioning-dependent and could never hash-check.  Scale: one hash
+    aggregate with map-side partials; per-group payload is bounded by
+    group cardinality (25 nations), not table size."""
+    for t in ("supplier", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_laview")
+    return spark.sql(
+        """
+        SELECT n_name,
+               COUNT(*) AS n_suppliers,
+               listagg(s_name, ',') WITHIN GROUP (ORDER BY s_name) AS supplier_list
+        FROM supplier_laview JOIN nation_laview ON s_nationkey = n_nationkey
+        GROUP BY ALL
+        """
+    )

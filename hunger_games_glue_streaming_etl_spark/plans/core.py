@@ -318,3 +318,87 @@ def salted_join_result_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    WITH big AS (
+        SELECT o_custkey, o_orderkey, o_totalprice
+        FROM orders WHERE o_totalprice > 300000
+    ),
+    planted AS (
+        SELECT (SELECT MAX(c_custkey) FROM customer) + 1 + CAST(i AS BIGINT) * 7
+                   AS o_custkey,
+               -(CAST(i AS BIGINT) + 1) AS o_orderkey,
+               (CAST(i AS BIGINT) + 1) * 1000.0 AS o_totalprice
+        FROM range(5) t(i)
+    ),
+    allo AS (SELECT * FROM big UNION ALL SELECT * FROM planted)
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer FULL OUTER JOIN allo ON c_custkey = o_custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with all three row classes non-vacuous: matched,
+    left-only (customers whose orders all fall under the price filter —
+    real data), and right-only (orphan orders planted data-derived at
+    ``max(c_custkey)+1+7i``, the ``dq_referential_orphans`` mechanism, so
+    both engines fabricate identical unmatched rows).  Scale: one shuffle
+    on the join key — full outer can't broadcast either side (both sides'
+    non-matches survive), which is exactly why it earns its own entry
+    next to the broadcastable inner/left forms."""
+    customer = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 300000
+    ).select("o_custkey", "o_orderkey", "o_totalprice")
+    mx = customer.agg(F.max("c_custkey").alias("__mx"))
+    planted = (
+        spark.range(5)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            (F.col("__mx") + 1 + F.col("id") * 7).alias("o_custkey"),
+            (-(F.col("id") + 1)).alias("o_orderkey"),
+            ((F.col("id") + 1) * F.lit(1000.0)).alias("o_totalprice"),
+        )
+    )
+    allo = big.unionByName(planted)
+    return customer.join(
+        allo, customer.c_custkey == allo.o_custkey, "full"
+    ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "join_null_safe_eq",
+    oracle="""
+    WITH a AS (
+        SELECT NULLIF(c_mktsegment, 'BUILDING') AS seg,
+               CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM customer GROUP BY 1
+    ),
+    b AS (
+        SELECT NULLIF(c_mktsegment, 'BUILDING') AS seg,
+               ROUND(SUM(c_acctbal), 2) AS total_bal
+        FROM customer GROUP BY 1
+    )
+    SELECT a.seg, a.n_customers, b.total_bal
+    FROM a JOIN b ON a.seg IS NOT DISTINCT FROM b.seg
+    """,
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` ≡ ``IS NOT DISTINCT FROM``): the
+    NULL-keyed group (segment 'BUILDING' nulled out via NULLIF) must
+    survive the join — a plain equality drops it silently (NULL = NULL is
+    NULL), the classic wrong-count bug in key-normalizing pipelines.
+    Non-vacuity is structural: the NULL row exists on both sides and the
+    result has exactly one more row than the plain-equality form would.
+    Plan: two aggregates over one scan (ReuseExchange dedupes), then a
+    5-row join — null-safe equality still hash-partitions cleanly because
+    ``<=>`` hashes NULL to a regular bucket instead of failing the match."""
+    customer = load_table(spark, sf_dir, "customer")
+    seg = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg")
+    a = customer.groupBy(seg).agg(F.count("*").alias("n_customers"))
+    b = customer.groupBy(seg).agg(F.round(F.sum("c_acctbal"), 2).alias("total_bal"))
+    return a.join(b, a["seg"].eqNullSafe(b["seg"])).select(
+        a["seg"], "n_customers", "total_bal"
+    )

@@ -11,6 +11,7 @@ hash families, same band hashing) — signatures match bit-for-bit.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.dedup import (
     DEFAULT_BANDS,
@@ -333,4 +334,79 @@ def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return lsh_bucket_pairs(
         load_table(spark, sf_dir, "embeddings"), n_planes=8, probe_radius=1, dim=64
+    )
+
+
+_SIDE = (
+    "CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 12)) "
+    "AS BIGINT) % 4"
+)
+
+
+@register(
+    "dedup_incremental_new_vs_base",
+    oracle=f"""
+    WITH {_SHINGLES}, {_SIG}, {_BUCKETS},
+    sides AS (SELECT doc_id, {_SIDE} AS s FROM documents),
+    base_b AS (
+        SELECT DISTINCT b.band, b.band_hash
+        FROM buckets b JOIN sides USING (doc_id) WHERE s < 3
+    ),
+    newb AS (
+        SELECT b.doc_id, b.band, b.band_hash
+        FROM buckets b JOIN sides USING (doc_id) WHERE s >= 3
+    ),
+    hits AS (
+        SELECT doc_id, CAST(COUNT(DISTINCT band) AS BIGINT) AS n_hit_bands
+        FROM newb JOIN base_b USING (band, band_hash)
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(h.n_hit_bands, 0) AS n_hit_bands,
+           COALESCE(h.n_hit_bands, 0) > 0 AS flagged
+    FROM sides d LEFT JOIN hits h USING (doc_id)
+    WHERE d.s >= 3
+    """,
+)
+def dedup_incremental_new_vs_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: flag NEW documents that near-duplicate the
+    EXISTING corpus — the shape a continuously-ingesting curation pipeline
+    runs every batch (dedup new data against 100 TB of history WITHOUT
+    re-pairing history against itself).  The corpus splits 75/25 into
+    base/new by the portable key hash (the ``split_train_holdout``
+    mechanism — deterministic, engine-portable); the base side collapses
+    to its DISTINCT (band, band_hash) set — at scale this IS the
+    persistent LSH index a real incremental system maintains, keys only,
+    append-only — and new docs semi-join it per band.  Nothing but 16-byte
+    band keys crosses the shuffle; history text/signatures are never
+    touched.  Hash-checked end-to-end: both engines rebuild the identical
+    signatures, split, and index.  Non-vacuity: planted near-dup pairs
+    straddle the split at sf0.001 AND sf0.01 (flagged rows exist)."""
+    from ..functions.text import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    side = F.pmod(portable_hash64(F.col("doc_id").cast("string")), F.lit(4))
+    buckets = minhash_band_buckets(docs).withColumn(
+        "__s", F.pmod(portable_hash64(F.col("doc_id").cast("string")), F.lit(4))
+    )
+    base_b = buckets.filter(F.col("__s") < 3).select("band", "band_hash").distinct()
+    new_b = buckets.filter(F.col("__s") >= 3)
+    hits = (
+        new_b.join(base_b, ["band", "band_hash"], "left_semi")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("band").alias("n_hit_bands"))
+    )
+    return (
+        docs.filter(side >= 3)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hit_bands"), F.lit(0).cast("long")).alias(
+                "n_hit_bands"
+            ),
+            (F.coalesce(F.col("n_hit_bands"), F.lit(0).cast("long")) > 0).alias(
+                "flagged"
+            ),
+        )
     )

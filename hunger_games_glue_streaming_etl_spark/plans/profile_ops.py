@@ -209,3 +209,68 @@ def profile_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+_HIST_BINS = 16
+
+
+@register(
+    "profile_histogram_numeric",
+    oracle=f"""
+    WITH d AS (
+        SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
+        FROM lineitem
+    ),
+    binned AS (
+        SELECT CASE WHEN d.mx = d.mn THEN CAST(0 AS BIGINT)
+                    ELSE LEAST(CAST({_HIST_BINS - 1} AS BIGINT),
+                               CAST(FLOOR((l_extendedprice - d.mn) * {_HIST_BINS}.0
+                                          / (d.mx - d.mn)) AS BIGINT))
+               END AS bin,
+               d.mn AS mn, d.mx AS mx
+        FROM lineitem CROSS JOIN d
+    )
+    SELECT bin,
+           mn + bin * ((mx - mn) / {_HIST_BINS}.0) AS lo_edge,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM binned
+    GROUP BY bin, mn, mx
+    """,
+)
+def profile_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of ``l_extendedprice`` — the ANALYZE histogram
+    the optimizer's selectivity estimates and every data-drift monitor
+    consume.  Bin edges are DATA-DERIVED (corpus min/max via a 1-row
+    broadcast dial — the round-4 rule), bin assignment is
+    ``FLOOR((x−mn)·B/(mx−mn))`` — subtract/multiply/divide are correctly
+    rounded and FLOOR is exact, so bins AND the float ``lo_edge`` column
+    hash bit-identically cross-engine (same expression tree both sides).
+    Scale: one pass + a B-key aggregate with map-side partials; the dial
+    is the only extra stage and reads one column."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    d = li.agg(
+        F.min("l_extendedprice").alias("mn"), F.max("l_extendedprice").alias("mx")
+    )
+    x = F.col("l_extendedprice")
+    bin_col = F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("long")).otherwise(
+        F.least(
+            F.lit(_HIST_BINS - 1).cast("long"),
+            F.floor(
+                (x - F.col("mn")) * F.lit(float(_HIST_BINS)) / (F.col("mx") - F.col("mn"))
+            ).cast("long"),
+        )
+    )
+    return (
+        li.crossJoin(F.broadcast(d))
+        .select(bin_col.alias("bin"), "mn", "mx")
+        .groupBy("bin", "mn", "mx")
+        .agg(F.count("*").alias("n_rows"))
+        .select(
+            "bin",
+            (
+                F.col("mn")
+                + F.col("bin") * ((F.col("mx") - F.col("mn")) / F.lit(float(_HIST_BINS)))
+            ).alias("lo_edge"),
+            F.col("n_rows"),
+        )
+    )

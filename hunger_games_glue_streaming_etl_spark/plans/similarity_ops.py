@@ -274,3 +274,55 @@ def sim_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_stats(
         load_table(spark, sf_dir, "embeddings"), n_planes=4
     ).withColumnRenamed("__bucket", "bucket")
+
+
+_SQ8_ORACLE = f"""
+    WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    e AS (SELECT vec_id, generate_subscripts(v, 1) AS dim, unnest(v) AS val
+          FROM x),
+    a AS (SELECT MAX(ABS(val)) AS a FROM e),
+    c AS (SELECT e.vec_id, e.dim,
+                 CASE WHEN a.a = 0 THEN CAST(0 AS BIGINT)
+                      ELSE CAST(FLOOR((e.val * 127.0) / a.a) AS BIGINT)
+                 END AS code
+          FROM e CROSS JOIN a),
+    q AS (SELECT dim, code AS qq FROM c WHERE vec_id = {_QUERY_VEC_ID})
+    SELECT c.vec_id, CAST(SUM(c.code * q.qq) AS BIGINT) AS sq8_score
+    FROM c JOIN q USING (dim)
+    GROUP BY c.vec_id
+    ORDER BY sq8_score DESC, c.vec_id
+    LIMIT {_K}
+    """
+
+
+@register("sim_sq8_ann_topk", oracle=_SQ8_ORACLE)
+def sim_sq8_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized ANN (the int8-embedding-dot family — the third
+    index class next to LSH and IVF/PQ): one corpus-derived signed scale →
+    int8 codes → BIGINT integer dot — every stage bit-deterministic, so
+    the APPROXIMATE scores themselves are hash-checked (exact order
+    statistic + integer arithmetic; no Lloyd jitter anywhere).  The scan
+    is shuffle-free modulo the 1-row dial build and the k-row heap merge;
+    codes are 4× smaller than the floats they replace.  The oracle
+    quantizes through an exploded twin of the same expressions (the
+    per-component products are integers, so summation order is free)."""
+    from ..operators.similarity import sq8_ann_topk
+
+    return sq8_ann_topk(
+        load_table(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=_K
+    )
+
+
+@register("sim_sq8_recall_check", oracle=_RECALL_ORACLE)
+def sim_sq8_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked companion pinning SQ8's QUALITY, not just its
+    determinism: the quantized top-10 must recall ≥8 of the exact float
+    top-10 (8-bit symmetric quantization of unit-norm vectors perturbs
+    each component by ≤1/127 of the corpus scale; the ≥8 floor leaves
+    room for genuine near-ties — measured 10/10 at sf0.001 AND sf0.01)."""
+    from ..operators.similarity import sq8_ann_topk
+
+    approx = sq8_ann_topk(
+        load_table(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=_K
+    )
+    return _recall_check(spark, sf_dir, approx, floor_hits=8)

@@ -670,3 +670,30 @@ def test_quadratic_baseline_routes_to_tiled_above_ceiling(spark):
     base = {(r["id_a"], r["id_b"]): r["cosine"] for r in baseline.collect()}
     tiled = {(r["id_a"], r["id_b"]): r["cosine"] for r in routed.collect()}
     assert tiled == base and len(base) > 0
+
+
+def test_sq8_ann_recall_and_determinism(spark):
+    """Symmetric-int8 ANN: (a) the quantized top-10 recalls ≥8 of the exact
+    float top-10 (measured 10/10 at sf0.001 and sf0.01 — pinned at the
+    entry's band, not the measurement, so genuine near-ties at other
+    corpora don't flake); (b) the scores are integers and repeat-run
+    bit-identical (the property that lets the registry entry hash-check
+    the APPROXIMATE result, unlike Lloyd-built IVF/PQ); (c) the query
+    vector ranks itself first — the quantized dot is maximal at the
+    query itself for unit-norm inputs."""
+    from hunger_games_glue_streaming_etl_spark.operators.similarity import (
+        cosine_topk,
+        sq8_ann_topk,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = list(emb.filter("vec_id = 0").select("embedding").head()[0])
+    approx = sq8_ann_topk(emb, q, k=10).collect()
+    exact = {r.vec_id for r in cosine_topk(emb, q, k=10).collect()}
+    assert len({r.vec_id for r in approx} & exact) >= 8
+    assert all(isinstance(r.sq8_score, int) for r in approx)
+    assert approx[0].vec_id == 0  # self-match ranks first
+    rerun = sq8_ann_topk(emb, q, k=10).collect()
+    assert [(r.vec_id, r.sq8_score) for r in rerun] == [
+        (r.vec_id, r.sq8_score) for r in approx
+    ]

@@ -61,6 +61,8 @@ SKIP_EXECUTING = {
     "sim_lsh_ann_topk_fullprobe",
     "sim_lsh_bucket_stats",
     "sim_cosine_topk",
+    "sim_sq8_ann_topk",
+    "sim_sq8_recall_check",
     "pipeline_pretrain_corpus",
     "curation_clean_corpus",
 }
