@@ -21,6 +21,7 @@ from . import (  # noqa: E402,F401
     segment_ops,
     setops_sort,
     similarity_ops,
+    sketch_ops,
     sources_sql,
     streaming_queries,
     subqueries,
@@ -82,6 +83,9 @@ _SAMPLE_FIRST = [
     "join_full_outer",
     "join_null_safe_eq",
     "profile_histogram_numeric",
+    "sketch_cms_heavy_hitters",
+    "sketch_bloom_membership",
+    "timeseries_interpolate_linear",
     # ---- backfill: re-record the heavyweight / most-load-bearing tiers so
     # every round's artifact keeps fresh evidence for them ----
     "q5_local_supplier_volume",

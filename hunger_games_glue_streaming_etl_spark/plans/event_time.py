@@ -464,3 +464,126 @@ def timeseries_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("v", ignorenulls=True).over(w).alias("value_fp"),
         F.col("n").isNull().alias("is_gap"),
     )
+
+
+@register(
+    "timeseries_interpolate_linear",
+    oracle="""
+    WITH hourly AS (
+        SELECT user_id,
+               CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+               CAST(SUM(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS v
+        FROM events
+        WHERE user_id % 20 = 7
+        GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT user_id, MIN(h) AS mn, MAX(h) AS mx FROM hourly GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id, UNNEST(range(mn, mx + 1)) AS h FROM bounds
+    ),
+    ctx AS (
+        SELECT g.user_id, g.h, hh.v,
+               LAST_VALUE(hh.v IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+               LAST_VALUE(CASE WHEN hh.v IS NOT NULL THEN g.h END IGNORE NULLS)
+                   OVER (PARTITION BY g.user_id ORDER BY g.h
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+               FIRST_VALUE(hh.v IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.h
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+               FIRST_VALUE(CASE WHEN hh.v IS NOT NULL THEN g.h END IGNORE NULLS)
+                   OVER (PARTITION BY g.user_id ORDER BY g.h
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+        FROM grid g LEFT JOIN hourly hh ON g.user_id = hh.user_id AND g.h = hh.h
+    )
+    SELECT user_id, h AS hour_idx, v AS v_obs, (v IS NULL) AS is_gap,
+           CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+                WHEN pv IS NULL THEN CAST(nv AS DOUBLE)
+                WHEN nv IS NULL THEN CAST(pv AS DOUBLE)
+                ELSE CAST(pv AS DOUBLE)
+                     + CAST(nv - pv AS DOUBLE)
+                       * (CAST(h - ph AS DOUBLE) / CAST(nh - ph AS DOUBLE))
+           END AS v_interp
+    FROM ctx
+    """,
+)
+def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation across time-series gaps — the resample(
+    ``interpolate='linear'``) shape, completing the densification tier
+    next to ``timeseries_gap_fill_hourly``'s forward fill: silent hours
+    get ``pv + (nv−pv)·(h−ph)/(nh−ph)`` between the bracketing observed
+    hours (both directions of ``last/first ignorenulls`` over the per-user
+    ordered grid).
+
+    The float column value-hashes bit-identically cross-engine because
+    every input is a BIGINT (fixed-point hourly sums, integer hour
+    indices) and the float tree uses only correctly-rounded IEEE ops
+    (subtract/divide/multiply/add) in the SAME association on both sides
+    — the `ln`-free discipline; no engine aggregate ever touches the
+    doubles.  Edge hours are observed by construction (the grid spans
+    each user's min..max active hour) but the NULL-bracket guards stay —
+    they're the semantics a library user gets on an open-ended grid.
+
+    At scale: per-user activity-bounded grids (no global span blowup),
+    map-side sequence+explode fan-out, ONE shuffle on (user, hour), and
+    both fill directions ride the same per-user sort — Spark plans the
+    two opposite-frame windows over a single Exchange+Sort pair."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 20 == 7)
+    hourly = ev.groupBy(
+        "user_id", F.expr("unix_micros(ts) div 3600000000").alias("h")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+        .select(
+            "user_id", F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("h")
+        )
+    )
+    joined = grid.join(hourly, ["user_id", "h"], "left")
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("v").isNotNull(), F.col("h"))
+    ctx = joined.select(
+        "user_id",
+        "h",
+        "v",
+        F.last("v", ignorenulls=True).over(back).alias("pv"),
+        F.last(obs_h, ignorenulls=True).over(back).alias("ph"),
+        F.first("v", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(obs_h, ignorenulls=True).over(fwd).alias("nh"),
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v").cast("double"))
+        .when(F.col("pv").isNull(), F.col("nv").cast("double"))
+        .when(F.col("nv").isNull(), F.col("pv").cast("double"))
+        .otherwise(
+            F.col("pv").cast("double")
+            + (F.col("nv") - F.col("pv")).cast("double")
+            * (
+                (F.col("h") - F.col("ph")).cast("double")
+                / (F.col("nh") - F.col("ph")).cast("double")
+            )
+        )
+    )
+    return ctx.select(
+        "user_id",
+        F.col("h").alias("hour_idx"),
+        F.col("v").alias("v_obs"),
+        F.col("v").isNull().alias("is_gap"),
+        interp.alias("v_interp"),
+    )

@@ -90,3 +90,29 @@ def test_observe_metrics_piggyback_on_action(spark):
     assert got["n_rows"] == li.count() and n > 0
     assert got["max_key"] == li.agg(F.max("l_orderkey")).first()[0]
     assert 0 < got["n_hot"] < got["n_rows"]
+
+
+def test_sketch_cms_and_bloom_invariants(spark):
+    """Portable-sketch structural properties the hash gate can't state:
+    (a) CMS never underestimates (one-sided error) and estimates the true
+    heavy hitters closely at this width; (b) the Bloom filter has ZERO
+    false negatives (every actual member probes maybe_present) while
+    absent keys exist and at least mostly probe negative — i.e. the probe
+    side is non-vacuous in both classes."""
+    from hunger_games_glue_streaming_etl_spark.plans.sketch_ops import (
+        sketch_bloom_membership,
+        sketch_cms_heavy_hitters,
+    )
+
+    cms = sketch_cms_heavy_hitters(spark, SF_DIR).collect()
+    assert len(cms) == 20
+    assert all(r.overcount >= 0 for r in cms)
+    assert all(r.n_cms >= r.n_exact for r in cms)
+
+    rows = sketch_bloom_membership(spark, SF_DIR).collect()
+    members = [r for r in rows if r.actually_present]
+    absent = [r for r in rows if not r.actually_present]
+    assert members and absent
+    assert all(r.maybe_present for r in members)  # no false negatives
+    # the filter must actually reject things (not degenerate all-true)
+    assert sum(not r.maybe_present for r in absent) > len(absent) // 2
