@@ -86,6 +86,7 @@ _SAMPLE_FIRST = [
     "sketch_cms_heavy_hitters",
     "sketch_bloom_membership",
     "timeseries_interpolate_linear",
+    "affinity_copurchase_pairs",
     # ---- backfill: re-record the heavyweight / most-load-bearing tiers so
     # every round's artifact keeps fresh evidence for them ----
     "q5_local_supplier_volume",

@@ -406,3 +406,86 @@ def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ALL
         """
     )
+
+
+@register(
+    "affinity_copurchase_pairs",
+    oracle="""
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM d),
+    co AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(COUNT(*) AS BIGINT) AS n_co
+        FROM d a JOIN d b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    pc AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_part
+        FROM d GROUP BY 1
+    )
+    SELECT co.part_a, co.part_b, co.n_co,
+           pa.n_part AS n_a, pb.n_part AS n_b,
+           (CAST(co.n_co AS DOUBLE) * CAST(n.n_orders AS DOUBLE))
+             / (CAST(pa.n_part AS DOUBLE) * CAST(pb.n_part AS DOUBLE)) AS lift
+    FROM co
+    JOIN pc pa ON pa.l_partkey = co.part_a
+    JOIN pc pb ON pb.l_partkey = co.part_b
+    CROSS JOIN n
+    ORDER BY n_co DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def affinity_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair affinity — the association-rule / co-occurrence
+    mining shape (top co-purchased part pairs with support and lift) that
+    recommendation and assortment pipelines run over order lines.
+
+    Scale analysis, the reason this composes safely at 100 TB: the pair
+    blow-up is bounded per ORDER, not per corpus — the self-join keys on
+    ``l_orderkey`` (one shuffle, then an order's pairs form locally:
+    ≤ C(items_per_order, 2), a small constant for basket-shaped data),
+    and the pair aggregate partial-combines map-side before its shuffle.
+    The total-order count rides a 1-row broadcast (corpus-derived dial
+    rule); lift is BIGINT counts pushed through a correctly-rounded IEEE
+    float tree identical in both engines, so the double value-hashes
+    bit-exactly — no rounding dial needed.  Ties in support break on the
+    unique (part_a, part_b) pair."""
+    d = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = d.select("l_orderkey").distinct().agg(F.count("*").alias("n_orders"))
+    a = d.alias("a")
+    b = d.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_co"))
+    )
+    pc = d.groupBy("l_partkey").agg(F.count("*").alias("n_part"))
+    pa = pc.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a")
+    )
+    pb = pc.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b")
+    )
+    lift = (F.col("n_co").cast("double") * F.col("n_orders").cast("double")) / (
+        F.col("n_a").cast("double") * F.col("n_b").cast("double")
+    )
+    return (
+        co.join(pa, "part_a")
+        .join(pb, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select("part_a", "part_b", "n_co", "n_a", "n_b", lift.alias("lift"))
+        .orderBy(F.col("n_co").desc(), "part_a", "part_b")
+        .limit(20)
+    )
