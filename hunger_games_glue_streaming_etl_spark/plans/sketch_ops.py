@@ -48,6 +48,35 @@ def _pos_sql(seed_expr: str, key_expr: str, mod: int) -> str:
     )
 
 
+def cms_cells(ex: DataFrame) -> DataFrame:
+    """(token, n_exact) → one row per (depth, cell) hash assignment."""
+    return ex.select(
+        "token",
+        "n_exact",
+        F.posexplode(
+            F.array(
+                *[
+                    F.pmod(
+                        portable_hash64(F.col("token"), seed=j), F.lit(_CMS_WIDTH)
+                    )
+                    for j in range(_CMS_DEPTH)
+                ]
+            )
+        ).alias("depth", "cell"),
+    )
+
+
+def cms_counters(ex: DataFrame) -> DataFrame:
+    """Count-min counter grid from per-token exact counts: ≤ D·W rows of
+    (depth, cell, c) BIGINTs.  This is the sketch STATE — partial-agged
+    map-side here, and associatively mergeable across any partitioning of
+    the corpus (cell-wise sum), which `tests/test_relational_units.py`
+    pins by rebuilding the grid from two disjoint halves."""
+    return cms_cells(ex).groupBy("depth", "cell").agg(
+        F.sum("n_exact").cast("long").alias("c")
+    )
+
+
 @register(
     "sketch_cms_heavy_hitters",
     oracle=f"""
@@ -96,23 +125,8 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(tokens("text")).alias("token")
     )
     ex = toks.groupBy("token").agg(F.count("*").alias("n_exact"))
-    cells = ex.select(
-        "token",
-        "n_exact",
-        F.posexplode(
-            F.array(
-                *[
-                    F.pmod(
-                        portable_hash64(F.col("token"), seed=j), F.lit(_CMS_WIDTH)
-                    )
-                    for j in range(_CMS_DEPTH)
-                ]
-            )
-        ).alias("depth", "cell"),
-    )
-    counters = cells.groupBy("depth", "cell").agg(
-        F.sum("n_exact").cast("long").alias("c")
-    )
+    cells = cms_cells(ex)
+    counters = cms_counters(ex)
     est = (
         cells.join(F.broadcast(counters), ["depth", "cell"])
         .groupBy("token", "n_exact")

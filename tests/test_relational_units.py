@@ -116,3 +116,36 @@ def test_sketch_cms_and_bloom_invariants(spark):
     assert all(r.maybe_present for r in members)  # no false negatives
     # the filter must actually reject things (not degenerate all-true)
     assert sum(not r.maybe_present for r in absent) > len(absent) // 2
+
+
+def test_cms_counter_grid_merges_associatively(spark):
+    """The property that makes the CMS usable at 100 TB: the counter grid
+    built over the whole corpus equals the CELL-WISE SUM of grids built
+    over any disjoint split (here: docs split by doc_id parity) — i.e.
+    the sketch state is an associative merge, so map-side partials /
+    per-day sketches / per-stream sketches compose without re-reading
+    raw data.  Exercised on the real token distribution, not toys."""
+    from pyspark.sql import functions as F
+
+    from hunger_games_glue_streaming_etl_spark.functions.text import tokens
+    from hunger_games_glue_streaming_etl_spark.plans.sketch_ops import cms_counters
+
+    docs = load_table(spark, SF_DIR, "documents")
+
+    def grid(df):
+        ex = (
+            df.select(F.explode(tokens("text")).alias("token"))
+            .groupBy("token")
+            .agg(F.count("*").alias("n_exact"))
+        )
+        return {
+            (r.depth, r.cell): r.c for r in cms_counters(ex).collect()
+        }
+
+    whole = grid(docs)
+    even = grid(docs.filter(F.col("doc_id") % 2 == 0))
+    odd = grid(docs.filter(F.col("doc_id") % 2 == 1))
+    merged = dict(even)
+    for k, v in odd.items():
+        merged[k] = merged.get(k, 0) + v
+    assert merged == whole and len(whole) > 100
