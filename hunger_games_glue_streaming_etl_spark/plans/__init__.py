@@ -87,6 +87,8 @@ _SAMPLE_FIRST = [
     "sketch_bloom_membership",
     "timeseries_interpolate_linear",
     "affinity_copurchase_pairs",
+    "sketch_hll_registers",
+    "sketch_hll_estimate",
     # ---- backfill: re-record the heavyweight / most-load-bearing tiers so
     # every round's artifact keeps fresh evidence for them ----
     "q5_local_supplier_volume",

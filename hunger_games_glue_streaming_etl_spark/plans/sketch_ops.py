@@ -243,3 +243,138 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_HLL_M = 256  # 2^8 buckets; standard error 1.04/sqrt(256) ≈ 6.5%
+
+_HLL_REGS_SQL = """
+    h AS (
+        SELECT CAST(('0x' || substr(md5('0:' || CAST(l_orderkey AS VARCHAR)),
+                     1, 12)) AS BIGINT) AS hv
+        FROM lineitem
+    ),
+    r AS (
+        SELECT hv % 256 AS bucket,
+               CASE WHEN hv // 256 = 0 THEN CAST(41 AS BIGINT)
+                    ELSE 41 - length(bin(hv // 256)) END AS rho
+        FROM h
+    ),
+    regs AS (SELECT bucket, MAX(rho) AS register FROM r GROUP BY bucket),
+    full_regs AS (
+        SELECT g.b AS bucket,
+               CAST(COALESCE(regs.register, 0) AS BIGINT) AS register
+        FROM (SELECT unnest(range(256)) AS b) g
+        LEFT JOIN regs ON g.b = regs.bucket
+    )
+"""
+
+
+def hll_registers(df: DataFrame, key_col: str) -> DataFrame:
+    """Portable HyperLogLog register vector over ``key_col``: 256 rows of
+    (bucket, register) BIGINTs — the sketch STATE, mergeable by
+    element-wise MAX across any partitioning of the corpus (unit-pinned
+    next to the CMS grid's cell-wise-sum merge).
+
+    The rank (leading-zero count + 1 of the 40-bit post-bucket hash) is
+    computed as ``41 − length(bin(rest))`` — a STRING-length trick, not
+    ``floor(log2)``, because log isn't bit-stable cross-engine while
+    ``bin()`` renders the identical minimal binary string in both (and
+    MAX over integers is order-free).  Empty buckets materialize as
+    register 0 via a 256-row grid join."""
+    h = portable_hash64(F.col(key_col).cast("string"))
+    rows = (
+        df.select(h.alias("__h"))
+        .select(
+            F.pmod(F.col("__h"), F.lit(_HLL_M)).alias("bucket"),
+            F.expr("shiftright(__h, 8)").alias("__rest"),
+        )
+        .select(
+            "bucket",
+            F.when(F.col("__rest") == 0, F.lit(41).cast("long"))
+            .otherwise((F.lit(41) - F.length(F.expr("bin(__rest)"))).cast("long"))
+            .alias("__rho"),
+        )
+    )
+    regs = rows.groupBy("bucket").agg(F.max("__rho").alias("register"))
+    grid = df.sparkSession.range(_HLL_M).select(F.col("id").alias("bucket"))
+    return grid.join(regs, "bucket", "left").select(
+        "bucket", F.coalesce("register", F.lit(0).cast("long")).alias("register")
+    )
+
+
+@register(
+    "sketch_hll_registers",
+    oracle=f"""
+    WITH {_HLL_REGS_SQL}
+    SELECT bucket, register FROM full_regs
+    """,
+)
+def sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL register vector for ``lineitem.l_orderkey`` NDV — the third
+    portable sketch next to CMS and Bloom, and the one ANALYZE actually
+    ships at 100 TB (1 register byte per bucket per column, merged
+    across files/partitions/days by element-wise MAX).  The banded
+    `agg_approx_distinct*` entries pin Spark's ENGINE HLL within ±5%;
+    this entry pins a definition-rebuilt HLL's exact state: both engines
+    compute identical registers, so the sketch contents hash-check.
+    One map-side hash + a 256-key MAX aggregate — nothing else moves."""
+    return hll_registers(load_table(spark, sf_dir, "lineitem"), "l_orderkey")
+
+
+@register(
+    "sketch_hll_estimate",
+    oracle=f"""
+    WITH {_HLL_REGS_SQL},
+    s AS (
+        SELECT SUM(1.0e0 / CAST((CAST(1 AS BIGINT) << register) AS DOUBLE))
+                   AS ssum
+        FROM full_regs
+    ),
+    n AS (
+        SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_exact
+        FROM lineitem
+    )
+    SELECT n.n_exact,
+           ((0.7213e0 / (1.0e0 + 1.079e0 / 256.0e0)) * 65536.0e0) / s.ssum
+               AS hll_est,
+           ABS(((0.7213e0 / (1.0e0 + 1.079e0 / 256.0e0)) * 65536.0e0) / s.ssum
+               / CAST(n.n_exact AS DOUBLE) - 1.0e0) <= 0.15e0 AS rel_ok
+    FROM n CROSS JOIN s
+    """,
+)
+def sketch_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL raw estimate ``α·m²/Σ2^−M[j]`` from the portable registers,
+    next to the exact NDV and a ±15% quality gate (raw-estimate regime:
+    raw ≫ 5m/2 at every fixture scale, so the small-range linear-counting
+    correction — which needs `ln`, the one non-portable op — never
+    applies and is deliberately omitted).
+
+    The ESTIMATE double is itself hash-exact, which is only possible
+    because every term is dyadic: ``2^−register`` is an exact power of
+    two, the 256-term sum spans < 53 bits of exponent so every partial
+    sum is exact (order-free — safe across any Spark partitioning), and
+    the final multiply/divide are correctly rounded with the same tree
+    in both engines.  The exact-NDV side runs as its own single-row
+    aggregate cross-joined 1×1 (never mixed into another projection —
+    the round-5 Expand rule)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    regs = hll_registers(li, "l_orderkey")
+    s = regs.agg(
+        F.sum(
+            F.lit(1.0)
+            / F.expr("CAST(shiftleft(CAST(1 AS BIGINT), register) AS DOUBLE)")
+        ).alias("ssum")
+    )
+    n = li.agg(F.countDistinct("l_orderkey").alias("n_exact"))
+    est = (
+        (F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0)))
+        * F.lit(65536.0)
+    ) / F.col("ssum")
+    return n.crossJoin(F.broadcast(s)).select(
+        "n_exact",
+        est.alias("hll_est"),
+        (
+            F.abs(est / F.col("n_exact").cast("double") - F.lit(1.0))
+            <= F.lit(0.15)
+        ).alias("rel_ok"),
+    )

@@ -149,3 +149,34 @@ def test_cms_counter_grid_merges_associatively(spark):
     for k, v in odd.items():
         merged[k] = merged.get(k, 0) + v
     assert merged == whole and len(whole) > 100
+
+
+def test_hll_registers_merge_by_elementwise_max(spark):
+    """HLL's merge law, the property that makes it THE distributed NDV
+    sketch: registers over the whole corpus equal the element-wise MAX of
+    registers over any disjoint split.  Also pins the estimate's quality
+    at sf0.01 (±15% band, the registered entry's gate) and that the
+    register vector is dense (all 256 buckets materialized, empties as
+    0)."""
+    from pyspark.sql import functions as F
+
+    from hunger_games_glue_streaming_etl_spark.plans.sketch_ops import (
+        hll_registers,
+        sketch_hll_estimate,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem")
+
+    def regs(df):
+        return {
+            r.bucket: r.register for r in hll_registers(df, "l_orderkey").collect()
+        }
+
+    whole = regs(li)
+    lo = regs(li.filter(F.col("l_orderkey") % 2 == 0))
+    hi = regs(li.filter(F.col("l_orderkey") % 2 == 1))
+    assert len(whole) == 256
+    assert whole == {b: max(lo[b], hi[b]) for b in whole}
+
+    row = sketch_hll_estimate(spark, SF_DIR).head()
+    assert row.rel_ok and abs(row.hll_est / row.n_exact - 1) <= 0.15
