@@ -89,6 +89,7 @@ _SAMPLE_FIRST = [
     "affinity_copurchase_pairs",
     "sketch_hll_registers",
     "sketch_hll_estimate",
+    "dq_table_diff_summary",
     # ---- backfill: re-record the heavyweight / most-load-bearing tiers so
     # every round's artifact keeps fresh evidence for them ----
     "q5_local_supplier_volume",

@@ -181,3 +181,92 @@ def dq_expectations_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'orderkey_linenumber_unique', dup_viol) AS (rule, n_violations)",
         "n AS n_checked",
     )
+
+
+@register(
+    "dq_table_diff_summary",
+    oracle="""
+    WITH a AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+    mx AS (SELECT MAX(c_custkey) AS m FROM customer),
+    b AS (
+        SELECT c_custkey, c_name,
+               CASE WHEN c_custkey % 20 = 5 THEN c_acctbal + 100.0
+                    ELSE c_acctbal END AS c_acctbal
+        FROM customer WHERE c_custkey % 97 <> 3
+        UNION ALL
+        SELECT mx.m + 1 + CAST(i AS BIGINT) * 7,
+               'NEW_ROW_' || CAST(i AS VARCHAR), 0.0
+        FROM range(5) t(i) CROSS JOIN mx
+    )
+    SELECT CASE WHEN a.c_custkey IS NULL THEN 'added'
+                WHEN b.c_custkey IS NULL THEN 'removed'
+                WHEN a.c_acctbal <> b.c_acctbal OR a.c_name <> b.c_name
+                    THEN 'changed'
+                ELSE 'unchanged' END AS diff_class,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM a FULL OUTER JOIN b ON a.c_custkey = b.c_custkey
+    GROUP BY 1
+    """,
+)
+def dq_table_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (the data-diff / anti-entropy audit): given
+    two versions of a table, classify every key as added / removed /
+    changed / unchanged and roll up per-class counts — the check a
+    migration, backfill, or replication pipeline runs before cutover.
+    The second snapshot is derived from the first IN BOTH ENGINES with
+    planted edits (1-in-20 balance bump, 1-in-97 delete, 5 appended keys
+    at ``max+1+7i`` — the `dq_referential_orphans` planting rule), so the
+    gate proves every class is FOUND, not that identical tables are
+    identical — all four classes are non-vacuous at sf0.001 and sf0.01.
+
+    Change detection compares typed COLUMNS (`<>` on the double after the
+    identical `+100.0` tree), never a stringified row hash — rendering
+    doubles to text is engine-specific, typed comparison is not.  Scale:
+    one full-outer shuffle on the key (neither side broadcastable — both
+    sides' non-matches survive) carrying only the compared columns, then
+    a 4-group rollup; at 100 TB you'd page this by key range and the
+    per-class partials merge by addition."""
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.select("c_custkey", "c_name", "c_acctbal")
+    mx = cust.agg(F.max("c_custkey").alias("m"))
+    planted = (
+        spark.range(5)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            (F.col("m") + 1 + F.col("id") * 7).alias("c_custkey"),
+            F.concat(F.lit("NEW_ROW_"), F.col("id").cast("string")).alias(
+                "c_name"
+            ),
+            F.lit(0.0).alias("c_acctbal"),
+        )
+    )
+    b = (
+        a.filter(F.col("c_custkey") % 97 != 3)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.when(
+                F.col("c_custkey") % 20 == 5, F.col("c_acctbal") + F.lit(100.0)
+            )
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+        )
+        .unionByName(planted)
+    )
+    aa = a.alias("a")
+    bb = b.alias("b")
+    diff_class = (
+        F.when(F.col("a.c_custkey").isNull(), F.lit("added"))
+        .when(F.col("b.c_custkey").isNull(), F.lit("removed"))
+        .when(
+            (F.col("a.c_acctbal") != F.col("b.c_acctbal"))
+            | (F.col("a.c_name") != F.col("b.c_name")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        aa.join(bb, F.col("a.c_custkey") == F.col("b.c_custkey"), "full")
+        .groupBy(diff_class.alias("diff_class"))
+        .agg(F.count("*").alias("n_rows"))
+    )
