@@ -378,3 +378,30 @@ def sketch_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(0.15)
         ).alias("rel_ok"),
     )
+
+
+def bloom_packed_words(keys: DataFrame, key_col: str = "k") -> DataFrame:
+    """The 100 TB form of the Bloom build: pack the {_BLOOM_BITS}-bit
+    filter into {_BLOOM_BITS}//64 BIGINT words with a `bit_or` aggregate —
+    one row per non-empty word of (word_idx, word).  This is the shape a
+    production build ships (constant {_BLOOM_BITS}//8 bytes however large
+    the build side), with map-side `bit_or` partials and associative
+    merge; the position-set form the REGISTRY entry uses is semantically
+    identical (unit-pinned) but SQL-portable for the oracle gate.
+    Probe: ``word[pos >> 6] & (1 << (pos & 63)) != 0`` for all K
+    positions."""
+    pos = [
+        F.pmod(portable_hash64(F.col(key_col), seed=i), F.lit(_BLOOM_BITS))
+        for i in range(_BLOOM_K)
+    ]
+    return (
+        keys.select(F.explode(F.array(*pos)).alias("pos"))
+        .select(
+            F.expr("shiftright(pos, 6)").alias("word_idx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos & 63 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("word"))
+    )

@@ -180,3 +180,50 @@ def test_hll_registers_merge_by_elementwise_max(spark):
 
     row = sketch_hll_estimate(spark, SF_DIR).head()
     assert row.rel_ok and abs(row.hll_est / row.n_exact - 1) <= 0.15
+
+
+def test_bloom_packed_words_equal_position_set(spark):
+    """The packed-bitmap Bloom build (bit_or over 64-bit words — what a
+    100 TB deployment ships) encodes EXACTLY the position set the
+    registry's SQL-portable form uses: unpacking every set bit of every
+    word reproduces the DISTINCT position set bit-for-bit, and the word
+    count stays ≤ M/64 regardless of build-side size."""
+    from pyspark.sql import functions as F
+
+    from hunger_games_glue_streaming_etl_spark.plans.sketch_ops import (
+        _BLOOM_BITS,
+        _BLOOM_K,
+        bloom_packed_words,
+        portable_hash64,
+    )
+
+    members = (
+        load_table(spark, SF_DIR, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").cast("string").alias("k"))
+        .distinct()
+    )
+    pos_set = {
+        r.pos
+        for r in members.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(
+                            portable_hash64(F.col("k"), seed=i),
+                            F.lit(_BLOOM_BITS),
+                        )
+                        for i in range(_BLOOM_K)
+                    ]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+        .collect()
+    }
+    words = {r.word_idx: r.word for r in bloom_packed_words(members).collect()}
+    assert len(words) <= _BLOOM_BITS // 64
+    unpacked = {
+        w * 64 + b for w, word in words.items() for b in range(64) if word >> b & 1
+    }
+    assert unpacked == pos_set and len(pos_set) > 100
