@@ -109,3 +109,44 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return orders.select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@register(
+    "set_ops_bag_semantics",
+    oracle="""
+    WITH a AS (
+        SELECT l_suppkey % 100 AS v FROM lineitem WHERE l_returnflag = 'R'
+    ),
+    b AS (
+        SELECT l_suppkey % 100 AS v FROM lineitem WHERE l_returnflag = 'A'
+    ),
+    ea AS (SELECT v FROM a EXCEPT ALL SELECT v FROM b),
+    ia AS (SELECT v FROM a INTERSECT ALL SELECT v FROM b)
+    SELECT 'except_all' AS op, v, CAST(COUNT(*) AS BIGINT) AS n FROM ea GROUP BY v
+    UNION ALL
+    SELECT 'intersect_all' AS op, v, CAST(COUNT(*) AS BIGINT) AS n FROM ia GROUP BY v
+    """,
+)
+def set_ops_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag (multiset) set operations — ``exceptAll`` / ``intersectAll``
+    (SQL ``EXCEPT ALL`` / ``INTERSECT ALL``, ANSI multiplicity semantics:
+    per-value count difference clamped at 0, and per-value minimum) next
+    to the distinct-semantics entries above, on inputs where duplicates
+    genuinely carry the information (per-supplier-bucket line counts by
+    return flag — hundreds of duplicates per value, so ALL vs DISTINCT
+    differ wildly and a wrong implementation can't sneak through).
+
+    Spark plans these not as row-at-a-time bag subtraction but as count
+    arithmetic: tag each side ±1, sum per value, re-generate surviving
+    multiplicities — one aggregate + one generate, which is exactly how
+    it stays linear at 100 TB.  The result rolls multiplicities back up
+    per (op, v), making the output order-free for the hash gate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    v = (F.col("l_suppkey") % 100).alias("v")
+    a = li.filter(F.col("l_returnflag") == "R").select(v)
+    b = li.filter(F.col("l_returnflag") == "A").select(v)
+    ea = a.exceptAll(b).groupBy("v").agg(F.count("*").alias("n"))
+    ia = a.intersectAll(b).groupBy("v").agg(F.count("*").alias("n"))
+    return ea.select(F.lit("except_all").alias("op"), "v", "n").unionByName(
+        ia.select(F.lit("intersect_all").alias("op"), "v", "n")
+    )
