@@ -91,6 +91,7 @@ _SAMPLE_FIRST = [
     "sketch_hll_estimate",
     "dq_table_diff_summary",
     "set_ops_bag_semantics",
+    "agg_mode_median",
     # ---- backfill: re-record the heavyweight / most-load-bearing tiers so
     # every round's artifact keeps fresh evidence for them ----
     "q5_local_supplier_volume",

@@ -489,3 +489,50 @@ def affinity_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_co").desc(), "part_a", "part_b")
         .limit(20)
     )
+
+
+@register(
+    "agg_mode_median",
+    oracle="""
+    WITH c AS (
+        SELECT l_returnflag, l_quantity AS q, CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT l_returnflag, q AS mode_qty
+        FROM (SELECT l_returnflag, q,
+                     ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                        ORDER BY n DESC, q) AS rn
+              FROM c) r
+        WHERE rn = 1
+    )
+    SELECT l.l_returnflag, m.mode_qty,
+           MEDIAN(l.l_quantity) AS median_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+    GROUP BY 1, 2
+    """,
+)
+def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 3.4+ ordered-set aggregates ``mode(col, deterministic=True)``
+    and ``median(col)`` — the two most-requested ANALYZE/monitoring
+    statistics the older releases made users hand-roll with windows.
+
+    Determinism across engines: Spark's deterministic mode returns the
+    LOWEST value among tied max frequencies (verified on a planted tie),
+    which the oracle replays as ``ROW_NUMBER() OVER (ORDER BY n DESC,
+    q)`` — the registry's unique-tiebreak rule applied to an aggregate.
+    Median's midpoint interpolation is hash-safe HERE because
+    ``l_quantity`` is integer-valued double (midpoints are exact halves,
+    so both engines' interpolation trees agree bit-for-bit); a generic
+    double column would need the fixed-point discipline instead.  Scale:
+    mode/median are sort-based aggregations — per-group value lists, not
+    map-side-mergeable partials — so at 100 TB the approx KLL twin
+    (`agg_approx_percentile_error`) is the default and this is the exact
+    audit pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.mode("l_quantity", True).alias("mode_qty"),
+        F.median("l_quantity").alias("median_qty"),
+        F.count("*").alias("n_rows"),
+    )
