@@ -43,6 +43,19 @@ def main() -> None:
     spark.range(1_000).selectExpr("id", "cast(id AS double) AS v").mapInPandas(
         lambda it: it, schema="id long, v double"
     ).write.mode("overwrite").format("noop").save()
+    # JSON-path codegen JIT: the first query touching get_json_object /
+    # from_json / parse_json pays ~2-7 s of Jackson + codegen warmup once
+    # per JVM; without this, whichever JSON entry sorts first in the suite
+    # bills it (scalar_json_extract read 6× in the r5 driver bench purely
+    # from suite position — VERDICT r5 "What's wrong #2")
+    spark.range(10_000).selectExpr(
+        "concat('{\"a\":', id, ',\"b\":{\"c\":[', id, ']}}') AS js"
+    ).selectExpr(
+        "sum(cast(get_json_object(js, '$.a') AS bigint)) AS g",
+        "sum(from_json(js, 'a bigint, b struct<c: array<bigint>>').a) AS f",
+        "sum(cast(variant_get(parse_json(js), '$.b.c[0]', 'bigint') AS bigint)) AS v",
+        "sum(length(to_json(named_struct('a', id)))) AS t",
+    ).collect()
     execute_fully(QUERIES["flagship_user_status"](spark, sf_dir))
 
     # BENCH_REPEATS>1 runs the whole suite that many times (suite-level

@@ -522,9 +522,15 @@ def encode_adpcm_wav(sample_rate: int, samples: "list[int]") -> bytes:
 
 
 def decode_adpcm_wav(payload: bytes) -> dict:
-    """Mono IMA-ADPCM WAV decoder (single-block scope matching the
-    encoder; other layouts raise).  Returns the decode_audio dict with
-    the exact integer sample sum."""
+    """Mono IMA-ADPCM WAV decoder.  Returns the decode_audio dict with
+    the exact integer sample sum.
+
+    Block-aware: the data chunk splits on fmt's nBlockAlign, each block
+    carrying its own (predictor, index) header, so multi-block streams
+    decode correctly and the no-fact-chunk sample bound scales by block
+    count (wSamplesPerBlock caps each BLOCK, not the stream — the
+    round-5 advice fix: the old code capped the whole stream at one
+    block's worth of samples)."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -558,22 +564,40 @@ def decode_adpcm_wav(payload: bytes) -> dict:
         raise CodecUnavailable("mono IMA ADPCM only")
     if len(data) < 4:
         raise CodecUnavailable("ADPCM data chunk shorter than block header")
+    block_align = fmt[4]
+    if block_align < 4:
+        block_align = len(data)  # degenerate fmt: whole chunk = one block
+    blocks = [data[i : i + block_align] for i in range(0, len(data), block_align)]
     if n_samples is None:
-        # no fact chunk: bound by fmt's samples-per-block when present so
-        # an odd-length stream's pad nibble never decodes as a sample;
-        # last resort is the nibble count itself (even-length streams only)
-        n_samples = spb if spb else 1 + 2 * (len(data) - 4)
-    pred, index, _ = struct.unpack("<hBB", data[:4])
-    if index > 88:
-        raise CodecUnavailable("corrupt ADPCM block header")
-    total, count = pred, 1
-    for byte in data[4:]:
-        for nib in (byte & 0x0F, byte >> 4):
-            if n_samples is not None and count >= n_samples:
-                break
-            pred, index = _ima_decode_sample(nib, pred, index)
-            total += pred
-            count += 1
+        # no fact chunk: samples-per-block (when present) bounds EACH
+        # block, so the stream bound scales by block count — an odd
+        # per-block nibble tail's pad nibble never decodes as a sample;
+        # last resort is the total nibble count (even-length blocks only)
+        if spb:
+            n_samples = spb * len(blocks)
+        else:
+            n_samples = sum(1 + 2 * (len(b) - 4) for b in blocks if len(b) >= 4)
+    total, count = 0, 0
+    for blk in blocks:
+        if len(blk) < 4:
+            raise CodecUnavailable("truncated ADPCM block")
+        pred, index, _ = struct.unpack("<hBB", blk[:4])
+        if index > 88:
+            raise CodecUnavailable("corrupt ADPCM block header")
+        if count >= n_samples:
+            break
+        total += pred
+        count += 1
+        in_block = 1
+        block_cap = spb if spb else 1 + 2 * (len(blk) - 4)
+        for byte in blk[4:]:
+            for nib in (byte & 0x0F, byte >> 4):
+                if count >= n_samples or in_block >= block_cap:
+                    break
+                pred, index = _ima_decode_sample(nib, pred, index)
+                total += pred
+                count += 1
+                in_block += 1
     return {
         "sample_rate": rate,
         "n_channels": 1,

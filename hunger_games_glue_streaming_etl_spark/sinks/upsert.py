@@ -258,10 +258,16 @@ class ParquetLatestSink:
             raise ValueError("keep_epochs must be >= 0")
         if not os.path.isdir(self.changes_path):
             return []
+        # only COMMITTED epochs (dirs with a _SUCCESS marker) count toward
+        # the keep window: a crashed half-written newest epoch must not
+        # push a fully committed older epoch out one slot early (round-5
+        # advice).  Marker-less dirs are left alone — the writer's
+        # redelivery overwrites its epoch dir idempotently.
         epochs = sorted(
             int(d.split("=", 1)[1])
             for d in os.listdir(self.changes_path)
             if d.startswith("epoch=")
+            and os.path.isfile(os.path.join(self.changes_path, d, "_SUCCESS"))
         )
         doomed = epochs[: max(0, len(epochs) - keep_epochs)]
         for e in doomed:

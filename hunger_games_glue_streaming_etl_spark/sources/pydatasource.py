@@ -110,6 +110,13 @@ class SyntheticEventsPushdownReader(SyntheticEventsReader):
         range_types = (
             GreaterThanOrEqual, GreaterThan, LessThan, LessThanOrEqual, EqualTo
         )
+        # eager loop, NOT a generator: the lo/hi-bound narrowing is a side
+        # effect, and a generator would only run it if the engine fully
+        # consumed the returned iterator — a partially-consumed iterator
+        # would silently mark filters pushed without narrowing (round-5
+        # advice).  Building the unsupported list up front makes the
+        # mutation unconditional.
+        unsupported = []
         for f in filters:
             if (
                 getattr(f, "attribute", None) == ("row_id",)
@@ -128,8 +135,9 @@ class SyntheticEventsPushdownReader(SyntheticEventsReader):
                     self.lo_bound = max(self.lo_bound, v)
                     self.hi_bound = min(self.hi_bound, v + 1)
                 continue
-            # unsupported: yield back so Spark applies it after the scan
-            yield f
+            # unsupported: hand back so Spark applies it after the scan
+            unsupported.append(f)
+        return unsupported
 
 
 class SyntheticEventsPushdownSource(SyntheticEventsDataSource):

@@ -355,3 +355,39 @@ def test_adpcm_no_fact_chunk_uses_samples_per_block():
     short = hdr[:-4] + struct.pack("<I", 2) + b"\x28\x00"
     with pytest.raises(CodecUnavailable):
         decode_adpcm_wav(short[: short.find(b"data") + 8 + 2])
+
+
+def test_adpcm_multi_block_decodes_every_block():
+    """ADVICE r5: the decoder must split the data chunk on nBlockAlign and
+    decode EVERY block with its own (predictor, index) header — and with no
+    fact chunk, the samples-per-block bound must scale by block count
+    instead of capping the whole stream at one block's worth."""
+    import struct
+
+    from hunger_games_glue_streaming_etl_spark.operators.multimodal import (
+        decode_adpcm_wav,
+        encode_adpcm_wav,
+    )
+
+    # two equal-length single-block encodings -> hand-built 2-block stream
+    b1 = encode_adpcm_wav(8000, [40] * 11)
+    b2 = encode_adpcm_wav(8000, [-25] * 11)
+
+    def data_chunk(wav):
+        i = wav.find(b"data")
+        (ln,) = struct.unpack("<I", wav[i + 4 : i + 8])
+        return wav[i + 8 : i + 8 + ln]
+
+    d1, d2 = data_chunk(b1), data_chunk(b2)
+    assert len(d1) == len(d2)
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, 8000, 8000 * len(d1) // 11, len(d1), 4, 2, 11
+    )
+    body = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(d1) + len(d2)) + d1 + d2
+    )  # NO fact chunk: bound must come from spb * n_blocks
+    wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    d = decode_adpcm_wav(wav)
+    assert d["n_frames"] == 22
+    assert d["sample_sum"] == 11 * 40 + 11 * (-25)

@@ -5,9 +5,12 @@ work) are pinned by count so additions to the skip list are deliberate."""
 
 from __future__ import annotations
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo/tools")
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+)
 
 from plan_audit import SKIP_EXECUTING, audit  # noqa: E402
 

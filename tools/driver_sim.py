@@ -8,6 +8,16 @@ spark = SparkSession.builder.master("local[8]").appName("driver-sim").getOrCreat
 spark.sparkContext.setLogLevel("ERROR")
 spark.conf.set("spark.sql.session.timeZone", "UTC")
 
+# env-gate probes (VERDICT r5 #9): the round the image gains these deps,
+# the gated entries (Delta MERGE, transformWithStateInPandas) activate —
+# this line makes the gate state visible in every round's session log
+for mod in ("google.protobuf.descriptor", "delta"):
+    try:
+        __import__(mod)
+        print(f"PROBE: {mod} AVAILABLE — env-gated entries should be live")
+    except ImportError:
+        print(f"PROBE: {mod} absent (env-gated entries stay gated)")
+
 import __spark_entry__ as E
 
 df = E.entry(spark)

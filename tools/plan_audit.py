@@ -19,6 +19,15 @@ round-trip files, and the ANN tier runs driver-side seed jobs.  Those
 entries' plan discipline is covered by their dedicated plan tests in
 ``tests/test_plan_shapes.py`` and by per-entry docstrings.
 
+Session-state invariant (round-5 advice): ``scan_python_datasource_pushdown``
+deliberately leaves ``spark.sql.python.filterPushdown.enabled=true`` set for
+the rest of the session (the reader initializes lazily at execution, after
+the entry returns, so the entry cannot restore it).  Today the only
+``pushFilters`` reader is that entry's own format; any FUTURE Python
+DataSource reader that implements ``pushFilters`` must either tolerate the
+conf being on or use a distinct format name, because Spark asserts when a
+pushdown-capable reader runs with the conf off.
+
 Usage: ``python tools/plan_audit.py`` — exits non-zero on any violation.
 The pytest wrapper (``tests/test_plan_audit.py``) runs the same sweep.
 """
