@@ -23,6 +23,7 @@ from . import (  # noqa: E402,F401
     similarity_ops,
     sketch_ops,
     sources_sql,
+    sql_surface,
     streaming_queries,
     subqueries,
     temporal_ops,

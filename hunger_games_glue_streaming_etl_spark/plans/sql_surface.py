@@ -1,0 +1,165 @@
+"""The last three SQL-front-end surfaces a Spark user reaches that the
+registry didn't cover (VERDICT r5 "Next round" #3-5): native
+``WITH RECURSIVE`` through ``spark.sql``, declarative SQL UDFs
+(``CREATE TEMPORARY FUNCTION ... RETURN expr``), and session variables
+(``DECLARE VARIABLE`` / ``SET VAR``).  All three were probed working in
+this image's PySpark 4.1.2 before registering.
+
+View naming: these entries register temp views under the CANONICAL table
+names (``lineitem``, ``documents``, ...) — unlike the rest of the registry,
+which suffixes view names — because the recursive entry's whole point is
+that the SAME SQL text runs on both engines (the DuckDB oracle reads views
+with canonical names).  ``createOrReplaceTempView`` keeps that idempotent;
+no other registry entry resolves bare canonical names, so nothing can
+accidentally bind to these views.
+
+Reference scope note: the reference job (TributeStreamingJob.py) drives its
+whole pipeline through the DataFrame API; these entries extend the engine's
+§2C SQL-surface coverage beyond it, per SURVEY.md §8.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.batch import load_table
+from .registry import ORACLE, register
+
+
+def _canonical_views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+# ---------------------------------------------------------------------------
+# 1) Native WITH RECURSIVE — ONE SQL text, both engines.
+#
+# Nation-level trade reachability: an edge supplier-nation -> customer-nation
+# exists when any order line ships between them; reach(nation, hops) is the
+# minimum hop count from the seed nation within <= 3 hops.  The seed is
+# corpus-derived (MIN edge source) so the entry can't go vacuous at small
+# scale factors — at sf0.001 nation 0 has no outgoing edges at all.  The
+# recursion enumerates paths (UNION ALL + depth guard) and the outer
+# aggregate collapses to MIN — well-defined and hash-exact because hops is
+# an integer and the node set is the 25-row nation dimension, so the path
+# fan-out is bounded (<= 25^3) regardless of fact-table scale.
+#
+# At 100 TB: the edge CTE collapses the fact join to a <=625-row DISTINCT
+# before any recursion (keys-only shuffle); the recursive part never touches
+# fact rows.  Unbounded-diameter reachability over BIG node sets stays on
+# the checkpointed DataFrame-loop path (plans/graph_ops.py) — this entry
+# pins the SQL front end, not a new scale path.
+# ---------------------------------------------------------------------------
+_REACHABILITY_SQL = """
+WITH RECURSIVE trade_edges(src, dst) AS (
+    SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey  = c.c_custkey
+    JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+    WHERE s.s_nationkey <> c.c_nationkey
+),
+reach(node, depth) AS (
+    SELECT MIN(src) AS node, 0 AS depth FROM trade_edges
+    UNION ALL
+    SELECT e.dst AS node, r.depth + 1 AS depth
+    FROM reach r JOIN trade_edges e ON r.node = e.src
+    WHERE r.depth < 3
+)
+SELECT CAST(node AS BIGINT) AS nation_key,
+       CAST(MIN(depth) AS INT) AS hops
+FROM reach
+GROUP BY node
+"""
+
+
+@register("sql_recursive_reachability", oracle=_REACHABILITY_SQL)
+def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth transitive closure through Spark's native recursive
+    CTE (PySpark 4.1): min-hop reachability over the nation-level trade
+    graph from nation 0.  The oracle is the IDENTICAL SQL text in DuckDB
+    (the ``join_lateral_topk`` pattern) — both engines' ``WITH RECURSIVE
+    ... UNION ALL`` fixpoint semantics agree, so edges, recursion, and the
+    MIN collapse can't diverge."""
+    _canonical_views(spark, sf_dir, "lineitem", "orders", "customer", "supplier")
+    return spark.sql(_REACHABILITY_SQL)
+
+
+# ---------------------------------------------------------------------------
+# 2) SQL UDF: the quality-score derivation routed through
+#    CREATE TEMPORARY FUNCTION ... RETURNS DOUBLE RETURN <expr>.
+#
+# The body is the SQL spelling of functions.text.quality_score (same bands,
+# same ROUND(.., 6)); Catalyst inlines the function body into the plan —
+# no Python worker, no UDF node at execution (asserted in
+# tests/test_plan_shapes.py).  The oracle is string-reused from
+# text_quality_score so the two surfaces can never diverge.
+# ---------------------------------------------------------------------------
+_QUALITY_UDF_DDL = r"""
+CREATE OR REPLACE TEMPORARY FUNCTION doc_quality(t STRING) RETURNS DOUBLE
+RETURN ROUND(
+    0.25 * (CASE WHEN length(t) >= 100 AND length(t) <= 10000
+                 THEN 1.0 ELSE 0.5 END)
+  + 0.25 * (CASE WHEN length(replace(regexp_replace(lower(trim(t)), '\\s+', ' '), ' ', ''))
+                      / CAST(size(split(regexp_replace(lower(trim(t)), '\\s+', ' '), ' ')) AS DOUBLE)
+                      BETWEEN 3 AND 12
+                 THEN 1.0 ELSE 0.5 END)
+  + 0.25 * (1 - CAST(length(regexp_replace(t, '[^!-/:-@\\[-`{-~]', '')) AS DOUBLE)
+                / greatest(CAST(length(t) AS DOUBLE), 1.0))
+  + 0.25 * size(array_distinct(split(regexp_replace(lower(trim(t)), '\\s+', ' '), ' ')))
+         / greatest(CAST(size(split(regexp_replace(lower(trim(t)), '\\s+', ' '), ' ')) AS DOUBLE), 1.0),
+  6)
+"""
+
+
+@register("sql_udf_quality_score", oracle=None)  # oracle assigned below
+def sql_udf_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined SQL function surface: the document quality score as a
+    declarative ``CREATE TEMPORARY FUNCTION`` whose body Catalyst inlines
+    (whole-stage codegen, zero Python).  Same result set as
+    ``text_quality_score`` by construction — the oracle string is reused
+    verbatim, so this entry isolates exactly one variable: the UDF
+    front end."""
+    spark.sql(_QUALITY_UDF_DDL)
+    _canonical_views(spark, sf_dir, "documents")
+    return spark.sql("SELECT doc_id, doc_quality(text) AS quality FROM documents")
+
+
+# the registry decorator has run by module-import time; wire the reused
+# oracle text afterwards so a text_ops edit can't silently fork the two
+ORACLE["sql_udf_quality_score"] = ORACLE["text_quality_score"]
+
+
+# ---------------------------------------------------------------------------
+# 3) Session variables: DECLARE VARIABLE + SET VAR parameterizing a dial.
+# ---------------------------------------------------------------------------
+@register(
+    "sql_session_variable_dial",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE n_chars BETWEEN 200 AND 5000
+    GROUP BY lang
+    """,
+)
+def sql_session_variable_dial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-variable surface: the length-band dial of a corpus rollup
+    parameterized through ``DECLARE VARIABLE`` + ``SET VAR`` and referenced
+    by name in the query (the oracle inlines the values).  Variables are
+    constant-folded at analysis, so the BETWEEN still pushes to the scan
+    as a literal range predicate."""
+    spark.sql("DECLARE OR REPLACE VARIABLE len_lo BIGINT DEFAULT 0")
+    spark.sql("DECLARE OR REPLACE VARIABLE len_hi BIGINT DEFAULT 0")
+    spark.sql("SET VAR len_lo = 200")
+    spark.sql("SET VAR len_hi = 5000")
+    _canonical_views(spark, sf_dir, "documents")
+    return spark.sql(
+        """
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        WHERE n_chars BETWEEN len_lo AND len_hi
+        GROUP BY lang
+        """
+    )

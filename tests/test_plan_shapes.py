@@ -337,3 +337,63 @@ def test_python_datasource_filter_pushdown_narrows_scan():
     list(rd3.pushFilters([EqualTo(("row_id",), 42), LessThan(("row_id",), 10)]))
     total = sum(hi - lo for lo, hi in (p.value for p in rd3.partitions()))
     assert total == 0
+
+
+def test_sql_udf_inlines_to_codegen_no_python(spark):
+    """The declarative SQL UDF (CREATE TEMPORARY FUNCTION ... RETURN expr)
+    must inline into the plan as pure expressions — no Python eval node of
+    any kind, and the projection stays inside whole-stage codegen."""
+    plan = _plan(QUERIES["sql_udf_quality_score"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "PythonUDF" not in plan
+    # the body inlined into a plain Project over the scan (AQE hasn't
+    # finalized the plan yet, so codegen spans aren't printed — the
+    # inlined round(CASE...) expression is the inlining proof)
+    assert "Project [doc_id" in plan and "round(" in plan
+
+
+def test_recursive_cte_matches_loop_components_on_planted_graph(spark):
+    """Native WITH RECURSIVE (sql_recursive_reachability's machinery) vs
+    the checkpointed DataFrame-loop connected components: on a planted
+    undirected graph, the set of nodes the recursion reaches from a seed
+    must equal the seed's component from the loop operator."""
+    from hunger_games_glue_streaming_etl_spark.operators.graph import (
+        connected_components,
+    )
+
+    # two components: a 5-chain {1..5} and a triangle {10,11,12}
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (12, 10)]
+    nodes = [(n,) for n in sorted({x for e in edges for x in e})]
+    spark.createDataFrame(edges, "src int, dst int").createOrReplaceTempView(
+        "planted_edges"
+    )
+    reached = {
+        r.node
+        for r in spark.sql(
+            """
+            WITH RECURSIVE und(src, dst) AS (
+                SELECT src, dst FROM planted_edges
+                UNION ALL
+                SELECT dst, src FROM planted_edges
+            ),
+            reach(node, depth) AS (
+                SELECT CAST(1 AS INT), 0
+                UNION ALL
+                SELECT und.dst, r.depth + 1
+                FROM reach r JOIN und ON r.node = und.src
+                WHERE r.depth < 8
+            )
+            SELECT DISTINCT node FROM reach
+            """
+        ).collect()
+    }
+    labels = connected_components(
+        spark.createDataFrame(nodes, "id int"),
+        spark.createDataFrame(edges, "src int, dst int"),
+    )
+    comp_of_1 = {
+        r.node
+        for r in labels.filter(F.col("component_id") == 1).collect()
+    }
+    assert reached == comp_of_1 == {1, 2, 3, 4, 5}
