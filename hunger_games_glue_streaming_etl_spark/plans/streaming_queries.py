@@ -212,6 +212,44 @@ def streaming_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_chained_windows",
+    oracle=f"""
+    WITH e AS (SELECT event_type, value, {_TS} AS ts FROM events),
+    wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM e),
+    hourly AS (
+        SELECT date_trunc('hour', ts) AS hs, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS v
+        FROM e GROUP BY 1, 2
+    )
+    SELECT date_trunc('day', hs) AS day_start, event_type,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           ROUND(SUM(v), 2) AS total_value
+    FROM hourly
+    GROUP BY 1, 2
+    HAVING date_trunc('day', hs) + INTERVAL 1 DAY <= (SELECT w FROM wm)
+    """,
+)
+def streaming_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators in one streaming query (VERDICT r5 #6):
+    hourly tumbling aggs roll up into daily aggs — two window state stores
+    live in the same query (Spark 3.4+ multiple-stateful-operator support),
+    wired through ``window_time()`` as the downstream event time.  Append
+    mode emits only days whose end clears the final watermark, by which
+    point every hour inside has finalized and cascaded down (no-data
+    batches propagate the finalization) — so the finalized prefix is the
+    hour→day rollup the oracle replays with the same round-then-sum
+    discipline.  Both state stores' population is asserted live in
+    tests/test_streaming_depth.py."""
+    from ..streaming.ops import chained_windowed_agg
+
+    src = _stage_events_stream(spark, sf_dir)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "maxFilesPerTrigger", "2"
+    ).json(src)
+    return _run_stream(spark, chained_windowed_agg(stream), "chainwin")
+
+
+@register(
     "streaming_keyed_dedup",
     oracle="SELECT event_id, user_id, event_type FROM events",
 )

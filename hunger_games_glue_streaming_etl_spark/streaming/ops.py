@@ -53,6 +53,57 @@ def windowed_agg(
     )
 
 
+def chained_windowed_agg(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    inner_window: str = "1 hour",
+    outer_window: str = "1 day",
+    watermark: str = "10 minutes",
+    keys: Sequence[str] = ("event_type",),
+    value_col: str = "value",
+) -> DataFrame:
+    """TWO chained stateful window aggregations in ONE streaming query
+    (Spark 3.4+ multiple-stateful-operator support): event-time tumbling
+    ``inner_window`` aggs roll up into ``outer_window`` aggs via
+    ``window_time()`` as the downstream event-time column.  Both operators
+    share the query's single watermark; the outer window finalizes (append
+    mode) once the watermark passes its end, by which point every inner
+    window inside it has finalized and flowed downstream — no-data batches
+    cascade the finalization.
+
+    Determinism: the inner value sum is rounded to 2dp at emission, so the
+    outer operator sums an identical multiset of 2-decimal doubles on both
+    engines; the outer round absorbs sub-ulp ordering differences (same
+    convention as the single-window entries).  Counts stay exact BIGINTs.
+
+    At scale this is the canonical rollup cascade (minute→hour→day) that
+    otherwise needs one job per tier plus an external re-read: chaining
+    keeps it one pipeline, and state is bounded per tier by the watermark."""
+    inner = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, inner_window).alias("window"), *keys)
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum(value_col), 2).alias("inner_value"),
+        )
+    )
+    return (
+        inner.groupBy(
+            F.window(F.window_time("window"), outer_window).alias("outer_w"), *keys
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("inner_value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("outer_w.start").alias("day_start"),
+            *keys,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def dedup_stream(
     stream: DataFrame,
     keys: Sequence[str] = ("event_id",),

@@ -26,3 +26,21 @@ def test_registry_plans_free_of_cartesian_and_row_udfs(spark):
     assert all(
         s.startswith("streaming_") or s in SKIP_EXECUTING for s in skipped
     )
+
+
+def test_executed_plan_sweep_on_skip_listed_sample(spark):
+    """The post-hoc executed-plan sweep (audit_executed) must cover the
+    plans the static audit can't — construction-executes entries.  CI runs
+    a representative sample (one checkpointed loop, one ANN seed-job entry,
+    one streaming query); the full skip list is swept by
+    `python tools/plan_audit.py` each round."""
+    from plan_audit import audit_executed
+
+    sample = [
+        "dedup_cluster_components",   # checkpointed DataFrame loop
+        "sim_ivf_ann_topk",           # driver-side seed jobs + probes
+        "streaming_tumbling_agg",     # micro-batch executions
+    ]
+    clean, violations = audit_executed(spark, SF_DIR, names=sample)
+    assert violations == []
+    assert sorted(clean) == sorted(sample)

@@ -79,6 +79,60 @@ SKIP_EXECUTING = {
 FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
 
 
+def _status_store(spark):
+    return spark._jsparkSession.sharedState().statusStore()
+
+
+def _latest_execution_id(store) -> int:
+    lst = store.executionsList()
+    return lst.apply(lst.size() - 1).executionId() if lst.size() else -1
+
+
+def audit_executed(spark, sf_dir: str, names=None):
+    """Post-hoc sweep of EXECUTED plans — closes the skip-list hole
+    (VERDICT r5 "What's wrong #3"): entries whose CONSTRUCTION executes
+    real work (checkpointed loops, streaming queries, ANN seed jobs,
+    round-trip writes) can't be audited by explaining the returned frame,
+    because the risky plans already ran.  The JVM's SQLAppStatusStore
+    retains every execution's final physical plan (UI data, available even
+    with the web UI disabled), so: record the latest execution id, run the
+    entry + execute its returned frame into the noop sink, then sweep the
+    plan description of every execution that appeared — intermediate loop
+    rounds, driver-side seed jobs, and streaming micro-batches included.
+
+    Returns (clean, violations) where violations are
+    'entry: marker (execution N)' strings."""
+    import hunger_games_glue_streaming_etl_spark.plans as plans
+
+    if names is None:
+        names = [
+            n
+            for n in plans.QUERIES
+            if n.startswith(SKIP_PREFIXES) or n in SKIP_EXECUTING
+        ]
+    store = _status_store(spark)
+    clean, violations = [], []
+    for name in names:
+        before = _latest_execution_id(store)
+        df = plans.QUERIES[name](spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        lst = store.executionsList()
+        bad_here = []
+        for i in range(lst.size()):
+            e = lst.apply(i)
+            if e.executionId() <= before:
+                continue
+            desc = e.physicalPlanDescription()
+            for m in FORBIDDEN:
+                if m in desc:
+                    bad_here.append(f"{name}: {m} (execution {e.executionId()})")
+        if bad_here:
+            violations.extend(bad_here)
+        else:
+            clean.append(name)
+    return clean, violations
+
+
 def audit(spark, sf_dir: str) -> tuple[list[str], list[str], list[str]]:
     """Returns (clean, violations, skipped); violations are
     'entry: marker' strings."""
@@ -111,7 +165,12 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     clean, violations, skipped = audit(spark, sf_dir)
-    print(f"clean: {len(clean)}  skipped (build executes): {len(skipped)}")
+    print(f"static-clean: {len(clean)}  deferred to executed sweep: {len(skipped)}")
+    # the skip-listed entries get the POST-HOC executed-plan sweep instead
+    exec_clean, exec_violations = audit_executed(spark, sf_dir, names=skipped)
+    violations = violations + exec_violations
+    print(f"executed-clean: {len(exec_clean)}")
+    print(f"total swept: {len(clean) + len(exec_clean)}")
     for v in violations:
         print("VIOLATION:", v)
     print("RESULT:", "CLEAN" if not violations else f"{len(violations)} VIOLATIONS")
