@@ -44,94 +44,73 @@ from . import (  # noqa: E402,F401
 # already have green rows in CORRECTNESS_r01-r03 follow in import order.
 # ---------------------------------------------------------------------------
 _SAMPLE_FIRST = [
-    # ---- round-5 rotation: the 12 entries with no recorded row in any of
-    # CORRECTNESS_r01-r04 go FIRST (VERDICT r04 "Next round #1") ----
-    "range_join_value_bands",
-    "sim_lsh_ann_topk_fullprobe",
-    "sim_ivf_ann_topk_fullprobe",
-    "sim_pq_ann_topk",
-    "sim_ivf_recall_check",
-    "sim_pq_recall_check",
-    "sim_lsh_bucket_stats",
-    "scan_csv_explicit_schema",
-    "scan_json_explicit_schema",
-    "scan_orc_roundtrip",
-    "agg_grouping_sets",
-    "sql_api_shipping_priority",
-    # ---- round-5 new entries (need their first recorded row) ----
-    "pipeline_near_dedup",
-    "profile_table_columns_approx",
-    "window_time_range_frame",
-    "timeseries_gap_fill_hourly",
-    "quality_classifier_linear",
-    "scalar_variant_shred",
-    "join_lateral_topk",
-    "scan_python_datasource",
-    "scan_python_datasource_pushdown",
-    "scan_schema_evolution",
-    "agg_boolean_filter_funcs",
-    "relational_unpivot",
-    "streaming_transform_with_state",
-    "streaming_python_datasource",
-    "graph_pagerank_trade",
-    "dq_expectations_summary",
-    "chat_format_audit",
-    "chat_sft_corpus_totals",
-    "sim_sq8_ann_topk",
-    "sim_sq8_recall_check",
-    "dedup_incremental_new_vs_base",
-    "agg_listagg_ordered",
-    "join_full_outer",
-    "join_null_safe_eq",
-    "profile_histogram_numeric",
-    "sketch_cms_heavy_hitters",
-    "sketch_bloom_membership",
-    "timeseries_interpolate_linear",
-    "affinity_copurchase_pairs",
-    "sketch_hll_registers",
-    "sketch_hll_estimate",
-    "dq_table_diff_summary",
-    "set_ops_bag_semantics",
-    "agg_mode_median",
-    # ---- backfill: re-record the heavyweight / most-load-bearing tiers so
-    # every round's artifact keeps fresh evidence for them ----
-    "q5_local_supplier_volume",
-    "tribute_status_reference_corpus",
-    "pipeline_pretrain_corpus",
-    "dedup_cluster_components",
-    "dedup_cluster_components_star",
-    "dedup_cluster_canonical_keep",
-    "semantic_dedup_cells",
-    "corpus_token_budget_select",
-    "shuffle_training_order",
-    "streaming_funnel_state",
-    "streaming_tumbling_agg",
-    "streaming_keyed_dedup",
-    "streaming_stream_stream_join",
-    "streaming_running_state",
-    "streaming_session_window",
-    "streaming_left_outer_join",
-    "streaming_corpus_ingest",
-    "multimodal_real_codec_features",
-    "scd2_asof_snapshot",
-    "dq_referential_orphans",
-    "anomaly_hourly_event_rate",
-    "profile_table_columns",
-    "profile_join_key_skew",
-    "layout_zorder_pruning_ratio",
-    "layout_compaction_plan",
-    "mix_temperature_sample",
-    "pii_scrub_planted",
-    "text_duplicate_segments",
-    "funnel_conversion_steps",
-    "retention_cohort_weekly",
-    "asof_latest_purchase_before_click",
-    "window_topk_per_group",
-    "udf_grouped_map_normalize",
-    "udaf_grouped_agg_median",
-    "subquery_correlated_avg",
-    "text_bm25_search",
-    "mix_weighted_sample",
+    # ---- round-6 rotation (VERDICT r5 "Next round #1"): the first ~50
+    # must ALL be oracled — the 4 rows-only-by-design entries
+    # (sim_pq_ann_topk, agg_approx_distinct, sim_embedding_pairs_blas,
+    # sim_ivf_ann_topk) stay OUT of this window permanently so every
+    # driver-recorded row is hash-checkable.  Lead with this round's new
+    # entries (first recorded row), then freshness-rotate: the oracled
+    # entries whose latest recorded row is OLDEST (r1, then r2, then r3
+    # in recorded order). ----
+    # round-6 new entries
+    "sql_recursive_reachability",
+    "sql_udf_quality_score",
+    "sql_session_variable_dial",
+    "streaming_chained_windows",
+    "text_bpe_encode",
+    # latest recorded row is r1
+    "distinct_projection",
+    "set_except",
+    "set_intersect",
+    "sim_cosine_topk",
+    "sim_lsh_ann_topk",
+    # latest recorded row is r2
+    "merge_upsert_customer",
+    "multimodal_binary_features",
+    "scalar_array_funcs",
+    "scalar_conditional_null",
+    "scalar_date_funcs",
+    "scalar_json_extract",
+    "scalar_math_funcs",
+    "scalar_regexp_funcs",
+    "scalar_string_funcs",
+    "scd2_customer_balance",
+    "set_union_all",
+    "sort_limit_topk",
+    # latest recorded row is r3
+    "agg_approx_distinct_error",
+    "agg_approx_percentile_error",
+    "agg_cube",
+    "agg_having",
+    "agg_minmax_distinct",
+    "agg_percentiles_exact",
+    "agg_pivot",
+    "agg_rollup",
+    "agg_statistics",
+    "case_derived_status",
+    "curation_clean_corpus",
+    "decontaminate_ngram_overlap",
+    "dedup_embedding_cosine_pairs",
+    "dedup_embedding_lsh_pairs",
+    "dedup_exact_groups",
+    "dedup_first_event",
+    "dedup_fuzzy_levenshtein_pairs",
+    "dedup_minhash_bands",
+    "dedup_minhash_lsh_pairs",
+    "dedup_minhash_signatures",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_simhash_fingerprints",
+    "dedup_simhash_pairs",
+    "filter_project",
+    "flagship_user_status",
+    "join_anti",
+    "join_broadcast_chain",
+    "join_inner",
+    "join_left_outer",
+    "join_semi",
+    "latest_event_per_user",
+    "pack_sequences_concat",
+    "pack_sequences_stats",
 ]
 
 

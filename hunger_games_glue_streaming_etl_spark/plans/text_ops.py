@@ -83,6 +83,29 @@ def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", bpe_ish_token_count("text").alias("n_bpe_tokens"))
 
 
+def _bpe_oracle() -> str:
+    from ..operators import bpe
+
+    return bpe.oracle_sql()
+
+
+@register("text_bpe_encode", oracle=_bpe_oracle())
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL merge-table BPE encode (canonical lowest-rank-pair merge loop
+    over a planted deterministic vocab) — the upgrade from
+    ``text_bpe_token_estimate``: exact token sequences and counts, not a
+    length heuristic.  Spark runs the per-document loop Arrow-batched
+    (``mapInPandas``, no shuffle); the DuckDB oracle replays the SAME
+    algorithm as a recursive CTE GENERATED from the same merge table
+    (``operators/bpe.py``), so vocab, merge order, and the iteration cap
+    cannot diverge between engines — the whole token string is
+    value-hashed, not just the count."""
+    from ..operators.bpe import bpe_encode_frame
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_encode_frame(docs)
+
+
 def _lang_score_sql(lang: str) -> str:
     markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
     return f"len(list_filter({_TOKS}, t -> t IN ({markers})))"

@@ -295,3 +295,57 @@ def test_chat_format_audit_plants_and_masking(spark):
         assert 0 <= r["trainable_tokens"] <= r["total_tokens"], doc_id
     assert any(not r["is_valid"] for r in rows.values())
     assert any(r["is_valid"] for r in rows.values())
+
+
+def test_bpe_encode_canonical_merge_semantics():
+    """Planted-vocab BPE: lowest-rank-present pair merges ALL its
+    occurrences per pass (canonical GPT-2 bpe() loop), chained merges
+    compose to full words, and the double-space replay representation
+    handles adjacent occurrences."""
+    from hunger_games_glue_streaming_etl_spark.operators.bpe import encode
+
+    # chained merges: t+h -> th, th+e -> the; ta->tab->tabl->table
+    assert encode("the table") == ["the", "_", "table"]
+    # merge-all in one pass: both 'th' occurrences merge in pass 1
+    assert encode("th th") == ["th", "_", "th"]
+    # untouched chars stay single tokens
+    assert encode("zq") == ["z", "q"]
+    # punctuation/digits are stripped before encoding; empty -> no tokens
+    assert encode("123 !!") == []
+    # determinism + the 48-char cap
+    long = "value " * 20
+    assert encode(long) == encode(long)
+    assert sum(len(t.replace("_", " ")) for t in encode(long)) <= 48
+
+
+def test_bpe_encode_matches_duckdb_replay_on_planted_edges(spark, oracle_con):
+    """Cross-engine parity on the adversarial shapes: empty-after-clean
+    text, adjacent same-pair occurrences, >cap text, single char — the
+    oracle CTE is GENERATED from the same merge table, so any drift is an
+    algorithm bug, not a vocab mismatch."""
+    import duckdb
+
+    from hunger_games_glue_streaming_etl_spark.operators import bpe
+
+    rows = [
+        (0, "the table value fast"),
+        (1, "th th th"),
+        (2, "!!! 123"),
+        (3, "a"),
+        (4, "window join data " * 10),
+        (5, "  spaced    out   words  "),
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    expect = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            bpe.oracle_sql() + " ORDER BY doc_id"
+        ).fetchall()
+    }
+    sdf = bpe.bpe_encode_frame(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    ).collect()
+    got = {r.doc_id: (r.n_tokens, r.token_str) for r in sdf}
+    assert got == expect
