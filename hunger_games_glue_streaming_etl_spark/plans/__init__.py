@@ -53,6 +53,9 @@ _SAMPLE_FIRST = [
     # entries whose latest recorded row is OLDEST (r1, then r2, then r3
     # in recorded order). ----
     # round-6 new entries
+    "scan_xml_roundtrip",
+    "layout_bucketed_colocated_join",
+    "text_chunk_sliding",
     "sql_recursive_reachability",
     "sql_udf_quality_score",
     "sql_session_variable_dial",

@@ -375,3 +375,78 @@ def layout_compaction_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "target_bytes",
         "max_output_bytes",
     )
+
+
+@register(
+    "layout_bucketed_colocated_join",
+    oracle="""
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           MIN(o_orderkey) AS min_orderkey,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    """,
+)
+def layout_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-bucketed co-located join: both tables are written with
+    ``bucketBy(8, key)`` + ``sortBy(key)`` into the session catalog, so
+    the sort-merge join reads bucket i against bucket i directly — ZERO
+    Exchange on either join input (asserted in
+    ``tests/test_plan_shapes.py``).  This is the storage-layout answer to
+    the biggest 100 TB cost in the repo: a fact-fact join that would
+    otherwise shuffle both sides every run instead pays the shuffle ONCE
+    at write time and never again — the layout amortizes across every
+    downstream join/aggregation on the same key.  The MERGE hint keeps
+    the plan on the bucket-aware SMJ path regardless of the
+    autoBroadcastJoinThreshold (no session conf is touched — the r5
+    lesson about entries leaking conf state).  The oracle replays the
+    join from the parquet source of truth, proving the bucketed layout
+    is lossless."""
+    import os
+    import shutil
+
+    # a fresh session's in-memory catalog has no record of a previous
+    # session's managed tables, but their warehouse dirs persist —
+    # saveAsTable then fails with LOCATION_ALREADY_EXISTS.  Drop both the
+    # catalog entry and any orphaned location before writing.
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for prefix in ("file://", "file:"):
+        if warehouse.startswith(prefix):
+            warehouse = warehouse[len(prefix) :]
+            break
+    for tbl in ("hg_bucketed_orders", "hg_bucketed_customer"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(os.path.join(warehouse, tbl), ignore_errors=True)
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    (
+        orders.write.bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable("hg_bucketed_orders")
+    )
+    (
+        customer.write.bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable("hg_bucketed_customer")
+    )
+    o = spark.table("hg_bucketed_orders")
+    c = spark.table("hg_bucketed_customer").hint("merge")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_orderkey").alias("min_orderkey"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )

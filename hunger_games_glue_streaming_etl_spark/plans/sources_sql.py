@@ -168,6 +168,53 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_xml_roundtrip",
+    oracle="""
+    SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           MIN(s_name) AS first_name, MIN(s_suppkey) AS min_key
+    FROM supplier GROUP BY s_nationkey
+    """,
+)
+def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML scan (built into Spark 4 — the first release where
+    ``format("xml")`` needs no external package).  Round-trips supplier
+    through an XML file layout (one ``<supplier>`` row element per
+    record, values as child elements with XML entity escaping), reads it
+    back with an EXPLICIT schema — XML has no type system, so schema'd
+    reads are the only way to keep integer keys integers — and
+    aggregates.  The oracle checks against the parquet source of truth,
+    proving the text round-trip is lossless.  Scale: XML scans
+    parallelize per-file like CSV/JSON; the writer shards by input
+    partition, so a 100 TB feed lands as many row-group-sized files, not
+    one document."""
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    path = _roundtrip_dir()
+    (
+        supplier.write.format("xml")
+        .option("rootTag", "suppliers")
+        .option("rowTag", "supplier")
+        .mode("overwrite")
+        .save(path)
+    )
+    back = spark.read.format("xml").option("rowTag", "supplier").schema(
+        T.StructType(
+            [
+                T.StructField("s_suppkey", T.LongType()),
+                T.StructField("s_name", T.StringType()),
+                T.StructField("s_nationkey", T.IntegerType()),
+            ]
+        )
+    ).load(path)
+    return back.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_suppliers"),
+        F.min("s_name").alias("first_name"),
+        F.min("s_suppkey").alias("min_key"),
+    )
+
+
+@register(
     "scan_python_datasource",
     oracle="""
     SELECT device_id,

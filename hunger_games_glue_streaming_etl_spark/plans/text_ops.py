@@ -15,6 +15,7 @@ from ..functions.text import (
     bpe_ish_token_count,
     lang_id,
     normalized_text,
+    portable_hash64,
     quality_score,
     token_count,
     tokens,
@@ -600,4 +601,102 @@ def quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         f_mtl.alias("f_mtl"),
         logit.cast("long").alias("logit_fp"),
         (logit >= _QC_THRESHOLD).alias("accept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window chunking (RAG / context-window prep)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+@register(
+    "text_chunk_sliding",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_TOKS} AS w, CAST(len({_TOKS}) AS BIGINT) AS n
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, w, n,
+               CASE WHEN n <= {CHUNK_TOKENS} THEN 1
+                    ELSE 1 + (n - {CHUNK_TOKENS} + {CHUNK_STRIDE - 1})
+                             // {CHUNK_STRIDE} END AS n_chunks
+        FROM d
+    ),
+    x AS (
+        SELECT doc_id, n, n_chunks,
+               CASE WHEN n - ci * {CHUNK_STRIDE} < {CHUNK_TOKENS}
+                    THEN n - ci * {CHUNK_STRIDE}
+                    ELSE {CHUNK_TOKENS} END AS chunk_len,
+               array_to_string(
+                   list_slice(w, ci * {CHUNK_STRIDE} + 1,
+                              ci * {CHUNK_STRIDE}
+                              + (CASE WHEN n - ci * {CHUNK_STRIDE} < {CHUNK_TOKENS}
+                                      THEN n - ci * {CHUNK_STRIDE}
+                                      ELSE {CHUNK_TOKENS} END)), ' ') AS chunk_text
+        FROM c, unnest(generate_series(0, n_chunks - 1)) AS t(ci)
+    )
+    SELECT doc_id,
+           CAST(MAX(n) AS BIGINT) AS n_tokens,
+           CAST(MAX(n_chunks) AS BIGINT) AS n_chunks,
+           CAST(SUM(chunk_len) AS BIGINT) AS covered_slots,
+           CAST(SUM({phash_sql("chunk_text")}) AS BIGINT) AS chunks_hash_sum
+    FROM x GROUP BY doc_id
+    """,
+)
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the RAG/context-window prep
+    stage: split each document into CHUNK_TOKENS-token chunks with a
+    CHUNK_TOKENS−CHUNK_STRIDE-token overlap, so no retrieval span
+    straddles a chunk boundary unseen.  Emits one
+    audit row per document: token count, chunk count (exact integer
+    formula, `div` both sides), total covered token slots (overlap
+    counted per chunk), and the SUM of the portable 48-bit hash of every
+    chunk's text — hash-exact evidence that BOTH engines produced
+    byte-identical chunk strings.  Scale: chunking is map-side (explode
+    before any shuffle); only (doc_id, ints) cross the groupBy shuffle —
+    chunk text is hashed in place and never shuffled (SCALING.md §1)."""
+    chunk = F.lit(CHUNK_TOKENS).cast("long")
+    stride = F.lit(CHUNK_STRIDE).cast("long")
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        tokens("text").alias("w"),
+        F.size(tokens("text")).cast("long").alias("n"),
+    )
+    base = base.withColumn(
+        "n_chunks",
+        F.when(F.col("n") <= chunk, F.lit(1).cast("long")).otherwise(
+            F.expr(
+                f"1 + (n - {CHUNK_TOKENS} + {CHUNK_STRIDE - 1}) div {CHUNK_STRIDE}"
+            )
+        ),
+    )
+    ex = base.select(
+        "doc_id",
+        "w",
+        "n",
+        "n_chunks",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("n_chunks") - 1)).alias(
+            "ci"
+        ),
+    )
+    start = F.col("ci") * stride
+    chunk_len = F.least(chunk, F.col("n") - start)
+    chunk_text = F.array_join(F.slice("w", (start + 1).cast("int"), chunk_len.cast("int")), " ")
+    per_chunk = ex.select(
+        "doc_id",
+        "n",
+        "n_chunks",
+        chunk_len.alias("chunk_len"),
+        portable_hash64(chunk_text).alias("chunk_h"),
+    )
+    return per_chunk.groupBy("doc_id").agg(
+        F.max("n").alias("n_tokens"),
+        F.max("n_chunks").alias("n_chunks"),
+        F.sum("chunk_len").alias("covered_slots"),
+        F.sum("chunk_h").alias("chunks_hash_sum"),
     )

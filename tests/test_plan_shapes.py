@@ -397,3 +397,22 @@ def test_recursive_cte_matches_loop_components_on_planted_graph(spark):
         for r in labels.filter(F.col("component_id") == 1).collect()
     }
     assert reached == comp_of_1 == {1, 2, 3, 4, 5}
+
+
+def test_bucketed_join_has_no_exchange_on_join_inputs(spark):
+    """layout_bucketed_colocated_join: both sides are bucketBy(8, key)
+    catalog tables, so the SortMergeJoin must read bucket i vs bucket i
+    with ZERO Exchange below the join — the only exchanges allowed in the
+    plan are the post-join aggregation shuffles on c_nationkey.  This is
+    the write-once-shuffle-never layout claim."""
+    df = QUERIES["layout_bucketed_colocated_join"](spark, SF_DIR)
+    df.collect()  # executed plan (AQE-final)
+    plan = _plan(df)
+    assert "SortMergeJoin" in plan
+    assert plan.count("Bucketed: true") >= 2  # both scans bucket-aware
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            # every exchange must be the post-join agg on c_nationkey,
+            # never a repartition of the join keys
+            assert "c_nationkey" in line
+            assert "o_custkey" not in line and "c_custkey" not in line

@@ -53,6 +53,9 @@ SKIP_EXECUTING = {
     "scan_csv_explicit_schema",
     "scan_json_explicit_schema",
     "scan_orc_roundtrip",
+    "scan_xml_roundtrip",
+    # bucketed saveAsTable writes both catalog tables at build time
+    "layout_bucketed_colocated_join",
     "scan_schema_evolution",
     # sink-backed entries replay upserts at build time
     "merge_upsert_customer",
