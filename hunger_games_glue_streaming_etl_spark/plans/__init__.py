@@ -56,6 +56,7 @@ _SAMPLE_FIRST = [
     "scan_xml_roundtrip",
     "layout_bucketed_colocated_join",
     "text_chunk_sliding",
+    "multimodal_video_y4m_frames",
     "sql_recursive_reachability",
     "sql_udf_quality_score",
     "sql_session_variable_dial",

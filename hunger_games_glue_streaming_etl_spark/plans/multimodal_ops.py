@@ -187,3 +187,77 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("duration_ms"),
     )
     return extract_media_features(media).select("media_id", "n_bytes", "payload_sha256")
+
+
+@register(
+    "multimodal_video_y4m_frames",
+    oracle="""
+    WITH sampled AS (
+        SELECT n_nationkey AS k, fi, ii,
+               (n_nationkey * 19 + fi * 3 + ii * 5) % 256 AS yv,
+               (n_nationkey * 7 + fi * 11 + ii * 13) % 256 AS uv,
+               (n_nationkey * 23 + fi * 5 + ii * 3) % 256 AS vv
+        FROM nation,
+             unnest(generate_series(0, 5 + (n_nationkey % 5))) AS f(fi),
+             unnest(generate_series(0, 63)) AS i(ii)
+        WHERE fi % 2 = 0
+    )
+    SELECT CAST(k AS BIGINT) AS media_id,
+           8 AS width, 8 AS height, 25 AS fps_num,
+           CAST(6 + (k % 5) AS BIGINT) AS n_frames,
+           CAST((6 + (k % 5) + 1) // 2 AS BIGINT) AS n_sampled,
+           CAST(SUM(yv) AS BIGINT) AS luma_sum,
+           CAST(SUM(uv + vv) AS BIGINT) AS chroma_sum
+    FROM sampled GROUP BY k
+    """,
+)
+def multimodal_video_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video codec path: per nation, serialize a Y4M (YUV4MPEG2,
+    C444 planar) stream of ``6 + key%5`` 8×8 frames — frame f's planes
+    are ``(k·19+f·3+i·5)%256`` (Y), ``(k·7+f·11+i·13)%256`` (Cb),
+    ``(k·23+f·5+i·3)%256`` (Cr) — then decode it back with STRIDE-2
+    frame sampling (``decode_y4m``: every other frame's pixels are
+    touched, the timeline is still fully counted).  Exact integer luma /
+    chroma sums over the sampled frames are reproduced arithmetically by
+    the oracle, so the whole encode→binary→sampled-decode loop is
+    value-hash-checked.  Scale: stride sampling bounds per-asset decode
+    cost; one Arrow pass, payload never crosses a shuffle, and variable
+    frame counts per asset make the per-row work data-dependent like a
+    real corpus."""
+    from ..operators.multimodal import decode_y4m, encode_y4m
+
+    def plant_and_decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "media_id": [], "width": [], "height": [], "fps_num": [],
+                "n_frames": [], "n_sampled": [], "luma_sum": [], "chroma_sum": [],
+            }
+            for key in pdf["n_nationkey"]:
+                k = int(key)
+                frames = []
+                for f in range(6 + (k % 5)):
+                    y = bytes((k * 19 + f * 3 + i * 5) % 256 for i in range(64))
+                    u = bytes((k * 7 + f * 11 + i * 13) % 256 for i in range(64))
+                    v = bytes((k * 23 + f * 5 + i * 3) % 256 for i in range(64))
+                    frames.append((y, u, v))
+                d = decode_y4m(encode_y4m(8, 8, frames), sample_stride=2)
+                out["media_id"].append(k)
+                out["width"].append(d["width"])
+                out["height"].append(d["height"])
+                out["fps_num"].append(d["fps_num"])
+                out["n_frames"].append(d["n_frames"])
+                out["n_sampled"].append(d["n_sampled"])
+                out["luma_sum"].append(d["luma_sum"])
+                out["chroma_sum"].append(d["chroma_sum"])
+            yield pd.DataFrame(out)
+
+    nation = load_table(spark, sf_dir, "nation")
+    return nation.select("n_nationkey").mapInPandas(
+        plant_and_decode,
+        schema=(
+            "media_id long, width int, height int, fps_num int, "
+            "n_frames long, n_sampled long, luma_sum long, chroma_sum long"
+        ),
+    )

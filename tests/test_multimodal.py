@@ -391,3 +391,52 @@ def test_adpcm_multi_block_decodes_every_block():
     d = decode_adpcm_wav(wav)
     assert d["n_frames"] == 22
     assert d["sample_sum"] == 11 * 40 + 11 * (-25)
+
+
+def test_y4m_round_trip_full_and_strided():
+    from hunger_games_glue_streaming_etl_spark.operators.multimodal import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    frames = []
+    for f in range(5):
+        y = bytes((f * 3 + i) % 256 for i in range(12))
+        u = bytes((f + i * 2) % 256 for i in range(12))
+        v = bytes((f * 7 + i * 5) % 256 for i in range(12))
+        frames.append((y, u, v))
+    wav = encode_y4m(4, 3, frames, fps_num=30, fps_den=1)
+
+    full = decode_y4m(wav)
+    assert (full["width"], full["height"]) == (4, 3)
+    assert (full["fps_num"], full["fps_den"]) == (30, 1)
+    assert full["n_frames"] == 5 and full["n_sampled"] == 5
+    assert full["luma_sum"] == sum(sum(y) for y, _, _ in frames)
+    assert full["chroma_sum"] == sum(sum(u) + sum(v) for _, u, v in frames)
+
+    s2 = decode_y4m(wav, sample_stride=2)  # frames 0, 2, 4
+    assert s2["n_frames"] == 5 and s2["n_sampled"] == 3
+    assert s2["luma_sum"] == sum(sum(frames[f][0]) for f in (0, 2, 4))
+    s5 = decode_y4m(wav, sample_stride=5)  # frame 0 only
+    assert s5["n_sampled"] == 1 and s5["luma_sum"] == sum(frames[0][0])
+
+
+def test_y4m_rejects_unsupported_layouts():
+    import pytest
+
+    from hunger_games_glue_streaming_etl_spark.operators.multimodal import (
+        CodecUnavailable,
+        decode_y4m,
+        encode_y4m,
+    )
+
+    wav = encode_y4m(2, 2, [(bytes(4), bytes(4), bytes(4))])
+    with pytest.raises(CodecUnavailable):
+        decode_y4m(wav.replace(b"C444", b"C420jpeg"))
+    # no C tag -> Y4M defaults to 4:2:0, which this codec honestly refuses
+    with pytest.raises(CodecUnavailable):
+        decode_y4m(wav.replace(b" C444", b""))
+    with pytest.raises(CodecUnavailable):
+        decode_y4m(wav[:-3])  # truncated frame payload
+    with pytest.raises(CodecUnavailable):
+        decode_y4m(b"RIFF" + wav)
