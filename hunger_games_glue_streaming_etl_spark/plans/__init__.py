@@ -54,9 +54,12 @@ _SAMPLE_FIRST = [
     # in recorded order). ----
     # round-6 new entries
     "scan_xml_roundtrip",
+    "scan_csv_malformed_quarantine",
     "layout_bucketed_colocated_join",
     "text_chunk_sliding",
     "multimodal_video_y4m_frames",
+    "pipeline_rag_retrieval",
+    "curation_winsorize_quantiles",
     "sql_recursive_reachability",
     "sql_udf_quality_score",
     "sql_session_variable_dial",

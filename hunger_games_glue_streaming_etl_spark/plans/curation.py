@@ -8,7 +8,7 @@ the COMPOSITION is hash-checked, not just the parts.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..caching import pin
@@ -141,4 +141,109 @@ def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.when(bucket < 90, "train").otherwise("holdout").alias("split"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winsorization (outlier capping at discrete per-group quantile cuts)
+# ---------------------------------------------------------------------------
+
+_WINSOR_LO_PCT = 5  # cap below the p05 / above the p95 order statistic
+
+
+@register(
+    "curation_winsorize_quantiles",
+    oracle=f"""
+    WITH c AS (
+        SELECT l_returnflag AS rf, l_quantity AS q,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT rf, q, cnt,
+               SUM(cnt) OVER (PARTITION BY rf ORDER BY q
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS running,
+               SUM(cnt) OVER (PARTITION BY rf) AS total
+        FROM c
+    ),
+    cuts AS (
+        SELECT rf,
+               MIN(CASE WHEN running >= ({_WINSOR_LO_PCT} * total + 99) // 100
+                        THEN q END) AS lo_cut,
+               MIN(CASE WHEN running >= ((100 - {_WINSOR_LO_PCT}) * total + 99) // 100
+                        THEN q END) AS hi_cut,
+               CAST(MAX(total) AS BIGINT) AS n_rows
+        FROM cum GROUP BY rf
+    )
+    SELECT l.l_returnflag, cuts.lo_cut, cuts.hi_cut, cuts.n_rows,
+           CAST(COUNT(*) FILTER (WHERE l.l_quantity < cuts.lo_cut) AS BIGINT)
+               AS n_clipped_lo,
+           CAST(COUNT(*) FILTER (WHERE l.l_quantity > cuts.hi_cut) AS BIGINT)
+               AS n_clipped_hi,
+           CAST(SUM(CAST(CASE WHEN l.l_quantity < cuts.lo_cut THEN cuts.lo_cut
+                              WHEN l.l_quantity > cuts.hi_cut THEN cuts.hi_cut
+                              ELSE l.l_quantity END AS BIGINT)) AS BIGINT)
+               AS winsorized_sum
+    FROM lineitem l JOIN cuts ON l.l_returnflag = cuts.rf
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def curation_winsorize_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — cap per-group outliers at the discrete p05/p95
+    order statistics (a standard robust-statistics cleaning pass for
+    numeric feature columns before training).  The cut is the SMALLEST
+    value whose running count reaches ``ceil(p·n)`` — a rank selection
+    over the per-(group, value) count table, NOT an interpolated
+    percentile, so no float arithmetic enters the comparison path and
+    both engines agree bit-for-bit (the `ln`-rule applied to quantiles).
+
+    Scale shape: the count table collapses the corpus to (group,
+    distinct-value) rows BEFORE any window — for bounded-domain columns
+    (quantity: 50 values/group) the cumulative window runs over dozens
+    of rows regardless of corpus size, and the cuts re-join as a
+    broadcast.  For unbounded-domain doubles, bucket the value first
+    (fixed-point grid) or use the KLL twin (`agg_approx_percentile_error`)
+    — interpolated exact percentiles never feed a filter (CLAUDE.md
+    round-rule)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.groupBy(
+        F.col("l_returnflag").alias("rf"), F.col("l_quantity").alias("q")
+    ).agg(F.count("*").alias("cnt"))
+    w_run = (
+        Window.partitionBy("rf")
+        .orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("rf")
+    cum = c.select(
+        "rf",
+        "q",
+        F.sum("cnt").over(w_run).alias("running"),
+        F.sum("cnt").over(w_all).alias("total"),
+    )
+    lo_rank = F.expr(f"({_WINSOR_LO_PCT} * total + 99) div 100")
+    hi_rank = F.expr(f"({100 - _WINSOR_LO_PCT} * total + 99) div 100")
+    cuts = cum.groupBy("rf").agg(
+        F.min(F.when(F.col("running") >= lo_rank, F.col("q"))).alias("lo_cut"),
+        F.min(F.when(F.col("running") >= hi_rank, F.col("q"))).alias("hi_cut"),
+        F.max("total").alias("n_rows"),
+    )
+    j = li.join(
+        F.broadcast(cuts), li.l_returnflag == cuts.rf
+    )
+    clipped = (
+        F.when(F.col("l_quantity") < F.col("lo_cut"), F.col("lo_cut"))
+        .when(F.col("l_quantity") > F.col("hi_cut"), F.col("hi_cut"))
+        .otherwise(F.col("l_quantity"))
+        .cast("long")
+    )
+    return j.groupBy("l_returnflag", "lo_cut", "hi_cut", "n_rows").agg(
+        F.count_if(F.col("l_quantity") < F.col("lo_cut"))
+        .cast("long")
+        .alias("n_clipped_lo"),
+        F.count_if(F.col("l_quantity") > F.col("hi_cut"))
+        .cast("long")
+        .alias("n_clipped_hi"),
+        F.sum(clipped).alias("winsorized_sum"),
     )

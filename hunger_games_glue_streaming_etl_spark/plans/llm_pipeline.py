@@ -967,3 +967,123 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     the operator."""
     docs = load_table(spark, sf_dir, "documents")
     return bm25_topk(docs, BM25_QUERY_TERMS, k1=BM25_K1, b=BM25_B, limit=20)
+
+
+# ---------------------------------------------------------------------------
+# RAG retrieval composition: chunk -> embed -> score -> top-k
+# ---------------------------------------------------------------------------
+
+_RAG_DIMS = 8
+_RAG_QUERY_MOD = 100  # doc_id % mod == RAG_QUERY_RESIDUE selects query docs
+_RAG_QUERY_RESIDUE = 7
+_RAG_TOPK = 3
+
+
+def _rag_dim_sql(d: int) -> str:
+    # 16-bit slice d of ONE md5 per chunk (8 dims from a single hash —
+    # the "one md5 per value" rule), centered to [-500, 499]
+    return f"CAST(('0x' || substr(m, {1 + 4 * d}, 4)) AS BIGINT) % 1000 - 500"
+
+
+def _rag_oracle() -> str:
+    from .text_ops import CHUNK_CTES_SQL
+
+    dims = ",\n               ".join(
+        f"{_rag_dim_sql(d)} AS v{d}" for d in range(_RAG_DIMS)
+    )
+    qdims = ", ".join(f"v{d} AS qv{d}" for d in range(_RAG_DIMS))
+    dot = " + ".join(f"qv{d} * v{d}" for d in range(_RAG_DIMS))
+    return f"""
+    WITH {CHUNK_CTES_SQL},
+    emb AS (
+        SELECT doc_id, ci, md5('emb:' || chunk_text) AS m FROM chunk_x
+    ),
+    v AS (
+        SELECT doc_id, ci,
+               {dims}
+        FROM emb
+    ),
+    q AS (
+        SELECT doc_id AS q_doc, {qdims}
+        FROM v
+        WHERE doc_id % {_RAG_QUERY_MOD} = {_RAG_QUERY_RESIDUE} AND ci = 0
+    ),
+    s AS (
+        SELECT q.q_doc, v.doc_id, v.ci,
+               CAST({dot} AS BIGINT) AS score
+        FROM q JOIN v ON v.doc_id <> q.q_doc
+    ),
+    r AS (
+        SELECT q_doc, doc_id, ci, score,
+               ROW_NUMBER() OVER (PARTITION BY q_doc
+                                  ORDER BY score DESC, doc_id, ci) AS rn
+        FROM s
+    )
+    SELECT q_doc AS query_doc_id, CAST(rn AS BIGINT) AS rank,
+           doc_id AS hit_doc_id, CAST(ci AS BIGINT) AS hit_chunk, score
+    FROM r WHERE rn <= {_RAG_TOPK}
+    """
+
+
+@register("pipeline_rag_retrieval", oracle=_rag_oracle())
+def pipeline_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RAG retrieval as ONE declarative plan: sliding-window
+    chunking (``text_ops.sliding_chunk_frame``) → deterministic chunk
+    embeddings (eight 16-bit slices of ONE md5 per chunk, centered —
+    integer vectors both engines rebuild bit-for-bit) → query set =
+    first chunk of every ``doc_id % 100 == 7`` document → integer dot
+    scores against every foreign-document chunk → top-3 per query with
+    the unique (score DESC, doc_id, ci) tiebreak.
+
+    Scale shape: chunk text is embedded map-side and never crosses a
+    shuffle; the query side is broadcast (the decontamination pattern —
+    a query/eval set is operator INPUT and stays small; when the query
+    side is itself corpus-sized, route stage 1 through the ANN tier's
+    bucketed candidate machinery instead of this brute-force scorer,
+    which exists here as the exactness baseline the ANN entries are
+    recall-checked against)."""
+    from .text_ops import sliding_chunk_frame
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = sliding_chunk_frame(docs)
+    m = F.md5(F.concat(F.lit("emb:"), F.col("chunk_text")))
+    dims = [
+        (
+            F.conv(F.substring(m, 1 + 4 * d, 4), 16, 10).cast("long") % 1000 - 500
+        ).alias(f"v{d}")
+        for d in range(_RAG_DIMS)
+    ]
+    v = chunks.select("doc_id", "ci", *dims)
+    q = (
+        v.filter(
+            (F.col("doc_id") % _RAG_QUERY_MOD == _RAG_QUERY_RESIDUE)
+            & (F.col("ci") == 0)
+        )
+        .select(
+            F.col("doc_id").alias("q_doc"),
+            *[F.col(f"v{d}").alias(f"qv{d}") for d in range(_RAG_DIMS)],
+        )
+    )
+    scored = v.join(F.broadcast(q), F.col("doc_id") != F.col("q_doc")).select(
+        "q_doc",
+        "doc_id",
+        "ci",
+        sum(
+            [F.col(f"qv{d}") * F.col(f"v{d}") for d in range(1, _RAG_DIMS)],
+            F.col("qv0") * F.col("v0"),
+        ).cast("long").alias("score"),
+    )
+    w = Window.partitionBy("q_doc").orderBy(
+        F.desc("score"), F.asc("doc_id"), F.asc("ci")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _RAG_TOPK)
+        .select(
+            F.col("q_doc").alias("query_doc_id"),
+            "rank",
+            F.col("doc_id").alias("hit_doc_id"),
+            F.col("ci").cast("long").alias("hit_chunk"),
+            "score",
+        )
+    )

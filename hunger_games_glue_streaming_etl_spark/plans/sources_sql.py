@@ -344,3 +344,75 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         path + "/gen=1x", path + "/gen=2x"
     )
     return merged.select("gen", "n_nationkey", "n_name", "n_regionkey")
+
+
+@register(
+    "scan_csv_malformed_quarantine",
+    oracle="""
+    SELECT CAST(CASE WHEN n_nationkey % 7 = 3 THEN -1
+                     ELSE n_regionkey END AS BIGINT) AS region,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN n_nationkey % 7 = 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_quarantined,
+           MIN(CASE WHEN n_nationkey % 7 <> 3 THEN n_name END) AS first_good_name
+    FROM nation
+    GROUP BY 1
+    """,
+)
+def scan_csv_malformed_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record quarantine on the CSV source (the reference's A3
+    scan hardened for dirty feeds): plant a CSV where every
+    ``key % 7 == 3`` row carries a non-numeric region field, read it
+    back PERMISSIVE with ``columnNameOfCorruptRecord`` — Spark parses
+    the still-valid fields, nulls the broken one, and captures the raw
+    line — then route rows by corruption into per-region counts vs a
+    ``-1`` quarantine bucket.  The oracle replays the planted corruption
+    arithmetically.  This is the at-scale answer to one bad record in a
+    100 TB feed: no task failure, no dropped partition — bad rows become
+    DATA (routable to a dead-letter sink) while good fields of bad rows
+    remain queryable for triage."""
+    nation = load_table(spark, sf_dir, "nation")
+    corrupt = F.col("n_nationkey") % 7 == 3
+    lines = nation.select(
+        F.concat_ws(
+            ",",
+            F.col("n_nationkey").cast("string"),
+            F.col("n_name"),
+            F.when(corrupt, F.lit("region_unparseable")).otherwise(
+                F.col("n_regionkey").cast("string")
+            ),
+        ).alias("value")
+    )
+    path = _roundtrip_dir()
+    lines.write.mode("overwrite").text(path)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+            T.StructField("_bad_record", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad_record")
+        .csv(path)
+    )
+    return (
+        back.groupBy(
+            F.when(F.col("_bad_record").isNotNull(), F.lit(-1))
+            .otherwise(F.col("n_regionkey"))
+            .cast("long")
+            .alias("region")
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("_bad_record").isNotNull().cast("int"))
+            .cast("long")
+            .alias("n_quarantined"),
+            F.min(
+                F.when(F.col("_bad_record").isNull(), F.col("n_name"))
+            ).alias("first_good_name"),
+        )
+    )

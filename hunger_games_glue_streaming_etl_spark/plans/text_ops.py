@@ -611,11 +611,11 @@ def quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 CHUNK_TOKENS = 32
 CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
 
-
-@register(
-    "text_chunk_sliding",
-    oracle=f"""
-    WITH d AS (
+# oracle CTE bodies shared with pipeline_rag_retrieval (llm_pipeline.py):
+# d -> per-doc token list, c -> chunk count, chunk_x -> one row per chunk
+# with its exact text (the same d/c/x pipeline the Spark helper builds)
+CHUNK_CTES_SQL = f"""
+    d AS (
         SELECT doc_id, {_TOKS} AS w, CAST(len({_TOKS}) AS BIGINT) AS n
         FROM documents
     ),
@@ -626,8 +626,8 @@ CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
                              // {CHUNK_STRIDE} END AS n_chunks
         FROM d
     ),
-    x AS (
-        SELECT doc_id, n, n_chunks,
+    chunk_x AS (
+        SELECT doc_id, n, n_chunks, ci,
                CASE WHEN n - ci * {CHUNK_STRIDE} < {CHUNK_TOKENS}
                     THEN n - ci * {CHUNK_STRIDE}
                     ELSE {CHUNK_TOKENS} END AS chunk_len,
@@ -639,35 +639,21 @@ CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
                                       ELSE {CHUNK_TOKENS} END)), ' ') AS chunk_text
         FROM c, unnest(generate_series(0, n_chunks - 1)) AS t(ci)
     )
-    SELECT doc_id,
-           CAST(MAX(n) AS BIGINT) AS n_tokens,
-           CAST(MAX(n_chunks) AS BIGINT) AS n_chunks,
-           CAST(SUM(chunk_len) AS BIGINT) AS covered_slots,
-           CAST(SUM({phash_sql("chunk_text")}) AS BIGINT) AS chunks_hash_sum
-    FROM x GROUP BY doc_id
-    """,
-)
-def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding-window document chunking — the RAG/context-window prep
-    stage: split each document into CHUNK_TOKENS-token chunks with a
-    CHUNK_TOKENS−CHUNK_STRIDE-token overlap, so no retrieval span
-    straddles a chunk boundary unseen.  Emits one
-    audit row per document: token count, chunk count (exact integer
-    formula, `div` both sides), total covered token slots (overlap
-    counted per chunk), and the SUM of the portable 48-bit hash of every
-    chunk's text — hash-exact evidence that BOTH engines produced
-    byte-identical chunk strings.  Scale: chunking is map-side (explode
-    before any shuffle); only (doc_id, ints) cross the groupBy shuffle —
-    chunk text is hashed in place and never shuffled (SCALING.md §1)."""
+"""
+
+
+def sliding_chunk_frame(docs: DataFrame) -> DataFrame:
+    """One row per (doc, chunk): ``doc_id, n, n_chunks, ci, chunk_len,
+    chunk_text`` — the Spark twin of ``CHUNK_CTES_SQL``'s ``chunk_x``.
+    Map-side only (explode before any shuffle); callers must hash or
+    project away ``chunk_text`` before shuffling (SCALING.md §1)."""
     chunk = F.lit(CHUNK_TOKENS).cast("long")
     stride = F.lit(CHUNK_STRIDE).cast("long")
-    docs = load_table(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id",
         tokens("text").alias("w"),
         F.size(tokens("text")).cast("long").alias("n"),
-    )
-    base = base.withColumn(
+    ).withColumn(
         "n_chunks",
         F.when(F.col("n") <= chunk, F.lit(1).cast("long")).otherwise(
             F.expr(
@@ -686,13 +672,50 @@ def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     start = F.col("ci") * stride
     chunk_len = F.least(chunk, F.col("n") - start)
-    chunk_text = F.array_join(F.slice("w", (start + 1).cast("int"), chunk_len.cast("int")), " ")
-    per_chunk = ex.select(
+    chunk_text = F.array_join(
+        F.slice("w", (start + 1).cast("int"), chunk_len.cast("int")), " "
+    )
+    return ex.select(
         "doc_id",
         "n",
         "n_chunks",
+        "ci",
         chunk_len.alias("chunk_len"),
-        portable_hash64(chunk_text).alias("chunk_h"),
+        chunk_text.alias("chunk_text"),
+    )
+
+
+@register(
+    "text_chunk_sliding",
+    oracle=f"""
+    WITH {CHUNK_CTES_SQL}
+    SELECT doc_id,
+           CAST(MAX(n) AS BIGINT) AS n_tokens,
+           CAST(MAX(n_chunks) AS BIGINT) AS n_chunks,
+           CAST(SUM(chunk_len) AS BIGINT) AS covered_slots,
+           CAST(SUM({phash_sql("chunk_text")}) AS BIGINT) AS chunks_hash_sum
+    FROM chunk_x GROUP BY doc_id
+    """,
+)
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the RAG/context-window prep
+    stage: split each document into CHUNK_TOKENS-token chunks with a
+    CHUNK_TOKENS−CHUNK_STRIDE-token overlap, so no retrieval span
+    straddles a chunk boundary unseen.  Emits one
+    audit row per document: token count, chunk count (exact integer
+    formula, `div` both sides), total covered token slots (overlap
+    counted per chunk), and the SUM of the portable 48-bit hash of every
+    chunk's text — hash-exact evidence that BOTH engines produced
+    byte-identical chunk strings.  Scale: chunking is map-side (explode
+    before any shuffle); only (doc_id, ints) cross the groupBy shuffle —
+    chunk text is hashed in place and never shuffled (SCALING.md §1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_chunk = sliding_chunk_frame(docs).select(
+        "doc_id",
+        "n",
+        "n_chunks",
+        "chunk_len",
+        portable_hash64(F.col("chunk_text")).alias("chunk_h"),
     )
     return per_chunk.groupBy("doc_id").agg(
         F.max("n").alias("n_tokens"),

@@ -54,6 +54,7 @@ SKIP_EXECUTING = {
     "scan_json_explicit_schema",
     "scan_orc_roundtrip",
     "scan_xml_roundtrip",
+    "scan_csv_malformed_quarantine",
     # bucketed saveAsTable writes both catalog tables at build time
     "layout_bucketed_colocated_join",
     "scan_schema_evolution",
