@@ -55,6 +55,7 @@ _SAMPLE_FIRST = [
     # round-6 new entries
     "scan_xml_roundtrip",
     "scan_csv_malformed_quarantine",
+    "layout_partitioned_write_prune",
     "layout_bucketed_colocated_join",
     "text_chunk_sliding",
     "multimodal_video_y4m_frames",

@@ -450,3 +450,52 @@ def layout_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFram
             F.countDistinct("o_custkey").alias("n_customers"),
         )
     )
+
+
+@register(
+    "layout_partitioned_write_prune",
+    oracle="""
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           MIN(o_orderkey) AS min_key
+    FROM orders
+    WHERE EXTRACT(YEAR FROM o_orderdate) =
+          (SELECT MIN(EXTRACT(YEAR FROM o_orderdate)) FROM orders)
+    GROUP BY 1
+    """,
+)
+def layout_partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout + static partition pruning — the
+    most common lake layout, completing the layout family (z-order,
+    compaction, bucketing, and now directory partitioning): write orders
+    partitioned by ``order_year`` directories, then filter the read-back
+    on the corpus-derived MIN year (the data-dependent dial rule — the
+    one-value collect is a bounded driver dial, the ANN-centroid
+    pattern), so the scan's ``PartitionFilters`` prune every other year
+    directory at FILE-LISTING time, before any task launches
+    (plan-asserted in ``tests/test_plan_shapes.py``; the join-driven
+    variant of the same mechanism, dynamic partition pruning, is
+    plan-asserted separately there).  At 100 TB this is the difference
+    between scanning one day/year of a fact table and scanning all of
+    it.  The oracle replays the min-year filter over the source of
+    truth, proving the partitioned round trip is lossless."""
+    import os
+    import tempfile
+    import uuid
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    o2 = orders.withColumn("order_year", F.year("o_orderdate"))
+    path = os.path.join(
+        tempfile.gettempdir(), f"hg_part_{uuid.uuid4().hex[:8]}"
+    )
+    o2.write.partitionBy("order_year").mode("overwrite").parquet(path)
+    min_year = o2.agg(F.min("order_year")).collect()[0][0]
+    back = spark.read.parquet(path).filter(F.col("order_year") == min_year)
+    return back.groupBy(
+        F.col("order_year").cast("int").alias("order_year")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.min("o_orderkey").alias("min_key"),
+    )

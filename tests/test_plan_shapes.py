@@ -416,3 +416,19 @@ def test_bucketed_join_has_no_exchange_on_join_inputs(spark):
             # never a repartition of the join keys
             assert "c_nationkey" in line
             assert "o_custkey" not in line and "c_custkey" not in line
+
+
+def test_partitioned_write_prunes_directories(spark):
+    """layout_partitioned_write_prune: the scan of the year-partitioned
+    round-trip must carry the min-year equality in PartitionFilters —
+    directory pruning at file-listing time, not task time — and the
+    pruned scan must read exactly one partition directory."""
+    import re
+
+    df = QUERIES["layout_partitioned_write_prune"](spark, SF_DIR)
+    plan = _plan(df)
+    scan = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    # attribute prints with an expr id: "(order_year#19 = 1995)"
+    assert scan and re.search(r"order_year#\d+ = \d{4}", scan[0])
+    # the equality reaches PartitionFilters (listing-time), not PushedFilters
+    assert "PushedFilters: []" in scan[0]
