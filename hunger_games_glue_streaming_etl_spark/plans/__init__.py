@@ -56,6 +56,7 @@ _SAMPLE_FIRST = [
     "scan_xml_roundtrip",
     "scan_csv_malformed_quarantine",
     "layout_partitioned_write_prune",
+    "graph_triangles_copurchase",
     "layout_bucketed_colocated_join",
     "text_chunk_sliding",
     "multimodal_video_y4m_frames",

@@ -322,3 +322,132 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     ed.unpersist()
     deg.unpersist()
     return ranks.selectExpr("node", "CAST(r AS BIGINT) AS rank_fp")
+
+
+@register(
+    "graph_triangles_copurchase",
+    oracle="""
+    WITH li AS (
+        SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 2 = 1
+    ),
+    pairs AS (
+        SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM (SELECT x AS node FROM pairs
+              UNION ALL SELECT y AS node FROM pairs)
+        GROUP BY node
+    ),
+    ori AS (
+        SELECT CASE WHEN (dx.d, p.x) < (dy.d, p.y) THEN p.x ELSE p.y END AS src,
+               CASE WHEN (dx.d, p.x) < (dy.d, p.y) THEN dy.d ELSE dx.d END AS dd,
+               CASE WHEN (dx.d, p.x) < (dy.d, p.y) THEN p.y ELSE p.x END AS dst
+        FROM pairs p
+        JOIN deg dx ON dx.node = p.x
+        JOIN deg dy ON dy.node = p.y
+    ),
+    tri AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM ori e1
+        JOIN ori e2 ON e1.src = e2.src
+                   AND (e1.dd, e1.dst) < (e2.dd, e2.dst)
+        JOIN ori e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+    )
+    SELECT
+        CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+        CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_edges,
+        CAST((SELECT SUM(d * (d - 1) // 2) FROM deg) AS BIGINT) AS n_wedges,
+        (SELECT n_triangles FROM tri) AS n_triangles
+    """,
+)
+def graph_triangles_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + wedge count (the global clustering-coefficient
+    integers) over the part co-purchase graph — the third graph workload
+    beside connected components and PageRank, and the canonical test of
+    whether a join plan survives skew: counting triangles naively joins
+    the edge list to itself on high-degree hubs and explodes.
+
+    This uses the MPC-standard DEGREE-ORDERED ORIENTATION: every
+    undirected edge points from its (degree, id)-smaller endpoint to the
+    larger, so each triangle is counted exactly once and — the scale
+    argument — every node's OUT-degree is O(√m), which bounds the wedge
+    join at O(m^1.5) total regardless of hub degrees (a hub of degree
+    100k contributes wedges only through its low-degree neighbors).
+    Wedge closure is one equi-join back to the oriented edge list.  All
+    keys are (long, long) pairs; the total order (d, id) is replayed
+    identically by the oracle's tuple comparisons, so the single output
+    row — nodes, edges, wedges, triangles — is hash-exact.
+
+    The odd-part slice (``l_partkey % 2 = 1``, pushed into the parquet
+    scan) bounds FIXTURE cost only — TPC-H's random co-purchase graph is
+    far denser (avg degree ~120) than a real catalog's, and wedges scale
+    with d²; the orientation, not the slice, is the scale mechanism."""
+    # pairs/deg/ori each feed 2-3 consumers of the final action; a pinned
+    # but unmaterialized frame executes its lineage once per consumer (r4
+    # lesson), so materialize each stage eagerly — the frames are bounded
+    # (edges ~ O(lines per order squared), degrees ~ one row per part)
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .filter(F.col("l_partkey") % 2 == 1)
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        pairs.select(F.col("x").alias("node"))
+        .unionAll(pairs.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    dx, dy = deg.alias("dx"), deg.alias("dy")
+    x_first = (F.col("dx.d") < F.col("dy.d")) | (
+        (F.col("dx.d") == F.col("dy.d")) & (F.col("x") < F.col("y"))
+    )
+    ori = (
+        pairs.join(dx, F.col("dx.node") == F.col("x"))
+        .join(dy, F.col("dy.node") == F.col("y"))
+        .select(
+            F.when(x_first, F.col("x")).otherwise(F.col("y")).alias("src"),
+            F.when(x_first, F.col("dy.d")).otherwise(F.col("dx.d")).alias("dd"),
+            F.when(x_first, F.col("y")).otherwise(F.col("x")).alias("dst"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    e1, e2, e3 = ori.alias("e1"), ori.alias("e2"), ori.alias("e3")
+    wedge_lt = (F.col("e1.dd") < F.col("e2.dd")) | (
+        (F.col("e1.dd") == F.col("e2.dd")) & (F.col("e1.dst") < F.col("e2.dst"))
+    )
+    tri = (
+        e1.join(e2, (F.col("e1.src") == F.col("e2.src")) & wedge_lt)
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.dst"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    tops = pairs.agg(F.count("*").alias("n_edges"))
+    degs = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges"),
+    )
+    return (
+        degs.crossJoin(F.broadcast(tops))
+        .crossJoin(F.broadcast(tri))
+        .select("n_nodes", "n_edges", "n_wedges", "n_triangles")
+    )
