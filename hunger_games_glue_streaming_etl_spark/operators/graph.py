@@ -277,3 +277,67 @@ def component_sizes(labels: DataFrame) -> DataFrame:
         "component_id",
         F.count("*").over(w).cast("long").alias("component_size"),
     )
+
+
+def triangle_counts(pairs: DataFrame) -> DataFrame:
+    """Exact triangle + wedge census of an undirected graph given as
+    unique ``(x, y)`` edges with ``x < y`` — one hash-exact row:
+    ``n_nodes, n_edges, n_wedges, n_triangles``.
+
+    Degree-ordered orientation (MPC-standard): every edge points from
+    its ``(degree, id)``-smaller endpoint to the larger, so each
+    triangle is counted exactly once and every out-degree is O(√m) —
+    the wedge join is bounded O(m^1.5) total no matter how large a hub's
+    degree is.  Stage frames are eagerly materialized: the closure join
+    consumes each frame 2-3 times in one action, and an unmaterialized
+    frame re-executes its lineage per consumer (measured 5× at sf0.01).
+
+    ``n_wedges`` is the UNDIRECTED wedge count Σ C(d, 2) — the global
+    clustering coefficient is ``3·n_triangles / n_wedges``."""
+    from pyspark.sql import functions as F
+
+    pairs = pairs.localCheckpoint(eager=True)
+    deg = (
+        pairs.select(F.col("x").alias("node"))
+        .unionAll(pairs.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    dx, dy = deg.alias("dx"), deg.alias("dy")
+    x_first = (F.col("dx.d") < F.col("dy.d")) | (
+        (F.col("dx.d") == F.col("dy.d")) & (F.col("x") < F.col("y"))
+    )
+    ori = (
+        pairs.join(dx, F.col("dx.node") == F.col("x"))
+        .join(dy, F.col("dy.node") == F.col("y"))
+        .select(
+            F.when(x_first, F.col("x")).otherwise(F.col("y")).alias("src"),
+            F.when(x_first, F.col("dy.d")).otherwise(F.col("dx.d")).alias("dd"),
+            F.when(x_first, F.col("y")).otherwise(F.col("x")).alias("dst"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    e1, e2, e3 = ori.alias("e1"), ori.alias("e2"), ori.alias("e3")
+    wedge_lt = (F.col("e1.dd") < F.col("e2.dd")) | (
+        (F.col("e1.dd") == F.col("e2.dd")) & (F.col("e1.dst") < F.col("e2.dst"))
+    )
+    tri = (
+        e1.join(e2, (F.col("e1.src") == F.col("e2.src")) & wedge_lt)
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.dst"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    tops = pairs.agg(F.count("*").alias("n_edges"))
+    degs = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges"),
+    )
+    return (
+        degs.crossJoin(F.broadcast(tops))
+        .crossJoin(F.broadcast(tri))
+        .select("n_nodes", "n_edges", "n_wedges", "n_triangles")
+    )

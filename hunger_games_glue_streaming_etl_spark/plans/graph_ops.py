@@ -385,10 +385,8 @@ def graph_triangles_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan) bounds FIXTURE cost only — TPC-H's random co-purchase graph is
     far denser (avg degree ~120) than a real catalog's, and wedges scale
     with d²; the orientation, not the slice, is the scale mechanism."""
-    # pairs/deg/ori each feed 2-3 consumers of the final action; a pinned
-    # but unmaterialized frame executes its lineage once per consumer (r4
-    # lesson), so materialize each stage eagerly — the frames are bounded
-    # (edges ~ O(lines per order squared), degrees ~ one row per part)
+    from ..operators.graph import triangle_counts
+
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -405,49 +403,5 @@ def graph_triangles_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y")
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    deg = (
-        pairs.select(F.col("x").alias("node"))
-        .unionAll(pairs.select(F.col("y").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("d"))
-        .localCheckpoint(eager=True)
-    )
-    dx, dy = deg.alias("dx"), deg.alias("dy")
-    x_first = (F.col("dx.d") < F.col("dy.d")) | (
-        (F.col("dx.d") == F.col("dy.d")) & (F.col("x") < F.col("y"))
-    )
-    ori = (
-        pairs.join(dx, F.col("dx.node") == F.col("x"))
-        .join(dy, F.col("dy.node") == F.col("y"))
-        .select(
-            F.when(x_first, F.col("x")).otherwise(F.col("y")).alias("src"),
-            F.when(x_first, F.col("dy.d")).otherwise(F.col("dx.d")).alias("dd"),
-            F.when(x_first, F.col("y")).otherwise(F.col("x")).alias("dst"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    e1, e2, e3 = ori.alias("e1"), ori.alias("e2"), ori.alias("e3")
-    wedge_lt = (F.col("e1.dd") < F.col("e2.dd")) | (
-        (F.col("e1.dd") == F.col("e2.dd")) & (F.col("e1.dst") < F.col("e2.dst"))
-    )
-    tri = (
-        e1.join(e2, (F.col("e1.src") == F.col("e2.src")) & wedge_lt)
-        .join(
-            e3,
-            (F.col("e3.src") == F.col("e1.dst"))
-            & (F.col("e3.dst") == F.col("e2.dst")),
-        )
-        .agg(F.count("*").alias("n_triangles"))
-    )
-    tops = pairs.agg(F.count("*").alias("n_edges"))
-    degs = deg.agg(
-        F.count("*").alias("n_nodes"),
-        F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges"),
-    )
-    return (
-        degs.crossJoin(F.broadcast(tops))
-        .crossJoin(F.broadcast(tri))
-        .select("n_nodes", "n_edges", "n_wedges", "n_triangles")
-    )
+    return triangle_counts(pairs)

@@ -697,3 +697,31 @@ def test_sq8_ann_recall_and_determinism(spark):
     assert [(r.vec_id, r.sq8_score) for r in rerun] == [
         (r.vec_id, r.sq8_score) for r in approx
     ]
+
+
+def test_triangle_counts_planted_graphs(spark):
+    """triangle_counts on graphs with known censuses: K4 (4 triangles,
+    12 wedges), a 4-cycle (0 triangles, 4 wedges), and two triangles
+    sharing one edge (the bowtie-with-shared-edge: K4 minus one edge —
+    2 triangles).  Also pins that a hub star (no closures) yields zero
+    triangles while its wedges count fully."""
+    from hunger_games_glue_streaming_etl_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    def census(edges):
+        df = spark.createDataFrame(edges, "x long, y long")
+        [row] = triangle_counts(df).collect()
+        return (row.n_nodes, row.n_edges, row.n_wedges, row.n_triangles)
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    assert census(k4) == (4, 6, 12, 4)
+
+    cycle4 = [(1, 2), (2, 3), (3, 4), (1, 4)]
+    assert census(cycle4) == (4, 4, 4, 0)
+
+    shared_edge = [(1, 2), (1, 3), (2, 3), (1, 4), (2, 4)]  # K4 minus (3,4)
+    assert census(shared_edge) == (4, 5, 8, 2)
+
+    star = [(1, k) for k in range(2, 8)]  # hub of degree 6
+    assert census(star) == (7, 6, 15, 0)
