@@ -57,6 +57,8 @@ _SAMPLE_FIRST = [
     "scan_csv_malformed_quarantine",
     "layout_partitioned_write_prune",
     "graph_triangles_copurchase",
+    "event_session_window_fn",
+    "dq_table_fingerprint",
     "layout_bucketed_colocated_join",
     "text_chunk_sliding",
     "multimodal_video_y4m_frames",

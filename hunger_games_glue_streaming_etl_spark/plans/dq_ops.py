@@ -270,3 +270,81 @@ def dq_table_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(diff_class.alias("diff_class"))
         .agg(F.count("*").alias("n_rows"))
     )
+
+
+def _fp_sql(table: str, concat_expr: str) -> str:
+    # the portable 48-bit hash including its seed prefix ("0:"), mirroring
+    # functions.text.portable_hash64(col, seed=0)
+    h = "CAST(('0x' || substr(md5('0:' || fp_src), 1, 12)) AS BIGINT)"
+    return f"""
+        SELECT '{table}' AS table_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM({h}) AS BIGINT) AS fp_sum,
+               CAST(BIT_XOR({h}) AS BIGINT) AS fp_xor
+        FROM (SELECT {concat_expr} AS fp_src FROM {table})
+    """
+
+
+@register(
+    "dq_table_fingerprint",
+    oracle=f"""
+    {_fp_sql("orders",
+             "concat_ws('|', o_orderkey, o_custkey, o_orderstatus, "
+             "o_orderpriority, epoch_us(o_orderdate))")}
+    UNION ALL
+    {_fp_sql("customer",
+             "concat_ws('|', c_custkey, c_name, c_nationkey, c_mktsegment)")}
+    """,
+)
+def dq_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table fingerprints — the cross-engine/replica
+    equality check this whole repo's oracle gate is built on, exposed as
+    an operator: per table, SUM and BIT_XOR of the portable 48-bit hash
+    of a canonical row rendering (integer/string/epoch-µs columns only —
+    float columns never enter a fingerprint, the rendering rule that
+    keeps both engines byte-identical).  Two replicas agree iff
+    (n_rows, fp_sum, fp_xor) agree, regardless of row order, file
+    layout, or partitioning — SUM and XOR are commutative/associative,
+    so at 100 TB the fingerprint is a pure map-side partial aggregate
+    (one row per partition crosses the wire) and fingerprints of
+    disjoint shards MERGE by adding/xoring, the sketch-tier mergeability
+    argument applied to integrity checking."""
+    from ..functions.text import portable_hash64
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+
+    def fp(df: DataFrame, name: str, cols) -> DataFrame:
+        src = F.concat_ws("|", *cols)
+        h = portable_hash64(src)
+        return df.select(h.alias("h")).agg(
+            F.lit(name).alias("table_name"),
+            F.count("*").alias("n_rows"),
+            F.sum("h").alias("fp_sum"),
+            F.expr("bit_xor(h)").alias("fp_xor"),
+        )
+    o = fp(
+        orders,
+        "orders",
+        [
+            F.col("o_orderkey"),
+            F.col("o_custkey"),
+            F.col("o_orderstatus"),
+            F.col("o_orderpriority"),
+            # o_orderdate arrives TIMESTAMP_NTZ; the tz-independent NTZ
+            # bridge (same as sources/batch.load_table) makes unix_micros
+            # equal DuckDB's epoch_us of the naive value
+            F.unix_micros(F.to_utc_timestamp(F.col("o_orderdate"), "UTC")),
+        ],
+    )
+    c = fp(
+        customer,
+        "customer",
+        [
+            F.col("c_custkey"),
+            F.col("c_name"),
+            F.col("c_nationkey"),
+            F.col("c_mktsegment"),
+        ],
+    )
+    return o.unionAll(c)

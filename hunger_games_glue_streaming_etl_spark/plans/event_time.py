@@ -587,3 +587,63 @@ def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("v").isNull().alias("is_gap"),
         interp.alias("v_interp"),
     )
+
+
+@register(
+    "event_session_window_fn",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, epoch_us(ts) AS us, value, event_id,
+               CASE WHEN epoch_us(ts)
+                         - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id)
+                         >= 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, us, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS sid
+        FROM gaps
+    )
+    SELECT user_id,
+           MIN(us) AS session_start_us,
+           MAX(us) + 1800000000 AS session_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS session_value
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+)
+def event_session_window_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window()`` in BATCH — the declarative twin of the
+    manual lag-gap sessionization (`sessionize_batch`): one groupBy, no
+    window-function passes, and Spark's own merge logic builds the
+    session extents.  Semantics boundary the oracle must mirror exactly:
+    ``session_window`` merges an event while it lands STRICTLY INSIDE
+    the previous event's ``[ts, ts+gap)`` window, so the session break
+    condition is ``diff >= gap`` — one µs different from
+    ``sessionize_batch``'s ``diff > gap`` break, a tie class that exists
+    in integer-µs data (this is why both entries exist).  The emitted
+    ``session_window.end`` is ``last_ts + gap``, replayed as
+    ``MAX(us) + gap``.  Scale: a single (user_id)-keyed shuffle into a
+    merging session aggregation — no per-row window state."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("sw")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("sw.start").alias("session_start_us"),
+            F.unix_micros("sw.end").alias("session_end_us"),
+            "n_events",
+            "session_value",
+        )
+    )
