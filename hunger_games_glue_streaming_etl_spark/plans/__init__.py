@@ -59,6 +59,7 @@ _SAMPLE_FIRST = [
     "graph_triangles_copurchase",
     "event_session_window_fn",
     "dq_table_fingerprint",
+    "scan_nested_parquet_pruning",
     "layout_bucketed_colocated_join",
     "text_chunk_sliding",
     "multimodal_video_y4m_frames",

@@ -416,3 +416,42 @@ def scan_csv_malformed_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("first_good_name"),
         )
     )
+
+
+@register(
+    "scan_nested_parquet_pruning",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(LENGTH(o_orderpriority)) AS BIGINT) AS prio_chars
+    FROM orders GROUP BY 1
+    """,
+)
+def scan_nested_parquet_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-column pruning on a STRUCT-typed parquet layout — the
+    event-log/document shape at scale: round-trip orders with its
+    attributes nested as ``info struct<status, priority, totalprice>``,
+    then aggregate over ``info.status`` / ``info.priority`` ONLY.
+    Catalyst's nested schema pruning pushes the field selection into the
+    scan: ``ReadSchema`` carries ``info:struct<status,priority>``
+    WITHOUT ``totalprice`` (plan-asserted in
+    ``tests/test_plan_shapes.py``), so the untouched leaf's column
+    chunks are never decoded — for wide nested telemetry structs this is
+    most of the scan.  The oracle replays the aggregate from the flat
+    source of truth, proving the nest/unnest round trip is lossless."""
+    orders = load_table(spark, sf_dir, "orders")
+    nested = orders.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_totalprice").alias("totalprice"),
+        ).alias("info"),
+    )
+    path = _roundtrip_dir()
+    nested.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy(F.col("info.status").alias("status")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.length("info.priority")).alias("prio_chars"),
+    )

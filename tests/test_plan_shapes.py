@@ -432,3 +432,16 @@ def test_partitioned_write_prunes_directories(spark):
     assert scan and re.search(r"order_year#\d+ = \d{4}", scan[0])
     # the equality reaches PartitionFilters (listing-time), not PushedFilters
     assert "PushedFilters: []" in scan[0]
+
+
+def test_nested_parquet_scan_prunes_struct_leaves(spark):
+    """scan_nested_parquet_pruning: the scan's ReadSchema must carry only
+    the struct leaves the query touches (status, priority) — the
+    untouched totalprice leaf's column chunks are never decoded."""
+    df = QUERIES["scan_nested_parquet_pruning"](spark, SF_DIR)
+    plan = _plan(df)
+    scan = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan
+    line = scan[0]
+    assert "status" in line and "priority" in line
+    assert "totalprice" not in line

@@ -55,6 +55,7 @@ SKIP_EXECUTING = {
     "scan_orc_roundtrip",
     "scan_xml_roundtrip",
     "scan_csv_malformed_quarantine",
+    "scan_nested_parquet_pruning",
     # partitioned round-trip writes the year directories at build time
     "layout_partitioned_write_prune",
     # bucketed saveAsTable writes both catalog tables at build time
