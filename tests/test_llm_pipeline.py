@@ -349,3 +349,41 @@ def test_bpe_encode_matches_duckdb_replay_on_planted_edges(spark, oracle_con):
     ).collect()
     got = {r.doc_id: (r.n_tokens, r.token_str) for r in sdf}
     assert got == expect
+
+
+def test_sliding_chunk_frame_boundaries(spark):
+    """Chunk-count boundary classes: n < CHUNK (1 chunk, covered fully),
+    n == CHUNK (exactly 1), n == CHUNK+1 (2 chunks, second is the
+    STRIDE-offset tail), and a multi-chunk doc where the final chunk is
+    shorter than CHUNK."""
+    from hunger_games_glue_streaming_etl_spark.plans.text_ops import (
+        CHUNK_TOKENS,
+        CHUNK_STRIDE,
+        sliding_chunk_frame,
+    )
+
+    def doc(n):
+        return " ".join(f"w{i}" for i in range(n))
+
+    docs = spark.createDataFrame(
+        [(1, doc(5)), (2, doc(CHUNK_TOKENS)), (3, doc(CHUNK_TOKENS + 1)),
+         (4, doc(90))],
+        "doc_id long, text string",
+    )
+    rows = sliding_chunk_frame(docs).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 1 and by_doc[1][0].chunk_len == 5
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_len == CHUNK_TOKENS
+    assert len(by_doc[3]) == 2
+    tail = sorted(by_doc[3], key=lambda r: r.ci)[1]
+    assert tail.chunk_len == CHUNK_TOKENS + 1 - CHUNK_STRIDE
+    assert tail.chunk_text.startswith(f"w{CHUNK_STRIDE} ")
+    # 90 tokens: 1 + ceil((90-32)/24) = 4 chunks; last starts at 72, len 18
+    four = sorted(by_doc[4], key=lambda r: r.ci)
+    assert len(four) == 4
+    assert four[-1].chunk_len == 90 - 3 * CHUNK_STRIDE
+    # every chunk's text has exactly chunk_len tokens
+    for r in rows:
+        assert len(r.chunk_text.split(" ")) == r.chunk_len
