@@ -60,6 +60,9 @@ _SAMPLE_FIRST = [
     "event_session_window_fn",
     "dq_table_fingerprint",
     "scan_nested_parquet_pruning",
+    "udf_map_in_arrow",
+    "udf_cogrouped_orders_profile",
+    "timeseries_ohlc_hourly",
     "layout_bucketed_colocated_join",
     "text_chunk_sliding",
     "multimodal_video_y4m_frames",

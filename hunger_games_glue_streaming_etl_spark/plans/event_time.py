@@ -647,3 +647,66 @@ def event_session_window_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_value",
         )
     )
+
+
+@register(
+    "timeseries_ohlc_hourly",
+    oracle="""
+    WITH t AS (
+        SELECT event_type,
+               epoch_us(ts) // 3600000000 AS hour_idx,
+               value, ts, event_id,
+               ROW_NUMBER() OVER (PARTITION BY event_type,
+                                               epoch_us(ts) // 3600000000
+                                  ORDER BY ts, event_id) AS rn_open,
+               ROW_NUMBER() OVER (PARTITION BY event_type,
+                                               epoch_us(ts) // 3600000000
+                                  ORDER BY ts DESC, event_id DESC) AS rn_close
+        FROM events
+    )
+    SELECT event_type, CAST(hour_idx AS BIGINT) AS hour_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(CASE WHEN rn_open = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MIN(CASE WHEN rn_close = 1 THEN value END) AS close
+    FROM t
+    GROUP BY 1, 2
+    """,
+)
+def timeseries_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling — the time-series bar aggregation (metrics
+    roll-ups, market bars, sensor decimation): per (event_type, hour),
+    the first/last values by the unique (ts, event_id) order plus
+    min/max.  Open/close are ORDER-STATISTIC SELECTIONS of existing
+    doubles (no arithmetic — hash-exact without rounding), ranked by the
+    registry's unique-tiebreak rule; high/low are order-free MIN/MAX.
+    Scale: one shuffle on the (type, hour) grain; the rank windows run
+    inside each grain's partition — at 100 TB the grain count grows with
+    the data while per-grain cardinality stays bounded by the bar
+    width."""
+    events = load_table(spark, sf_dir, "events")
+    hour_idx = F.expr("unix_micros(ts) div 3600000000")
+    base = events.select(
+        "event_type", hour_idx.alias("hour_idx"), "value", "ts", "event_id"
+    )
+    w_open = Window.partitionBy("event_type", "hour_idx").orderBy(
+        "ts", "event_id"
+    )
+    w_close = Window.partitionBy("event_type", "hour_idx").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    ranked = base.select(
+        "event_type",
+        "hour_idx",
+        "value",
+        F.row_number().over(w_open).alias("rn_open"),
+        F.row_number().over(w_close).alias("rn_close"),
+    )
+    return ranked.groupBy("event_type", "hour_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min(F.when(F.col("rn_open") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.min(F.when(F.col("rn_close") == 1, F.col("value"))).alias("close"),
+    )

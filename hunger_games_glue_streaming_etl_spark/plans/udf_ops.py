@@ -186,3 +186,113 @@ def udaf_grouped_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.round(_median_udaf("l_extendedprice"), 4).alias("median_price")
     )
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT (o_orderkey * 31 + o_custkey) % 97 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           MIN(o_orderkey) AS min_key
+    FROM orders GROUP BY 1
+    """,
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` — the zero-copy Python surface below the pandas
+    tier: batches arrive as raw ``pyarrow.RecordBatch`` (no pandas
+    conversion cost, no index semantics), the right lane for columnar
+    kernels that speak Arrow natively (tokenizers, Arrow-compute, FFI
+    codecs).  The kernel derives an integer bucket with ``pyarrow.
+    compute`` only — the whole Python stage is Arrow-vectorized, and
+    the SQL aggregate on top proves the stage composes with ordinary
+    Catalyst plans.  Closed-form integer output, hash-exact."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def bucketize(batches):
+        for batch in batches:
+            k = batch.column("o_orderkey")
+            c = batch.column("o_custkey")
+            bucket = pc.add(
+                pc.multiply(k, pa.scalar(31, pa.int64())), c
+            )
+            bucket = pc.subtract(
+                bucket,
+                pc.multiply(
+                    pc.divide(bucket, pa.scalar(97, pa.int64())),
+                    pa.scalar(97, pa.int64()),
+                ),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [k, bucket], names=["o_orderkey", "bucket"]
+            )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    mapped = orders.mapInArrow(bucketize, "o_orderkey long, bucket long")
+    return mapped.groupBy("bucket").agg(
+        F.count("*").alias("n_orders"),
+        F.min("o_orderkey").alias("min_key"),
+    )
+
+
+@register(
+    "udf_cogrouped_orders_profile",
+    oracle="""
+    SELECT c.c_custkey,
+           CAST(c.c_nationkey AS BIGINT) AS nationkey,
+           CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(COALESCE(o.key_sum, 0) AS BIGINT) AS order_key_sum
+    FROM customer c
+    LEFT JOIN (
+        SELECT o_custkey, COUNT(*) AS n_orders, SUM(o_orderkey) AS key_sum
+        FROM orders GROUP BY o_custkey
+    ) o ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey % 10 = 3
+    """,
+)
+def udf_cogrouped_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map (``groupBy().cogroup().applyInPandas``) — the
+    two-sided Arrow UDF surface: for each customer key, the kernel
+    receives the customer's rows AND that customer's orders as two
+    pandas frames in one call (either side possibly empty — customers
+    without orders must still emit, which the LEFT JOIN oracle pins).
+    The modular key filter keeps the fixture's group count bounded; the
+    kernel itself is pure integer arithmetic.  Scale shape: cogroup is
+    ONE co-partitioned shuffle of both sides on the key — the same
+    exchange a join would pay — with the per-key logic in an Arrow
+    batch, the escape hatch for merge logic SQL can't express (custom
+    as-of rules, per-entity reconciliation)."""
+    import pandas as pd
+
+    def profile(key, cust: pd.DataFrame, orders: pd.DataFrame) -> pd.DataFrame:
+        if cust.empty:
+            return pd.DataFrame(
+                columns=["c_custkey", "nationkey", "n_orders", "order_key_sum"]
+            )
+        return pd.DataFrame(
+            {
+                "c_custkey": [int(key[0])],
+                "nationkey": [int(cust["c_nationkey"].iloc[0])],
+                "n_orders": [int(len(orders))],
+                "order_key_sum": [int(orders["o_orderkey"].sum()) if len(orders) else 0],
+            }
+        )
+
+    customer = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 10 == 3)
+        .select("c_custkey", "c_nationkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey"
+    )
+    return (
+        customer.groupBy("c_custkey")
+        .cogroup(orders.groupBy("o_custkey"))
+        .applyInPandas(
+            profile,
+            "c_custkey long, nationkey long, n_orders long, order_key_sum long",
+        )
+    )
