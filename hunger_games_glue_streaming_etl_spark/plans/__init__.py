@@ -63,6 +63,10 @@ _SAMPLE_FIRST = [
     "udf_map_in_arrow",
     "udf_cogrouped_orders_profile",
     "timeseries_ohlc_hourly",
+    "udf_grouped_apply_in_arrow",
+    "q18_large_orders",
+    "q12_late_lines_priority",
+    "q21_waiting_supplier",
     "layout_bucketed_colocated_join",
     "text_chunk_sliding",
     "multimodal_video_y4m_frames",

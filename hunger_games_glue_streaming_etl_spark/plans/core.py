@@ -402,3 +402,161 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, a["seg"].eqNullSafe(b["seg"])).select(
         a["seg"], "n_customers", "total_bal"
     )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+    WITH per_order AS (
+        SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+        FROM lineitem GROUP BY 1
+    ),
+    dial AS (
+        SELECT FLOOR(2.0 * SUM(sum_qty) / COUNT(*)) AS thr FROM per_order
+    )
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+    FROM per_order CROSS JOIN dial
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    WHERE sum_qty > thr
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): aggregate the fact to
+    per-order totals, threshold, then rejoin order/customer detail.  The
+    threshold is CORPUS-DERIVED (2× the mean per-order quantity via a
+    1-row broadcast dial — the round-4 data-dependent-dial pattern), so
+    the selectivity survives any scale-up where a fixed '300' would go
+    vacuous or degenerate.  Plan at scale: one fact shuffle for the
+    per-order aggregate; the detail rejoin keys on orderkey (the
+    aggregate's own partitioning — no second fact shuffle of lineitem);
+    customer broadcasts.  ``sum_qty`` is a sum of integer-valued doubles
+    (exact in any order, hash-safe); ``o_totalprice`` passes through with
+    no arithmetic."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    per_order = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("sum_qty"))
+    dial = per_order.agg(
+        F.floor(F.lit(2.0) * F.sum("sum_qty") / F.count("*")).alias("thr")
+    )
+    big = per_order.crossJoin(F.broadcast(dial)).filter(
+        F.col("sum_qty") > F.col("thr")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+    )
+
+
+@register(
+    "q12_late_lines_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late_60,
+           CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 365 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late_365
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+)
+def q12_late_lines_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-delay audit; the fixtures carry no
+    shipmode/commit/receipt columns, so lateness is ship-lag vs the order
+    date): per order priority, line counts in two lateness bands via
+    CASE-inside-SUM.  Interval arithmetic runs on the NTZ timestamps
+    directly (comparison only — no epoch extraction, so no NTZ bridge
+    needed; both engines compare identical µs wall-times).  Pure integer
+    counts, hash-exact.  Plan at scale: one orderkey shuffle join, then a
+    5-group aggregate with map-side partials."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    late = lambda days: F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {days} DAYS"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.when(late(60), 1).otherwise(0)).alias("n_late_60"),
+            F.sum(F.when(late(365), 1).otherwise(0)).alias("n_late_365"),
+        )
+    )
+
+
+@register(
+    "q21_waiting_supplier",
+    oracle="""
+    WITH late AS (
+        SELECT l.l_orderkey AS okey, l.l_suppkey AS skey
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL 365 DAY
+        GROUP BY 1, 2
+    ),
+    allsupp AS (
+        SELECT l_orderkey AS okey, l_suppkey AS skey FROM lineitem GROUP BY 1, 2
+    )
+    SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM late
+    JOIN supplier ON s_suppkey = late.skey
+    WHERE EXISTS (SELECT 1 FROM allsupp a
+                  WHERE a.okey = late.okey AND a.skey <> late.skey)
+      AND NOT EXISTS (SELECT 1 FROM late l2
+                      WHERE l2.okey = late.okey AND l2.skey <> late.skey)
+    GROUP BY 1, 2
+    """,
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): a supplier is
+    counted for each multi-supplier order where it was the SOLE late
+    supplier — the dual-correlation EXISTS (another supplier shipped) +
+    NOT EXISTS (no other supplier was late) pattern, expressed as a
+    left-semi then left-anti join on (orderkey-equi, suppkey-not-equal)
+    conditions.  Lateness = ship-lag > 365 days (the fixtures' wide
+    synthetic lag band makes this selective: ~15% of late pairs survive
+    the sole-late filter).  Plan at scale: the late/allsupp sets are
+    keys-only DISTINCTs; both semi and anti joins shuffle on orderkey
+    alone with the supplier inequality evaluated post-match; supplier
+    name resolves via broadcast.  Integer counts, hash-exact."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS")
+        )
+        .selectExpr("l_orderkey AS okey", "l_suppkey AS skey")
+        .distinct()
+    )
+    allsupp = (
+        li.selectExpr("l_orderkey AS okey2", "l_suppkey AS skey2").distinct()
+    )
+    with_other = late.join(
+        allsupp,
+        (F.col("okey") == F.col("okey2")) & (F.col("skey") != F.col("skey2")),
+        "left_semi",
+    )
+    late_other = late.selectExpr("okey AS okey3", "skey AS skey3")
+    sole = with_other.join(
+        late_other,
+        (F.col("okey") == F.col("okey3")) & (F.col("skey") != F.col("skey3")),
+        "left_anti",
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole.groupBy("skey")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(supplier), F.col("skey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+    )

@@ -296,3 +296,52 @@ def udf_cogrouped_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey long, nationkey long, n_orders long, order_key_sum long",
         )
     )
+
+
+@register(
+    "udf_grouped_apply_in_arrow",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+           MIN(l_extendedprice) AS min_price
+    FROM lineitem GROUP BY 1
+    """,
+)
+def udf_grouped_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map ``applyInArrow`` — the raw-Arrow sibling of
+    ``applyInPandas`` (whole group arrives as ONE ``pyarrow.Table``, no
+    pandas conversion), completing the Arrow UDF quartet alongside
+    ``mapInArrow``, cogrouped ``applyInPandas``, and the pandas
+    grouped-map.  The kernel casts the integer-valued double quantities
+    to int64 BEFORE summing (Arrow's safe cast throws on any lossy value,
+    guarding the exactness assumption; the BIGINT sum is then
+    order-independent), counts rows, and takes an arithmetic-free MIN —
+    all hash-exact.  Scale shape: one shuffle on the group key; groups
+    stream through as Arrow batches with constant per-group output."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def summarize(table: "pa.Table") -> "pa.Table":
+        qty = pc.cast(table.column("l_quantity"), pa.int64())
+        return pa.table(
+            {
+                "l_returnflag": pa.array(
+                    [table.column("l_returnflag")[0].as_py()], pa.string()
+                ),
+                "n_lines": pa.array([table.num_rows], pa.int64()),
+                "qty_sum": pa.array([pc.sum(qty).as_py()], pa.int64()),
+                "min_price": pa.array(
+                    [pc.min_max(table.column("l_extendedprice"))["min"].as_py()],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    return li.groupBy("l_returnflag").applyInArrow(
+        summarize,
+        "l_returnflag string, n_lines long, qty_sum long, min_price double",
+    )
