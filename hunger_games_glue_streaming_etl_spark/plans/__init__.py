@@ -67,6 +67,8 @@ _SAMPLE_FIRST = [
     "q18_large_orders",
     "q12_late_lines_priority",
     "q21_waiting_supplier",
+    "sink_python_datasource_write",
+    "curriculum_length_buckets",
     "layout_bucketed_colocated_join",
     "text_chunk_sliding",
     "multimodal_video_y4m_frames",

@@ -1087,3 +1087,77 @@ def pipeline_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "score",
         )
     )
+
+
+@register(
+    "curriculum_length_buckets",
+    oracle="""
+    WITH counts AS (
+        SELECT lang, n_chars, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT lang, n_chars, cnt,
+               SUM(cnt) OVER (PARTITION BY lang ORDER BY n_chars
+                              ROWS UNBOUNDED PRECEDING) - cnt AS cum_before,
+               SUM(cnt) OVER (PARTITION BY lang) AS total
+        FROM counts
+    ),
+    assigned AS (
+        SELECT lang, n_chars, cnt,
+               LEAST(3, CAST(cum_before * 4 // total AS BIGINT)) AS bucket
+        FROM cum
+    )
+    SELECT lang, bucket,
+           CAST(SUM(cnt) AS BIGINT) AS n_docs,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM assigned
+    GROUP BY 1, 2
+    """,
+)
+def curriculum_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching (curriculum / padding-efficiency): per
+    language, documents are split into 4 equal-population length quartile
+    buckets — the standard trick for minimizing pad tokens in batched
+    training and for length-ordered curricula.
+
+    NOT a global NTILE: ranking every document per language is a
+    single-reducer-per-language window at 100 TB.  Instead the quantile
+    machinery runs over the (lang, n_chars) COUNT table — the bounded
+    distinct-value domain (≤ the length range, thousands of rows at any
+    corpus size) — exactly the winsorize entry's discipline: documents
+    contribute one count-shuffle; the bucket edges come from an integer
+    cumulative-count window over the tiny domain table.  All integer
+    arithmetic (``cum_before * 4 // total``), hash-exact; ties share a
+    bucket deterministically because assignment keys on the length value,
+    never on row order."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang", "n_chars").agg(F.count("*").alias("cnt"))
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("lang")
+    cum = counts.select(
+        "lang",
+        "n_chars",
+        "cnt",
+        (F.sum("cnt").over(w_cum) - F.col("cnt")).alias("cum_before"),
+        F.sum("cnt").over(w_tot).alias("total"),
+    )
+    assigned = cum.select(
+        "lang",
+        "n_chars",
+        "cnt",
+        F.least(
+            F.lit(3),
+            F.expr("cum_before * 4 div total"),
+        ).alias("bucket"),
+    )
+    return assigned.groupBy("lang", "bucket").agg(
+        F.sum("cnt").alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )

@@ -455,3 +455,44 @@ def scan_nested_parquet_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.sum(F.length("info.priority")).alias("prio_chars"),
     )
+
+
+@register(
+    "sink_python_datasource_write",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+           MIN(doc_id) AS min_doc_id
+    FROM documents GROUP BY lang
+    """,
+)
+def sink_python_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE path of the Python DataSource API (`DataSource.writer`):
+    documents' metadata columns stream through the custom ``jsonl_sink``
+    format — per-task atomic-rename file commit, then a driver-side job
+    commit that records ONLY surviving task files in a ``_SUCCESS``
+    manifest (the Hadoop commit-protocol shape; see
+    ``sources/pydatasource.py:JsonlSinkWriter``).  The manifest-driven
+    read-back aggregates to the same totals as the source table, so the
+    oracle pins the whole write→commit→read cycle losslessly.  Text never
+    enters the sink — only (doc_id, lang, n_chars) — keeping the written
+    bytes key-sized."""
+    import os
+
+    from ..sources.pydatasource import read_jsonl_sink, register_synthetic_source
+
+    register_synthetic_source(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    path = _roundtrip_dir()
+    docs.write.format("jsonl_sink").option("path", path).mode("append").save()
+    back = read_jsonl_sink(
+        spark, path, "doc_id long, lang string, n_chars long"
+    )
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("chars_sum"),
+        F.min("doc_id").alias("min_doc_id"),
+    )

@@ -24,8 +24,10 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 
@@ -150,9 +152,10 @@ class SyntheticEventsPushdownSource(SyntheticEventsDataSource):
 
 
 def register_synthetic_source(spark) -> None:
-    """Idempotently register both custom formats on this session."""
+    """Idempotently register the custom formats on this session."""
     spark.dataSource.register(SyntheticEventsDataSource)
     spark.dataSource.register(SyntheticEventsPushdownSource)
+    spark.dataSource.register(JsonlSinkDataSource)
 
 
 class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
@@ -193,3 +196,116 @@ class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # nothing to clean up: rows are derived, not buffered
+
+
+class JsonlCommit(WriterCommitMessage):
+    """Per-task commit message: which file this task produced and how many
+    rows it holds.  Must stay picklable — it ships executor → driver."""
+
+    def __init__(self, filename: str, n_rows: int) -> None:
+        self.filename = filename
+        self.n_rows = n_rows
+
+
+class JsonlSinkWriter(DataSourceWriter):
+    """Partition-parallel JSON-lines writer with a real two-phase commit:
+
+    * ``write`` (executor, once per task): rows stream to a dot-prefixed
+      in-progress file, atomically renamed into place only when the task
+      finishes — a half-written task attempt never carries a committable
+      name.  File names carry (partitionId, attemptNumber), so a retried
+      task cannot collide with its failed attempt.
+    * ``commit`` (driver, once per job): ONLY the files named in the
+      surviving tasks' commit messages enter the ``_SUCCESS`` manifest;
+      orphans from failed/speculative attempts are left behind as
+      dot-files/unlisted files that manifest-driven readers never see.
+      This is the Hadoop commit-protocol shape (task commit → job
+      commit), which is what makes INSERT into a file sink exactly-once
+      per job at 1000 executors.  The target must be shared storage on a
+      real cluster (same contract as every file sink).
+    """
+
+    def __init__(self, options, schema, overwrite: bool) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("jsonl_sink requires .option('path', <dir>)")
+        self.path = path
+        self.columns = [f.name for f in schema.fields]
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import json
+        import os
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        fname = f"task-{ctx.partitionId():05d}-{ctx.attemptNumber()}.jsonl"
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f".{fname}.inprogress")
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(
+                    json.dumps(
+                        {c: row[c] for c in self.columns}, sort_keys=True
+                    )
+                    + "\n"
+                )
+                n += 1
+        os.replace(tmp, os.path.join(self.path, fname))
+        return JsonlCommit(fname, n)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        committed = sorted(m.filename for m in messages if m is not None)
+        manifest = {
+            "files": committed,
+            "rows": sum(m.n_rows for m in messages if m is not None),
+        }
+        with open(
+            os.path.join(self.path, "_SUCCESS"), "w", encoding="utf-8"
+        ) as fh:
+            json.dump(manifest, fh)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages or []:
+            if m is None:
+                continue
+            try:
+                os.remove(os.path.join(self.path, m.filename))
+            except OSError:
+                pass
+
+
+class JsonlSinkDataSource(DataSource):
+    """``format("jsonl_sink")``: the WRITE side of the Python DataSource
+    API (`DataSource.writer` → per-task ``DataSourceWriter.write`` →
+    driver ``commit``), completing the custom-source family next to the
+    batch/streaming/pushdown readers above.  A real deployment would
+    target its external system (REST bulk endpoint, proprietary store)
+    with the identical task-commit/job-commit shape."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def writer(self, schema, overwrite: bool) -> JsonlSinkWriter:
+        return JsonlSinkWriter(self.options, schema, overwrite)
+
+
+def read_jsonl_sink(spark, path: str, schema):
+    """Manifest-driven read-back: load ONLY the files the job commit
+    recorded in ``_SUCCESS`` — uncommitted attempt output is invisible,
+    which is the reader half of the exactly-once contract."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_SUCCESS"), encoding="utf-8") as fh:
+        manifest = json.load(fh)
+    files = [os.path.join(path, f) for f in manifest["files"]]
+    return spark.read.schema(schema).json(files)

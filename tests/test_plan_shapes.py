@@ -445,3 +445,41 @@ def test_nested_parquet_scan_prunes_struct_leaves(spark):
     line = scan[0]
     assert "status" in line and "priority" in line
     assert "totalprice" not in line
+
+
+def test_jsonl_sink_commit_protocol(spark, tmp_path):
+    """The Python-DataSource writer's two-phase commit: committed files
+    land in the _SUCCESS manifest; files present in the directory but NOT
+    in the manifest (failed/speculative attempts, foreign junk) are
+    invisible to the manifest-driven reader."""
+    import json
+    import os
+
+    from hunger_games_glue_streaming_etl_spark.sources.pydatasource import (
+        read_jsonl_sink,
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    path = str(tmp_path / "sink")
+    df = spark.range(100).selectExpr(
+        "id AS doc_id", "CAST(id % 3 AS STRING) AS lang", "id * 2 AS n_chars"
+    ).repartition(4)
+    df.write.format("jsonl_sink").option("path", path).mode("append").save()
+
+    manifest = json.load(open(os.path.join(path, "_SUCCESS")))
+    assert manifest["rows"] == 100
+    assert len(manifest["files"]) == 4
+    # every committed file exists; no in-progress residue
+    for f in manifest["files"]:
+        assert os.path.exists(os.path.join(path, f))
+    assert not [f for f in os.listdir(path) if f.endswith(".inprogress")]
+
+    # plant an orphan that a directory listing WOULD pick up
+    with open(os.path.join(path, "task-99999-0.jsonl"), "w") as fh:
+        fh.write('{"doc_id": 12345, "lang": "xx", "n_chars": 1}\n')
+
+    back = read_jsonl_sink(spark, path, "doc_id long, lang string, n_chars long")
+    assert back.count() == 100
+    assert back.filter("lang = 'xx'").count() == 0
+    assert back.agg({"n_chars": "sum"}).collect()[0][0] == sum(i * 2 for i in range(100))

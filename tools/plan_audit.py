@@ -58,6 +58,8 @@ SKIP_EXECUTING = {
     "scan_nested_parquet_pruning",
     # partitioned round-trip writes the year directories at build time
     "layout_partitioned_write_prune",
+    # custom Python-DataSource sink writes + commits at build time
+    "sink_python_datasource_write",
     # bucketed saveAsTable writes both catalog tables at build time
     "layout_bucketed_colocated_join",
     "scan_schema_evolution",
