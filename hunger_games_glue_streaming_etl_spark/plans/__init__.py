@@ -69,6 +69,9 @@ _SAMPLE_FIRST = [
     "q21_waiting_supplier",
     "sink_python_datasource_write",
     "curriculum_length_buckets",
+    "incremental_agg_merge",
+    "agg_boolean_countif",
+    "sql_cache_table",
     "layout_bucketed_colocated_join",
     "text_chunk_sliding",
     "multimodal_video_y4m_frames",

@@ -536,3 +536,77 @@ def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.median("l_quantity").alias("median_qty"),
         F.count("*").alias("n_rows"),
     )
+
+
+@register(
+    "incremental_agg_merge",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+           MAX(l_extendedprice) AS max_price
+    FROM lineitem GROUP BY 1
+    """,
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (the materialized-view / streaming
+    state-merge shape): the fact splits into a BASE shard (~75%) and a
+    DELTA batch (~25%) on a deterministic key predicate; each side
+    aggregates to per-group PARTIALS (count, BIGINT quantity sum, max),
+    and the partials MERGE associatively — count+count, sum+sum,
+    max-of-max — into totals the oracle pins against a direct full-table
+    recompute.  The hash match IS the merge law: partials from disjoint
+    shards combine into exactly the one-pass answer, which is (a) what
+    map-side combine exploits inside every shuffle, and (b) what lets a
+    100 TB nightly delta fold into stored rollup state without
+    rescanning base — the incremental-MV contract.  COUNT DISTINCT is
+    deliberately absent: it is NOT mergeable this way (that gap is the
+    portable-sketch tier's job, `plans/sketch_ops.py`)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("l_returnflag").agg(
+            F.count("*").alias("p_count"),
+            F.sum(F.col("l_quantity").cast("long")).alias("p_qty"),
+            F.max("l_extendedprice").alias("p_max"),
+        )
+    base = partials(li.filter(F.col("l_orderkey") % 4 != 3))
+    delta = partials(li.filter(F.col("l_orderkey") % 4 == 3))
+    return (
+        base.unionByName(delta)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("p_count").alias("n_lines"),
+            F.sum("p_qty").alias("qty_sum"),
+            F.max("p_max").alias("max_price"),
+        )
+    )
+
+
+@register(
+    "agg_boolean_countif",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT_IF(n_chars > 200) AS BIGINT) AS n_long,
+           BOOL_AND(n_chars > 20) AS all_nontrivial,
+           BOOL_OR(n_chars > 500) AS any_huge,
+           CAST(COUNT_IF(source = 'web') AS BIGINT) AS n_web
+    FROM documents GROUP BY lang
+    """,
+)
+def agg_boolean_countif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/conditional aggregate functions — ``count_if``,
+    ``bool_and``/``every``, ``bool_or``/``any`` — the predicate-rollup
+    vocabulary data-quality dashboards are written in (the expectation
+    "every doc non-trivial, none oversized, N matching" as ONE aggregate
+    pass instead of N filtered scans).  All outputs are booleans/BIGINTs
+    from predicates on stored integers: hash-exact, order-free,
+    map-side-combinable like any algebraic aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count_if(F.col("n_chars") > 200).alias("n_long"),
+        F.bool_and(F.col("n_chars") > 20).alias("all_nontrivial"),
+        F.bool_or(F.col("n_chars") > 500).alias("any_huge"),
+        F.count_if(F.col("source") == "web").alias("n_web"),
+    )

@@ -163,3 +163,46 @@ def sql_session_variable_dial(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY lang
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# 4) CACHE TABLE — the SQL caching surface (late round 6).
+
+
+@register(
+    "sql_cache_table",
+    oracle="""
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def sql_cache_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``CACHE [LAZY] TABLE ... AS SELECT`` — the SQL front end of the
+    reference's dim-caching op (A6, `.cache()` on the joined dims): a
+    projected cached view whose first action materializes it into the
+    in-memory columnar store (InMemoryRelation; plan-asserted in
+    `tests/test_plan_shapes.py`), so every later query over it skips the
+    source scan.  LAZY so registration itself stays plan-only.  The
+    cached projection carries only (lang, source, n_chars) — the
+    column-pruned footprint is what makes dim caching viable at scale;
+    caching the raw text column would be the anti-pattern.  UNCACHE +
+    DROP first keeps the entry idempotent across a long-lived session."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "docs_cache_src"
+    )
+    spark.sql("UNCACHE TABLE IF EXISTS docs_cached")
+    spark.sql("DROP VIEW IF EXISTS docs_cached")
+    spark.sql(
+        "CACHE LAZY TABLE docs_cached AS "
+        "SELECT lang, source, n_chars FROM docs_cache_src"
+    )
+    return spark.sql(
+        """
+        SELECT lang, source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               SUM(n_chars) AS chars_sum
+        FROM docs_cached GROUP BY 1, 2
+        """
+    )

@@ -483,3 +483,11 @@ def test_jsonl_sink_commit_protocol(spark, tmp_path):
     assert back.count() == 100
     assert back.filter("lang = 'xx'").count() == 0
     assert back.agg({"n_chars": "sum"}).collect()[0][0] == sum(i * 2 for i in range(100))
+
+
+def test_sql_cache_table_plans_in_memory_scan(spark):
+    """sql_cache_table's query must read the cached columnar relation
+    (InMemoryRelation / InMemoryTableScan), not re-scan parquet."""
+    df = QUERIES["sql_cache_table"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" in plan
