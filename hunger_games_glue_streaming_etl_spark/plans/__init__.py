@@ -72,6 +72,9 @@ _SAMPLE_FIRST = [
     "incremental_agg_merge",
     "agg_boolean_countif",
     "sql_cache_table",
+    "scalar_map_funcs",
+    "scan_file_metadata_lineage",
+    "sql_insert_into_select",
     "layout_bucketed_colocated_join",
     "text_chunk_sliding",
     "multimodal_video_y4m_frames",

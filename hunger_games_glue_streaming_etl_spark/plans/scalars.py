@@ -274,3 +274,52 @@ def scalar_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.meta.status", "string").alias("status"),
         (F.variant_get(v, "$.meta.status", "string") == "O").alias("is_open"),
     )
+
+
+@register(
+    "scalar_map_funcs",
+    oracle="""
+    SELECT lang, source,
+           CAST(2 * COUNT(*) AS BIGINT) AS doubled,
+           CAST((SELECT COUNT(DISTINCT d2.source)
+                 FROM documents d2 WHERE d2.lang = d.lang) AS INT) AS n_keys
+    FROM documents d
+    GROUP BY lang, source
+    HAVING 2 * COUNT(*) >= 4
+    """,
+)
+def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-typed higher-order functions — the per-entity key→value rollup
+    shape (feature maps, per-source counters, config bags): per language,
+    source→count pairs fold into ONE MapType value
+    (``map_from_entries`` over a ``sort_array``-ordered entry list — the
+    sort pins entry order so the map is construction-deterministic),
+    then ``transform_values`` doubles each counter, ``map_filter`` drops
+    sparse sources, ``size`` reads key cardinality, and ``explode``
+    returns the surviving entries to rows.  The oracle replays the
+    arithmetic relationally (GROUP BY + HAVING + a correlated distinct
+    count) — maps are a LAYOUT choice, not a semantics change, which is
+    exactly why the per-entity map pattern is safe at 100 TB: the map
+    lives inside one row, never across a shuffle boundary wider than its
+    row, and cardinality is bounded by the per-entity key domain (20
+    sources here)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang", "source").agg(F.count("*").alias("cnt"))
+    maps = counts.groupBy("lang").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("source", "cnt")))
+        ).alias("m")
+    )
+    doubled = maps.select(
+        "lang",
+        F.size("m").alias("n_keys"),
+        F.map_filter(
+            F.transform_values("m", lambda k, v: v * F.lit(2)),
+            lambda k, v: v >= F.lit(4),
+        ).alias("kept"),
+    )
+    return doubled.select(
+        "lang",
+        F.explode("kept").alias("source", "doubled"),
+        "n_keys",
+    ).select("lang", "source", F.col("doubled").cast("long"), "n_keys")

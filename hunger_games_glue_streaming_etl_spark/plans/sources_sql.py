@@ -496,3 +496,47 @@ def sink_python_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("chars_sum"),
         F.min("doc_id").alias("min_doc_id"),
     )
+
+
+@register(
+    "scan_file_metadata_lineage",
+    oracle="""
+    SELECT lang AS lang_from_path,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+           MIN(doc_id) AS min_doc_id
+    FROM documents GROUP BY 1
+    """,
+)
+def scan_file_metadata_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden ``_metadata`` file columns — per-row physical lineage
+    (which file did this row come from) without any data column carrying
+    it: documents round-trip through a hive-partitioned parquet write
+    (``partitionBy("lang")``), and the read-back recovers the partition
+    value purely from ``_metadata.file_path`` via regexp — the audit /
+    quarantine-traceback / incremental-reprocessing primitive (at 100 TB
+    "which files fed this bad aggregate" beats re-deriving provenance
+    from content).  Aggregating on the path-derived key must reproduce
+    the source-table-derived totals exactly, which is what the oracle
+    pins.  ``_metadata`` is projected like any column — no extra scan
+    cost — and the partition directory name is the only path component
+    relied on (task file names are attempt-dependent and never
+    touched)."""
+    import os
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    path = _roundtrip_dir()
+    docs.write.partitionBy("lang").mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    lang_from_path = F.regexp_extract(
+        F.col("_metadata.file_path"), r"lang=([^/]+)/", 1
+    ).alias("lang_from_path")
+    return back.select(lang_from_path, "doc_id", "n_chars").groupBy(
+        "lang_from_path"
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("n_chars").alias("chars_sum"),
+        F.min("doc_id").alias("min_doc_id"),
+    )

@@ -206,3 +206,63 @@ def sql_cache_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM docs_cached GROUP BY 1, 2
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# 5) CREATE TABLE + INSERT INTO — the SQL DML write surface (late round 6).
+
+
+@register(
+    "sql_insert_into_select",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+    FROM (
+        SELECT lang, n_chars FROM documents WHERE source = 'src0'
+        UNION ALL
+        SELECT lang, n_chars FROM documents WHERE source = 'src1'
+    ) GROUP BY 1
+    """,
+)
+def sql_insert_into_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL DML writes — ``CREATE TABLE ... USING parquet`` + two
+    ``INSERT INTO ... SELECT`` batches (the warehouse ingest statement a
+    SQL-first user reaches before any DataFrame API): each INSERT is an
+    append job through the same file-commit protocol as a DataFrame
+    write, so batch N+1 never rewrites batch N's files — the append-only
+    ingest shape.  The aggregate over the table must equal the UNION ALL
+    of the two source selections, which the oracle pins.  Catalog
+    hygiene per the round-6 rule: managed-table warehouse dirs orphan
+    across sessions (in-memory catalog forgets, dir persists), so the
+    entry DROPs **and** rmtrees the location before creating."""
+    import os
+    import shutil
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "docs_insert_src"
+    )
+    spark.sql("DROP TABLE IF EXISTS ingest_docs")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    loc = os.path.join(warehouse.removeprefix("file:"), "ingest_docs")
+    if loc and os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
+    spark.sql(
+        "CREATE TABLE ingest_docs (lang STRING, n_chars BIGINT) USING parquet"
+    )
+    spark.sql(
+        "INSERT INTO ingest_docs "
+        "SELECT lang, n_chars FROM docs_insert_src WHERE source = 'src0'"
+    )
+    spark.sql(
+        "INSERT INTO ingest_docs "
+        "SELECT lang, n_chars FROM docs_insert_src WHERE source = 'src1'"
+    )
+    return spark.sql(
+        """
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               SUM(n_chars) AS chars_sum
+        FROM ingest_docs GROUP BY 1
+        """
+    )

@@ -60,6 +60,10 @@ SKIP_EXECUTING = {
     "layout_partitioned_write_prune",
     # custom Python-DataSource sink writes + commits at build time
     "sink_python_datasource_write",
+    # hive-partitioned round-trip writes at build time
+    "scan_file_metadata_lineage",
+    # CREATE TABLE + INSERT INTO run write jobs at build time
+    "sql_insert_into_select",
     # bucketed saveAsTable writes both catalog tables at build time
     "layout_bucketed_colocated_join",
     "scan_schema_evolution",
