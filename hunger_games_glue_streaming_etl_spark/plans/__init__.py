@@ -70,7 +70,6 @@ _SAMPLE_FIRST = [
     "sink_python_datasource_write",
     "curriculum_length_buckets",
     "incremental_agg_merge",
-    "agg_boolean_countif",
     "sql_cache_table",
     "scalar_map_funcs",
     "scan_file_metadata_lineage",

@@ -583,30 +583,3 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-
-@register(
-    "agg_boolean_countif",
-    oracle="""
-    SELECT lang,
-           CAST(COUNT_IF(n_chars > 200) AS BIGINT) AS n_long,
-           BOOL_AND(n_chars > 20) AS all_nontrivial,
-           BOOL_OR(n_chars > 500) AS any_huge,
-           CAST(COUNT_IF(source = 'web') AS BIGINT) AS n_web
-    FROM documents GROUP BY lang
-    """,
-)
-def agg_boolean_countif(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Boolean/conditional aggregate functions — ``count_if``,
-    ``bool_and``/``every``, ``bool_or``/``any`` — the predicate-rollup
-    vocabulary data-quality dashboards are written in (the expectation
-    "every doc non-trivial, none oversized, N matching" as ONE aggregate
-    pass instead of N filtered scans).  All outputs are booleans/BIGINTs
-    from predicates on stored integers: hash-exact, order-free,
-    map-side-combinable like any algebraic aggregate."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.groupBy("lang").agg(
-        F.count_if(F.col("n_chars") > 200).alias("n_long"),
-        F.bool_and(F.col("n_chars") > 20).alias("all_nontrivial"),
-        F.bool_or(F.col("n_chars") > 500).alias("any_huge"),
-        F.count_if(F.col("source") == "web").alias("n_web"),
-    )

@@ -272,6 +272,16 @@ def dq_table_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: modulus for the summed fingerprint lane.  SUM of raw 48-bit hashes
+#: overflows BIGINT past ~2^16 rows·2^47 avg (caught live: ANSI
+#: ARITHMETIC_OVERFLOW on the sf0.1 orders table), so the sum lane
+#: accumulates RESIDUES h mod P instead: bounded by P·n_rows, safe to
+#: ~9·10^12 rows, and still order-independent/mergeable.  Full-width
+#: strength stays in the BIT_XOR lane (overflow-free by nature); the
+#: residue-sum lane is what catches XOR's duplicate-pair cancellation.
+_FP_PRIME = 1048573  # largest prime < 2^20
+
+
 def _fp_sql(table: str, concat_expr: str) -> str:
     # the portable 48-bit hash including its seed prefix ("0:"), mirroring
     # functions.text.portable_hash64(col, seed=0)
@@ -279,7 +289,7 @@ def _fp_sql(table: str, concat_expr: str) -> str:
     return f"""
         SELECT '{table}' AS table_name,
                CAST(COUNT(*) AS BIGINT) AS n_rows,
-               CAST(SUM({h}) AS BIGINT) AS fp_sum,
+               CAST(SUM({h} % {_FP_PRIME}) AS BIGINT) AS fp_sum,
                CAST(BIT_XOR({h}) AS BIGINT) AS fp_xor
         FROM (SELECT {concat_expr} AS fp_src FROM {table})
     """
@@ -320,7 +330,9 @@ def dq_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         return df.select(h.alias("h")).agg(
             F.lit(name).alias("table_name"),
             F.count("*").alias("n_rows"),
-            F.sum("h").alias("fp_sum"),
+            # residue lane: SUM of raw 48-bit hashes overflows BIGINT past
+            # ~10^5 rows (ANSI overflow, caught at sf0.1) — see _FP_PRIME
+            F.sum(F.col("h") % _FP_PRIME).alias("fp_sum"),
             F.expr("bit_xor(h)").alias("fp_xor"),
         )
     o = fp(

@@ -263,7 +263,16 @@ def udf_cogrouped_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE co-partitioned shuffle of both sides on the key — the same
     exchange a join would pay — with the per-key logic in an Arrow
     batch, the escape hatch for merge logic SQL can't express (custom
-    as-of rules, per-entity reconciliation)."""
+    as-of rules, per-entity reconciliation).
+
+    The key predicate is pushed to BOTH sides before the cogroup: a
+    cogroup invokes the kernel for every key present in EITHER input, so
+    filtering only the customer side still shipped ALL orders keys into
+    the exchange and paid the per-group Arrow boundary for the ~90% of
+    groups whose customer frame was empty — measured 38.3 s at sf0.1 vs
+    3.4 s with the predicate mirrored (the boundary cost is per GROUP,
+    not per row — the round-4 small-groups lesson applied to cogroup;
+    the remaining 3.4 s is the irreducible 1500-group Arrow boundary)."""
     import pandas as pd
 
     def profile(key, cust: pd.DataFrame, orders: pd.DataFrame) -> pd.DataFrame:
@@ -285,8 +294,10 @@ def udf_cogrouped_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_custkey") % 10 == 3)
         .select("c_custkey", "c_nationkey")
     )
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderkey"
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 10 == 3)
+        .select("o_custkey", "o_orderkey")
     )
     return (
         customer.groupBy("c_custkey")

@@ -227,3 +227,29 @@ def test_bloom_packed_words_equal_position_set(spark):
         w * 64 + b for w, word in words.items() for b in range(64) if word >> b & 1
     }
     assert unpacked == pos_set and len(pos_set) > 100
+
+
+def test_table_fingerprint_merges_over_disjoint_shards(spark):
+    """dq_table_fingerprint's 100 TB claim: the (n_rows, fp_sum, fp_xor)
+    triple of a whole table equals the component-wise merge (+, +, ^) of
+    the triples of any disjoint shard split — and the residue-summed lane
+    stays within BIGINT for arbitrarily many rows (max residue < 2^20)."""
+    from hunger_games_glue_streaming_etl_spark.functions.text import portable_hash64
+    from hunger_games_glue_streaming_etl_spark.plans.dq_ops import _FP_PRIME
+
+    df = spark.range(5000).selectExpr("CAST(id AS STRING) AS fp_src")
+    h = portable_hash64(F.col("fp_src"))
+    def triple(frame):
+        r = frame.select(h.alias("h")).agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("h") % _FP_PRIME).alias("s"),
+            F.expr("bit_xor(h)").alias("x"),
+        ).collect()[0]
+        return r.n, r.s, r.x
+
+    whole = triple(df)
+    a = triple(df.filter("CAST(fp_src AS BIGINT) % 3 = 0"))
+    b = triple(df.filter("CAST(fp_src AS BIGINT) % 3 != 0"))
+    assert whole == (a[0] + b[0], a[1] + b[1], a[2] ^ b[2])
+    # residue lane bound: every term < _FP_PRIME < 2^20
+    assert whole[1] < _FP_PRIME * whole[0]
