@@ -74,6 +74,8 @@ _SAMPLE_FIRST = [
     "scalar_map_funcs",
     "scan_file_metadata_lineage",
     "sql_insert_into_select",
+    "relational_transpose",
+    "set_union_by_name_evolution",
     "layout_bucketed_colocated_join",
     "text_chunk_sliding",
     "multimodal_video_y4m_frames",

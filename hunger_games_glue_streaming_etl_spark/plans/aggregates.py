@@ -583,3 +583,45 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+
+@register(
+    "relational_transpose",
+    oracle="""
+    WITH a AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+        FROM documents GROUP BY 1
+    )
+    SELECT 'chars_sum' AS key,
+           (SELECT chars_sum FROM a WHERE lang = 'de') AS de,
+           (SELECT chars_sum FROM a WHERE lang = 'en') AS en,
+           (SELECT chars_sum FROM a WHERE lang = 'es') AS es,
+           (SELECT chars_sum FROM a WHERE lang = 'fr') AS fr,
+           (SELECT chars_sum FROM a WHERE lang = 'zh') AS zh
+    UNION ALL
+    SELECT 'n_docs',
+           (SELECT n_docs FROM a WHERE lang = 'de'),
+           (SELECT n_docs FROM a WHERE lang = 'en'),
+           (SELECT n_docs FROM a WHERE lang = 'es'),
+           (SELECT n_docs FROM a WHERE lang = 'fr'),
+           (SELECT n_docs FROM a WHERE lang = 'zh')
+    """,
+)
+def relational_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.transpose`` (Spark 4) — rows↔columns over an AGGREGATED
+    frame: per-language metrics become one column per language with the
+    metric name in ``key``, the report/BI layout flip (`relational_unpivot`
+    is the inverse direction).  Transpose collects the index column to
+    name the output columns, so it belongs strictly AFTER aggregation —
+    transposing a fact table would be the anti-pattern (column count =
+    row count); on a 5-language rollup the collected index is 5 values
+    regardless of corpus size.  The oracle reconstructs the same matrix
+    with scalar subqueries; the language set is closed (de/en/es/fr/zh at
+    every sf) so both engines emit identical column sets."""
+    docs = load_table(spark, sf_dir, "documents")
+    rollup = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("chars_sum"),
+    )
+    return rollup.transpose()

@@ -150,3 +150,41 @@ def set_ops_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ea.select(F.lit("except_all").alias("op"), "v", "n").unionByName(
         ia.select(F.lit("intersect_all").alias("op"), "v", "n")
     )
+
+
+@register(
+    "set_union_by_name_evolution",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(n_chars) AS BIGINT) AS n_with_chars,
+           CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS chars_sum
+    FROM (
+        SELECT lang, CAST(NULL AS BIGINT) AS n_chars
+        FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT lang, n_chars FROM documents WHERE doc_id % 2 = 1
+    ) GROUP BY 1
+    """,
+)
+def set_union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolving union — ``unionByName(allowMissingColumns=True)``:
+    a legacy batch (pre-evolution schema, no ``n_chars``) unions with an
+    evolved batch; the missing column NULL-backfills by NAME, not by
+    position (positional ``union`` would silently misalign columns — the
+    classic ingest bug this API exists to kill).  The COUNT(col) vs
+    COUNT(*) split in the rollup proves the backfilled NULLs land only on
+    legacy rows.  This is the reader-side `scan_schema_evolution`
+    contract applied at the set-operation level: at 100 TB, batch
+    unions across schema versions are the norm, not the exception."""
+    docs = load_table(spark, sf_dir, "documents")
+    legacy = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
+    evolved = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", "n_chars"
+    )
+    u = legacy.unionByName(evolved, allowMissingColumns=True)
+    return u.groupBy("lang").agg(
+        F.count("*").alias("n_rows"),
+        F.count("n_chars").alias("n_with_chars"),
+        F.coalesce(F.sum("n_chars"), F.lit(0)).alias("chars_sum"),
+    )
