@@ -75,6 +75,7 @@ _SAMPLE_FIRST = [
     "scan_file_metadata_lineage",
     "sql_insert_into_select",
     "relational_transpose",
+    "streaming_python_datasource_sink",
     "set_union_by_name_evolution",
     "layout_bucketed_colocated_join",
     "text_chunk_sliding",

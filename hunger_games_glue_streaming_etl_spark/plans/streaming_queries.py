@@ -734,3 +734,66 @@ def streaming_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("metric_fp").cast("long").alias("metric_sum"),
     )
     return _run_stream(spark, agg, "pysrc", output_mode="update")
+
+
+@register(
+    "streaming_python_datasource_sink",
+    oracle="""
+    SELECT CAST(r % 97 AS BIGINT) AS device_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM((r * 31) % 10007) AS BIGINT) AS metric_sum,
+           CAST(SUM(CASE WHEN r % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_idle
+    FROM range(0, 8000) t(r)
+    GROUP BY 1
+    """,
+)
+def streaming_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming WRITE through the Python DataSource sink API
+    (``DataSource.streamWriter`` → per-task ``write`` → per-micro-batch
+    ``commit(messages, batchId)``): the custom streaming source feeds
+    8,000 deterministic rows in 2,000-row triggers into the custom
+    ``jsonl_sink``, which commits each epoch with an atomic
+    ``_SUCCESS-<batchId>`` manifest naming exactly that batch's
+    surviving task files — per-epoch exactly-once on at-least-once
+    execution (a replayed batch overwrites its manifest; orphaned
+    attempt files are invisible to the manifest union, asserted in
+    ``tests/test_streaming_depth.py``).  The manifest-driven read-back
+    must reproduce every source row exactly once, which the closed-form
+    oracle pins — end-to-end source→sink custom-API coverage with a
+    value-hashed gate, not just a row count."""
+    from ..sources.pydatasource import (
+        read_jsonl_stream_sink,
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    path = os.path.join(
+        tempfile.gettempdir(), f"hg_pysink_{uuid.uuid4().hex[:8]}"
+    )
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("rows", "8000")
+        .option("batch_rows", "2000")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("jsonl_sink")
+        .option("path", path)
+        .option("checkpointLocation", path + "_ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = read_jsonl_stream_sink(
+        spark,
+        path,
+        "row_id long, device_id long, metric_fp long, state string",
+    )
+    return back.groupBy("device_id").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("metric_fp").alias("metric_sum"),
+        F.sum(F.when(F.col("state") == "IDLE", 1).otherwise(0)).alias("n_idle"),
+    )

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -297,6 +298,9 @@ class JsonlSinkDataSource(DataSource):
     def writer(self, schema, overwrite: bool) -> JsonlSinkWriter:
         return JsonlSinkWriter(self.options, schema, overwrite)
 
+    def streamWriter(self, schema, overwrite: bool) -> "JsonlStreamSinkWriter":
+        return JsonlStreamSinkWriter(self.options, schema)
+
 
 def read_jsonl_sink(spark, path: str, schema):
     """Manifest-driven read-back: load ONLY the files the job commit
@@ -308,4 +312,94 @@ def read_jsonl_sink(spark, path: str, schema):
     with open(os.path.join(path, "_SUCCESS"), encoding="utf-8") as fh:
         manifest = json.load(fh)
     files = [os.path.join(path, f) for f in manifest["files"]]
+    return spark.read.schema(schema).json(files)
+
+
+class JsonlStreamSinkWriter(DataSourceStreamWriter):
+    """Streaming face of the jsonl sink — the same task-commit protocol
+    with a PER-MICRO-BATCH job commit: ``commit(messages, batchId)``
+    writes ``_SUCCESS-<batchId>`` naming exactly that epoch's surviving
+    task files (atomic rename, like the files themselves).  A replayed
+    batch (failure recovery) writes fresh task files and OVERWRITES its
+    epoch manifest, so readers never see both attempts — per-epoch
+    exactly-once on an at-least-once execution substrate, the
+    ``sinks/archive.py`` epoch-subdir idempotence argument expressed
+    through the Spark 4 Python sink API."""
+
+    def __init__(self, options, schema) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("jsonl_sink stream writer requires .option('path', <dir>)")
+        self.path = path
+        self.columns = [f.name for f in schema.fields]
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        # batchId is unknown executor-side: a uuid component keeps replayed
+        # attempts collision-free; the per-batch manifest is what names the
+        # committed set, so file names only need uniqueness
+        fname = (
+            f"stream-task-{ctx.partitionId():05d}-{uuid.uuid4().hex[:8]}.jsonl"
+        )
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f".{fname}.inprogress")
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(
+                    json.dumps(
+                        {c: row[c] for c in self.columns}, sort_keys=True
+                    )
+                    + "\n"
+                )
+                n += 1
+        os.replace(tmp, os.path.join(self.path, fname))
+        return JsonlCommit(fname, n)
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+        import os
+
+        committed = sorted(m.filename for m in messages if m is not None)
+        manifest = {
+            "batch_id": batchId,
+            "files": committed,
+            "rows": sum(m.n_rows for m in messages if m is not None),
+        }
+        tmp = os.path.join(self.path, f"._SUCCESS-{batchId}.inprogress")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, os.path.join(self.path, f"_SUCCESS-{batchId}"))
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages or []:
+            if m is None:
+                continue
+            try:
+                os.remove(os.path.join(self.path, m.filename))
+            except OSError:
+                pass
+
+
+def read_jsonl_stream_sink(spark, path: str, schema):
+    """Read back ONLY the files named by per-batch ``_SUCCESS-<id>``
+    manifests (union over epochs) — uncommitted/replaced attempt files
+    are invisible, the reader half of per-epoch exactly-once."""
+    import json
+    import os
+
+    files = []
+    for entry in sorted(os.listdir(path)):
+        if entry.startswith("_SUCCESS-"):
+            with open(os.path.join(path, entry), encoding="utf-8") as fh:
+                manifest = json.load(fh)
+            files.extend(os.path.join(path, f) for f in manifest["files"])
     return spark.read.schema(schema).json(files)

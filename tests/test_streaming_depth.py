@@ -569,3 +569,50 @@ def test_chained_windows_both_state_stores_populate(spark, tmp_path):
         assert len(out) == 2
     finally:
         q.stop()
+
+
+def test_python_stream_sink_epoch_manifests_and_orphan_invisibility(spark, tmp_path):
+    """The Python streaming sink commits one _SUCCESS-<batchId> manifest
+    per micro-batch; files not named by any manifest (failed/replayed
+    attempts) are invisible to the manifest-union reader."""
+    import json
+    import os
+
+    from hunger_games_glue_streaming_etl_spark.sources.pydatasource import (
+        read_jsonl_stream_sink,
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    path = str(tmp_path / "pysink")
+    q = (
+        spark.readStream.format("synthetic_events")
+        .option("rows", "3000")
+        .option("batch_rows", "1000")
+        .load()
+        .writeStream.format("jsonl_sink")
+        .option("path", path)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    manifests = sorted(f for f in os.listdir(path) if f.startswith("_SUCCESS-"))
+    assert len(manifests) >= 3  # 3 data epochs (+ possibly an empty one)
+    total = sum(
+        json.load(open(os.path.join(path, m)))["rows"] for m in manifests
+    )
+    assert total == 3000
+
+    # orphan attempt file: present on disk, absent from every manifest
+    with open(os.path.join(path, "stream-task-99999-deadbeef.jsonl"), "w") as fh:
+        fh.write('{"row_id": -1, "device_id": -1, "metric_fp": -1, "state": "X"}\n')
+
+    back = read_jsonl_stream_sink(
+        spark, path, "row_id long, device_id long, metric_fp long, state string"
+    )
+    assert back.count() == 3000
+    assert back.filter("row_id < 0").count() == 0
