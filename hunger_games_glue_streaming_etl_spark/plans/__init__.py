@@ -77,6 +77,7 @@ _SAMPLE_FIRST = [
     "relational_transpose",
     "streaming_python_datasource_sink",
     "set_union_by_name_evolution",
+    "udtf_dynamic_schema_split",
     "layout_bucketed_colocated_join",
     "text_chunk_sliding",
     "multimodal_video_y4m_frames",

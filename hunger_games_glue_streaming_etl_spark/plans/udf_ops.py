@@ -356,3 +356,73 @@ def udf_grouped_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         summarize,
         "l_returnflag string, n_lines long, qty_sum long, min_price double",
     )
+
+
+@udtf(useArrow=True)
+class _SplitFixed:
+    """POLYMORPHIC UDTF (no static returnType): ``analyze`` computes the
+    output schema at PLAN time from the literal column-count argument —
+    ``split_fixed(x, 3)`` plans three string columns, ``split_fixed(x, 5)``
+    five — the Spark 4 dynamic-schema table-function surface (the shape
+    CSV-ish parsers and pivoting TVFs need).  Arrow-evaluated like every
+    sanctioned Python path."""
+
+    @staticmethod
+    def analyze(text, n):
+        from pyspark.sql.types import StringType, StructField, StructType
+        from pyspark.sql.udtf import AnalyzeResult
+
+        if n.value is None:
+            raise ValueError("split_fixed: n must be a constant literal")
+        return AnalyzeResult(
+            StructType(
+                [
+                    StructField(f"part{i}", StringType())
+                    for i in range(int(n.value))
+                ]
+            )
+        )
+
+    def eval(self, text, n):  # noqa: ANN001
+        parts = (text or "").split("|")
+        yield tuple(
+            parts[i] if i < len(parts) else None for i in range(int(n))
+        )
+
+
+@register(
+    "udtf_dynamic_schema_split",
+    oracle="""
+    SELECT doc_id,
+           split_part(src, '|', 1) AS part0,
+           split_part(src, '|', 2) AS part1,
+           split_part(src, '|', 3) AS part2
+    FROM (
+        SELECT doc_id, lang || '|' || source || '|' || CAST(doc_id AS VARCHAR) AS src
+        FROM documents
+    )
+    """,
+)
+def udtf_dynamic_schema_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-schema UDTF via ``analyze()`` — the polymorphic
+    table-function variant next to the fixed-schema `udtf_token_positions`:
+    the literal arity argument (3) shapes the planned output columns
+    before execution, so the same function serves any fixed-width parse.
+    The oracle replays the split with ``split_part``; column names come
+    from the analyze-generated schema, aligned on both sides."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "|", F.col("lang"), F.col("source"), F.col("doc_id").cast("string")
+        ).alias("src"),
+    )
+    view = "udtf_split_src"
+    src.createOrReplaceTempView(view)
+    spark.udtf.register("split_fixed", _SplitFixed)
+    return spark.sql(
+        f"""
+        SELECT doc_id, t.part0, t.part1, t.part2
+        FROM {view}, LATERAL split_fixed(src, 3) AS t
+        """
+    )
