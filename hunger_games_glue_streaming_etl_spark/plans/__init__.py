@@ -78,6 +78,7 @@ _SAMPLE_FIRST = [
     "streaming_python_datasource_sink",
     "set_union_by_name_evolution",
     "udtf_dynamic_schema_split",
+    "sql_insert_default_columns",
     "layout_bucketed_colocated_join",
     "text_chunk_sliding",
     "multimodal_video_y4m_frames",

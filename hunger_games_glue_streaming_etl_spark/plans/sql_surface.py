@@ -266,3 +266,70 @@ def sql_insert_into_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ingest_docs GROUP BY 1
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# 6) Column DEFAULTs in DML (late round 6).
+
+
+@register(
+    "sql_insert_default_columns",
+    oracle="""
+    SELECT tag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(chars) AS BIGINT) AS chars_sum,
+           MIN(doc_id) AS min_doc_id
+    FROM (
+        SELECT doc_id, CAST(-1 AS BIGINT) AS chars, 'unknown' AS tag
+        FROM documents WHERE source = 'src0'
+        UNION ALL
+        SELECT doc_id, n_chars AS chars, lang AS tag
+        FROM documents WHERE source = 'src1'
+    ) GROUP BY 1
+    """,
+)
+def sql_insert_default_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column DEFAULT values in DML (`CREATE TABLE ... DEFAULT` + a
+    column-subset `INSERT INTO (cols)`): the legacy-producer ingest shape
+    — an old writer supplies only the columns it knows and the table
+    contract backfills the rest, declaratively and atomically, instead of
+    every reader re-implementing COALESCE.  One INSERT names only
+    ``doc_id`` (chars/tag take their DEFAULTs), one supplies all three;
+    the rollup GROUPs BY the defaulted tag so both row classes are
+    non-vacuous and the backfill values are value-hashed.  Same catalog
+    hygiene as `sql_insert_into_select` (DROP + rmtree first)."""
+    import os
+    import shutil
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "docs_default_src"
+    )
+    spark.sql("DROP TABLE IF EXISTS ingest_defaults")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    loc = os.path.join(warehouse.removeprefix("file:"), "ingest_defaults")
+    if loc and os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
+    spark.sql(
+        "CREATE TABLE ingest_defaults ("
+        " doc_id BIGINT,"
+        " chars BIGINT DEFAULT -1,"
+        " tag STRING DEFAULT 'unknown'"
+        ") USING parquet"
+    )
+    spark.sql(
+        "INSERT INTO ingest_defaults (doc_id) "
+        "SELECT doc_id FROM docs_default_src WHERE source = 'src0'"
+    )
+    spark.sql(
+        "INSERT INTO ingest_defaults "
+        "SELECT doc_id, n_chars, lang FROM docs_default_src WHERE source = 'src1'"
+    )
+    return spark.sql(
+        """
+        SELECT tag,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               SUM(chars) AS chars_sum,
+               MIN(doc_id) AS min_doc_id
+        FROM ingest_defaults GROUP BY 1
+        """
+    )

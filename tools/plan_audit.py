@@ -64,6 +64,7 @@ SKIP_EXECUTING = {
     "scan_file_metadata_lineage",
     # CREATE TABLE + INSERT INTO run write jobs at build time
     "sql_insert_into_select",
+    "sql_insert_default_columns",
     # bucketed saveAsTable writes both catalog tables at build time
     "layout_bucketed_colocated_join",
     "scan_schema_evolution",
