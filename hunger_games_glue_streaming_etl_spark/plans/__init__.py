@@ -79,6 +79,7 @@ _SAMPLE_FIRST = [
     "set_union_by_name_evolution",
     "udtf_dynamic_schema_split",
     "sql_insert_default_columns",
+    "scan_binary_file_assets",
     "layout_bucketed_colocated_join",
     "text_chunk_sliding",
     "multimodal_video_y4m_frames",

@@ -261,3 +261,84 @@ def multimodal_video_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_frames long, n_sampled long, luma_sum long, chroma_sum long"
         ),
     )
+
+
+@register(
+    "scan_binary_file_assets",
+    oracle="""
+    WITH px AS (
+        SELECT n_nationkey AS asset_key,
+               (n_nationkey * 31 + i) % 256 AS p
+        FROM nation, unnest(generate_series(0, 63)) AS t(i)
+    )
+    SELECT asset_key,
+           CAST(75 AS BIGINT) AS file_len,
+           CAST(SUM(p) AS BIGINT) AS pixel_sum,
+           CAST(COUNT(*) AS BIGINT) AS n_pixels
+    FROM px GROUP BY 1
+    """,
+)
+def scan_binary_file_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``binaryFile`` source — Spark's raw-asset ingest format (one
+    row per file: path, length, content) and the front door of every
+    multimodal lake pipeline: image/audio assets live as FILES, not
+    parquet cells, until a job like this one lifts them.  Plants one
+    real 8×8 PGM per nation (pixels a pure function of the nation key —
+    the planted-determinism codec pattern), scans the directory with
+    ``pathGlobFilter`` (non-matching junk is never listed, asserted by a
+    planted .txt), decodes via the stdlib codec inside ``mapInPandas``,
+    and keys each asset by a regexp over its PATH — provenance from file
+    metadata, like the `_metadata` entry.  The closed-form oracle rebuilds
+    pixel sums arithmetically; file length is structural (11-byte P5
+    header + 64 pixels).  At scale: binaryFile splits per file across the
+    cluster, payloads are projected away right after feature extraction,
+    and `maxBytesPerFile`-class knobs bound task memory."""
+    import os
+    import tempfile
+    import uuid
+
+    import pandas as pd
+
+    from ..operators.multimodal import decode_image, encode_pgm
+
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey")
+    keys = sorted(r.n_nationkey for r in nation.collect())  # 25 rows, bounded
+    adir = os.path.join(tempfile.gettempdir(), f"hg_assets_{uuid.uuid4().hex[:8]}")
+    os.makedirs(adir)
+    for k in keys:
+        pixels = bytes((k * 31 + i) % 256 for i in range(64))
+        with open(os.path.join(adir, f"asset-{k}.pgm"), "wb") as fh:
+            fh.write(encode_pgm(8, 8, pixels))
+    with open(os.path.join(adir, "junk.txt"), "w") as fh:
+        fh.write("not an asset; pathGlobFilter must skip me")
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.pgm")
+        .load(adir)
+        .select("path", "length", "content")
+    )
+
+    def feats(batches):
+        for pdf in batches:
+            rows = []
+            for path, length, content in zip(
+                pdf["path"], pdf["length"], pdf["content"]
+            ):
+                img = decode_image(bytes(content))
+                rows.append(
+                    (
+                        int(path.rsplit("asset-", 1)[1].removesuffix(".pgm")),
+                        int(length),
+                        int(img["pixel_sum"]),
+                        int(img["width"] * img["height"]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_key", "file_len", "pixel_sum", "n_pixels"]
+            )
+
+    return files.mapInPandas(
+        feats,
+        "asset_key long, file_len long, pixel_sum long, n_pixels long",
+    )

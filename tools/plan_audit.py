@@ -62,6 +62,8 @@ SKIP_EXECUTING = {
     "sink_python_datasource_write",
     # hive-partitioned round-trip writes at build time
     "scan_file_metadata_lineage",
+    # plants PGM asset files + collects 25 nation keys at build time
+    "scan_binary_file_assets",
     # CREATE TABLE + INSERT INTO run write jobs at build time
     "sql_insert_into_select",
     "sql_insert_default_columns",
