@@ -80,6 +80,13 @@ _SAMPLE_FIRST = [
     "udtf_dynamic_schema_split",
     "sql_insert_default_columns",
     "scan_binary_file_assets",
+    "scalar_try_arithmetic",
+    "agg_bitmap_exact_distinct",
+    "scalar_collation_casefold",
+    "sql_parameterized_identifier",
+    "udtf_table_partition_args",
+    "sort_limit_offset",
+    "agg_regression_funcs",
     "layout_bucketed_colocated_join",
     "text_chunk_sliding",
     "multimodal_video_y4m_frames",

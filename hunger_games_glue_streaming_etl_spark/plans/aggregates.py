@@ -625,3 +625,142 @@ def relational_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("chars_sum"),
     )
     return rollup.transpose()
+
+
+@register(
+    "agg_bitmap_exact_distinct",
+    oracle="""
+    WITH per AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_buyers
+        FROM orders GROUP BY 1
+    ),
+    g AS (
+        SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS merged_buyers
+        FROM orders
+    )
+    SELECT o_orderpriority, n_buyers, merged_buyers
+    FROM per CROSS JOIN g
+    """,
+)
+def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting through Spark 4's bitmap aggregates
+    (``bitmap_bucket_number`` / ``bitmap_bit_position`` /
+    ``bitmap_construct_agg`` / ``bitmap_or_agg`` / ``bitmap_count``) —
+    the mergeable alternative to COUNT(DISTINCT)'s Expand and to HLL's
+    approximation.  Keys land in 32768-bit buckets; each (group, bucket)
+    cell aggregates to one fixed-size bitmap, so the distinct count is
+    SUM over buckets of popcount — two ordinary partial-aggregate
+    shuffles, never an Expand and never a re-shuffle of raw keys.  The
+    ``merged_buyers`` lane is the mergeability proof the 100 TB posture
+    rests on: per-priority bitmaps are OR-merged per bucket
+    (``bitmap_or_agg``) and must reproduce the direct whole-table
+    distinct count the oracle computes — bitwise-exact, unlike sketch
+    merges.  At 100 TB the bitmap state is bounded by the KEY DOMAIN
+    (4 KiB per cell), not the row count, and every stage is map-side
+    combinable."""
+    orders = load_table(spark, sf_dir, "orders")
+    cells = (
+        orders.groupBy(
+            "o_orderpriority",
+            F.expr("bitmap_bucket_number(o_custkey)").alias("bucket"),
+        )
+        .agg(F.expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))").alias("bm"))
+        .persist()
+    )
+    per = cells.groupBy("o_orderpriority").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("n_buyers")
+    )
+    merged = (
+        cells.groupBy("bucket")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("merged_buyers"))
+    )
+    return per.crossJoin(merged)
+
+
+_REGR_EXACT = """
+    SELECT f,
+           n, n_pairs,
+           ROUND(cxy / vx, 6) AS slope_x,
+           ROUND(my - (cxy / vx) * mx, 6) AS icpt_x,
+           ROUND((cxy * cxy) / (vx * vy), 6) AS r2_x,
+           ABS(rs - cxy / vx) <= 1e-9 AS slope_ok,
+           ABS(ri - (my - (cxy / vx) * mx)) <= 1e-9 AS icpt_ok,
+           ABS(rr - (cxy * cxy) / (vx * vy)) <= 1e-9 AS r2_ok
+    FROM (
+        SELECT f, n, n_pairs, rs, ri, rr,
+               CAST(sx AS DOUBLE) / n AS mx,
+               CAST(sy AS DOUBLE) / n AS my,
+               CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) AS vx,
+               CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n) AS vy,
+               CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n) AS cxy
+        FROM moments
+    ) m
+"""
+
+
+@register(
+    "agg_regression_funcs",
+    oracle="""
+    WITH t AS (
+        SELECT l_returnflag AS f,
+               CAST(l_quantity AS BIGINT) AS x,
+               CAST(ROUND(l_extendedprice / 1000) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    moments AS (
+        SELECT f,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(regr_count(y, x) AS BIGINT) AS n_pairs,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               regr_slope(y, x) AS rs,
+               regr_intercept(y, x) AS ri,
+               regr_r2(y, x) AS rr
+        FROM t GROUP BY f
+    )
+    """
+    + _REGR_EXACT,
+)
+def agg_regression_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates — ``regr_slope`` / ``regr_intercept``
+    / ``regr_r2`` / ``regr_count`` (ANSI bivariate family, Spark 3.4+).
+    The engine-internal covariance accumulation (Welford-style) is NOT
+    reproducible bit-for-bit across engines, so the hash-exact lanes are
+    the slope/intercept/r² REBUILT from exact integer moments (Σx, Σy,
+    Σx², Σxy, Σy² as BIGINTs, identical double expression trees both
+    sides — the z-score rule from round 4), and each engine's regr_*
+    output is pinned to its own exact rebuild by a 1e-9 tolerance
+    boolean (measured deviation ~1e-15; the estimator-band pattern).
+    y is integer kilodollars so Σy² stays ≪ 2^63 at ~10^12 rows — the
+    moments themselves are the scale hazard (round-6 overflow rule),
+    and x·y products never ride a raw-double sum across a shuffle.
+    regr_count is exact and hashes directly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    t = li.select(
+        F.col("l_returnflag").alias("f"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") / 1000).cast("long").alias("y"),
+    )
+    t.createOrReplaceTempView("regr_src")
+    return spark.sql(
+        """
+        WITH moments AS (
+            SELECT f,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(regr_count(y, x) AS BIGINT) AS n_pairs,
+                   CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy,
+                   CAST(SUM(y * y) AS BIGINT) AS syy,
+                   regr_slope(y, x) AS rs,
+                   regr_intercept(y, x) AS ri,
+                   regr_r2(y, x) AS rr
+            FROM regr_src GROUP BY f
+        )
+        """
+        + _REGR_EXACT
+    )

@@ -323,3 +323,144 @@ def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode("kept").alias("source", "doubled"),
         "n_keys",
     ).select("lang", "source", F.col("doubled").cast("long"), "n_keys")
+
+
+@register(
+    "scalar_try_arithmetic",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderpriority,
+               (o_orderkey % 1000) * 3100000 AS x,
+               o_orderkey % 10 AS d,
+               o_totalprice,
+               CASE WHEN o_orderkey % 2 = 0
+                    THEN substring(o_orderpriority, 1, 1)
+                    ELSE o_orderstatus END AS maybe_num
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN x > 3037000499 THEN NULL
+                         ELSE (x * x) % 999983 END)
+                AS BIGINT) AS sq_residue_sum,
+           CAST(COUNT(CASE WHEN x > 3037000499 THEN NULL ELSE 1 END)
+                AS BIGINT) AS n_sq_ok,
+           CAST(SUM(CASE WHEN d = 0 THEN NULL
+                         ELSE CAST(FLOOR(o_totalprice / d) AS BIGINT) END)
+                AS BIGINT) AS div_sum,
+           CAST(COUNT(TRY_CAST(maybe_num AS BIGINT)) AS BIGINT)
+               AS n_numeric
+    FROM t GROUP BY 1
+    """,
+)
+def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic — ``try_multiply``/``try_divide``/``try_cast``:
+    under ANSI mode (this engine's default, and Spark 4's) overflow,
+    division by zero, and bad casts are RUNTIME CRASHES that kill the
+    whole job — this round caught a live one (the fingerprint hash sum at
+    sf0.1, CLAUDE.md).  The ``try_`` family converts each hazard to NULL
+    so one poison row degrades one value instead of 1000 executors' work.
+    Every lane's hazard is real in the fixtures AND rare by design:
+    scaled key residues overflow BIGINT on squaring only when
+    o_orderkey % 1000 >= 980 — exactly 2% of rows at EVERY scale factor
+    (genuine NULLs from ``try_multiply``; the oracle replays the √(2^63)
+    guard as CASE).  Density is pinned deliberately: each ``try_``
+    rescue of an overflow is a caught JVM exception, so a column where
+    MOST rows poison would pay exception-throw cost per row (measured
+    3 s vs 0.5 s on this very lane at 99.8% vs 2% density at sf0.1) —
+    the surface is for rare hazards, not expected control flow.  The
+    residue modulus 999983 is coprime to the 3100000 scale factor so
+    surviving residues are nonzero (a modulus dividing the factor makes
+    the lane vacuously all-zero).  The divisor is zero on ~10% of rows
+    (double try_divide returns NULL without an exception path), and the
+    cast target is numeric only on even keys (priority digit), never on
+    odd keys (status letter).  Quotients are FLOORed before the BIGINT
+    sum — Spark CAST truncates where DuckDB rounds, the recorded
+    cast-rule class; floor + integer sums keep every surviving value
+    hash-exact, and residues (< 10^6) keep the accumulator ≪ 2^63 at
+    any corpus scale (the round-6 fingerprint-overflow rule)."""
+    orders = load_table(spark, sf_dir, "orders")
+    t = orders.select(
+        "o_orderpriority",
+        ((F.col("o_orderkey") % 1000) * 3100000).alias("x"),
+        (F.col("o_orderkey") % 10).alias("d"),
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 2 == 0,
+            F.substring("o_orderpriority", 1, 1),
+        )
+        .otherwise(F.col("o_orderstatus"))
+        .alias("maybe_num"),
+    )
+    # the SUM of surviving squares (each near 2^63) would itself overflow
+    # the accumulator — the residue-sum rule from the fingerprint fix
+    sq = F.expr("try_multiply(x, x)")
+    return t.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(sq % F.lit(999983)).alias("sq_residue_sum"),
+        F.count(sq).alias("n_sq_ok"),
+        F.sum(F.floor(F.expr("try_divide(o_totalprice, d)"))).alias("div_sum"),
+        F.count(F.expr("try_cast(maybe_num AS BIGINT)")).alias("n_numeric"),
+    )
+
+
+@register(
+    "scalar_collation_casefold",
+    oracle="""
+    WITH t AS (
+        SELECT CASE p_partkey % 3 WHEN 0 THEN upper(p_brand)
+                                  WHEN 1 THEN lower(p_brand)
+                                  ELSE p_brand END AS b,
+               p_retailprice
+        FROM part
+    )
+    SELECT lower(b) AS brand_ci,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(SUM(p_retailprice), 2) AS price_sum,
+           CAST(SUM(CASE WHEN lower(b) = 'brand#22' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_eq_lit
+    FROM t GROUP BY 1
+    """,
+)
+def scalar_collation_casefold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 COLLATION surface — ``COLLATE UTF8_LCASE`` strings group,
+    compare, and hash case-insensitively AT THE TYPE LEVEL, so one
+    declaration replaces the lower()-wrapping every case-insensitive
+    pipeline otherwise scatters across queries (and forgets once).  The
+    fixtures are single-case, so the entry plants real case skew first
+    (p_partkey mod 3 picks upper/lower/original brand spellings), then
+    (a) groups by the collated column — hash aggregation on the
+    collation key, one shuffle, same plan shape as any groupBy — and
+    (b) compares against a lowercase literal, which coerces to the
+    collated type and matches all three spellings.  The group
+    REPRESENTATIVE under a collation is whichever spelling a partition
+    sees first (nondeterministic at scale), so the output key is
+    normalized through lower() — the one rule a user of collated group
+    keys must know.  The oracle replays both as lower() arithmetic,
+    which is identical for ASCII brands (UTF8_LCASE full casefold
+    differs from lower() only outside ASCII, e.g. dotted-I)."""
+    part = load_table(spark, sf_dir, "part")
+    t = part.select(
+        F.when(F.col("p_partkey") % 3 == 0, F.upper("p_brand"))
+        .when(F.col("p_partkey") % 3 == 1, F.lower("p_brand"))
+        .otherwise(F.col("p_brand"))
+        .alias("b"),
+        "p_retailprice",
+    )
+    ci = t.select(F.expr("b COLLATE UTF8_LCASE").alias("k"), "p_retailprice")
+    return (
+        ci.groupBy("k")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.sum("p_retailprice"), 2).alias("price_sum"),
+            F.sum(
+                F.when(F.col("k") == F.lit("brand#22"), 1).otherwise(0)
+            ).alias("n_eq_lit"),
+        )
+        .select(
+            F.lower(F.col("k")).cast("string").alias("brand_ci"),
+            "n_parts",
+            "price_sum",
+            "n_eq_lit",
+        )
+    )

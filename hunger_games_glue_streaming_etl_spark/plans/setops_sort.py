@@ -188,3 +188,33 @@ def set_union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("n_chars").alias("n_with_chars"),
         F.coalesce(F.sum("n_chars"), F.lit(0)).alias("chars_sum"),
     )
+
+
+@register(
+    "sort_limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 40
+    """,
+)
+def sort_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination — ``DataFrame.offset`` + ``limit`` (rows 41-60 of a
+    total order).  Spark plans OFFSET+LIMIT as a single
+    CollectLimit/GlobalLimit with the offset folded in: per-partition
+    top-(offset+limit) heaps feed one driver-side merge that discards
+    the first 40 rows, so a deep page over 100 TB still moves only
+    offset+limit rows per partition — never a global sort spill.  (Deep
+    pagination with offset ~ millions is still an anti-pattern; keyset
+    pagination via the previous page's last (price, key) is the scale
+    answer, and the unique tiebreak this ordering carries is exactly
+    what makes that keyset resumable.)  Unique tiebreak keeps rows
+    41-60 deterministic under ties."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .select("o_orderkey", "o_totalprice")
+        .offset(40)
+        .limit(20)
+    )

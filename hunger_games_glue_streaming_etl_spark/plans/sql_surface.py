@@ -333,3 +333,59 @@ def sql_insert_default_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ingest_defaults GROUP BY 1
         """
     )
+
+
+@register(
+    "sql_parameterized_identifier",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice < 150000.0
+    GROUP BY o_orderpriority, o_orderstatus
+    UNION ALL
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_orderstatus = 'P' AND o_totalprice < 250000.0
+    GROUP BY o_orderpriority, o_orderstatus
+    """,
+)
+def sql_parameterized_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized ``spark.sql`` — the injection-safe templating surface
+    (Spark 3.4+/4.x): NAMED parameter markers (``:name`` + ``args``
+    dict), POSITIONAL markers (``?`` + ``args`` list), and the
+    ``IDENTIFIER(:tbl)`` clause that lets a parameter name a TABLE (and
+    a grouping COLUMN here) without string-splicing SQL text.  Values
+    bind as typed literals at parse time, so Catalyst constant-folds and
+    pushes them down exactly like hand-inlined literals (same scan
+    filters, same plan) — templating costs nothing at 100 TB, while
+    string-spliced SQL invites both injection and accidental plan-cache
+    misses.  The oracle replays both parameter sets inlined; both lanes
+    carry their filter columns so the union is self-describing."""
+    _canonical_views(spark, sf_dir, "orders")
+    named = spark.sql(
+        """
+        SELECT IDENTIFIER(:gcol) AS o_orderpriority, o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM IDENTIFIER(:tbl)
+        WHERE o_orderstatus = :status AND o_totalprice < :cap
+        GROUP BY IDENTIFIER(:gcol), o_orderstatus
+        """,
+        args={"tbl": "orders", "gcol": "o_orderpriority", "status": "F", "cap": 150000.0},
+    )
+    positional = spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders
+        WHERE o_orderstatus = ? AND o_totalprice < ?
+        GROUP BY o_orderpriority, o_orderstatus
+        """,
+        args=["P", 250000.0],
+    )
+    return named.unionAll(positional)

@@ -426,3 +426,88 @@ def udtf_dynamic_schema_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM {view}, LATERAL split_fixed(src, 3) AS t
         """
     )
+
+
+@udtf(
+    returnType="custkey bigint, n_orders bigint, span_days bigint, max_gap_days bigint",
+    useArrow=True,
+)
+class _OrderGaps:
+    """Per-partition sequential state machine: consumes one customer's
+    orders in event order, tracks first/prev dates and the running max
+    inter-order gap.  A fresh instance is constructed per PARTITION BY
+    key, so state never leaks across customers."""
+
+    def __init__(self) -> None:
+        self.key = None
+        self.n = 0
+        self.first = None
+        self.prev = None
+        self.max_gap = 0
+
+    def eval(self, row) -> None:
+        self.key = row["o_custkey"]
+        d = row["o_orderdate"]
+        if self.prev is None:
+            self.first = d
+        else:
+            gap = (d - self.prev).days
+            if gap > self.max_gap:
+                self.max_gap = gap
+        self.prev = d
+        self.n += 1
+
+    def terminate(self):
+        if self.key is not None:
+            yield int(self.key), self.n, (self.prev - self.first).days, self.max_gap
+
+
+@register(
+    "udtf_table_partition_args",
+    oracle="""
+    WITH t AS (
+        SELECT o_custkey, o_orderdate,
+               lag(o_orderdate) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+               ) AS prev
+        FROM orders WHERE o_custkey % 20 = 0
+    )
+    SELECT o_custkey AS custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(date_diff('day', MIN(o_orderdate), MAX(o_orderdate))
+                AS BIGINT) AS span_days,
+           CAST(COALESCE(MAX(date_diff('day', prev, o_orderdate)), 0)
+                AS BIGINT) AS max_gap_days
+    FROM t GROUP BY o_custkey
+    """,
+)
+def udtf_table_partition_args(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF with a TABLE argument + ``PARTITION BY ... ORDER BY`` — the
+    SQL-native face of applyInPandas: ``FROM order_gaps(TABLE(v)
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)`` hands the
+    UDTF one ordered partition per customer (fresh instance per key,
+    ``terminate`` fires at each boundary), so sequential per-key logic
+    is declared IN the query instead of through the DataFrame API.
+    Spark plans it as one hash-partitioned exchange + in-partition sort
+    — the same shuffle an applyInPandas needs — and the eval loop is
+    row-at-a-time Python, so the key predicate (5% of customers) is
+    pushed BELOW the UDTF into the scan; at 100 TB this surface is for
+    genuinely sequential per-key state machines, never for arithmetic a
+    window function can express (the oracle replays it as exactly that
+    lag/aggregate window).  The unique ORDER BY tiebreak pins tie-day
+    sequences; gaps are integer day diffs on midnight-aligned dates —
+    hash-exact."""
+    view = "udtf_gaps_src"
+    load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") % 20 == 0
+    ).select("o_custkey", "o_orderdate", "o_orderkey").createOrReplaceTempView(view)
+    spark.udtf.register("order_gaps", _OrderGaps)
+    return spark.sql(
+        f"""
+        SELECT custkey, n_orders, span_days, max_gap_days
+        FROM order_gaps(TABLE({view})
+                        PARTITION BY o_custkey
+                        ORDER BY (o_orderdate, o_orderkey))
+        """
+    )
