@@ -87,6 +87,7 @@ _SAMPLE_FIRST = [
     "udtf_table_partition_args",
     "sort_limit_offset",
     "agg_regression_funcs",
+    "sql_insert_overwrite_dynamic",
     "layout_bucketed_colocated_join",
     "text_chunk_sliding",
     "multimodal_video_y4m_frames",

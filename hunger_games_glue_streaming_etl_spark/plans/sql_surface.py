@@ -389,3 +389,69 @@ def sql_parameterized_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         args=["P", 250000.0],
     )
     return named.unionAll(positional)
+
+
+@register(
+    "sql_insert_overwrite_dynamic",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN lang = (SELECT MIN(lang) FROM documents)
+                         THEN n_chars * 2 ELSE n_chars END)
+                AS BIGINT) AS chars_sum
+    FROM documents GROUP BY 1
+    """,
+)
+def sql_insert_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``INSERT OVERWRITE`` under DYNAMIC partition-overwrite mode — the
+    partition-level revision verb (the third DML shape after append
+    INSERT and DEFAULT backfill): a corrected slice replaces ONLY the
+    partitions it produces rows for, atomically per partition, leaving
+    every other partition's files untouched.  The entry seeds a
+    lang-partitioned table from the full corpus, then overwrites one
+    corpus-derived partition (MIN lang — a collected scalar dial, the
+    round-6 pruning rule) with doubled char counts.  Both lanes pin the
+    mode's semantics: under STATIC mode the other langs' rows would
+    vanish (their n_rows lanes prove survival), and under plain append
+    the revised lang's n_rows would double (its count lane proves
+    replacement).  At 100 TB this is the nightly re-statement pattern —
+    rewrite yesterday's partition, never the table; cost scales with the
+    revised slice.  The conf is restored after the INSERT because the
+    write executes eagerly inside the entry (unlike the lazy
+    Python-DataSource reader, which must NOT restore)."""
+    import os
+    import shutil
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("docs_ow_src")
+    rev_lang = docs.selectExpr("min(lang)").collect()[0][0]
+    spark.sql("DROP TABLE IF EXISTS ow_docs_dyn")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    loc = os.path.join(warehouse.removeprefix("file:"), "ow_docs_dyn")
+    if loc and os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
+    spark.sql(
+        "CREATE TABLE ow_docs_dyn (doc_id BIGINT, n_chars BIGINT, lang STRING) "
+        "USING parquet PARTITIONED BY (lang)"
+    )
+    spark.sql(
+        "INSERT INTO ow_docs_dyn SELECT doc_id, n_chars, lang FROM docs_ow_src"
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        spark.sql(
+            "INSERT OVERWRITE ow_docs_dyn "
+            "SELECT doc_id, n_chars * 2 AS n_chars, lang FROM docs_ow_src "
+            f"WHERE lang = '{rev_lang}'"
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return spark.sql(
+        """
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               SUM(n_chars) AS chars_sum
+        FROM ow_docs_dyn GROUP BY 1
+        """
+    )

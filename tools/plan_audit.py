@@ -67,6 +67,8 @@ SKIP_EXECUTING = {
     # CREATE TABLE + INSERT INTO run write jobs at build time
     "sql_insert_into_select",
     "sql_insert_default_columns",
+    # seed INSERT + dynamic INSERT OVERWRITE + MIN(lang) dial run at build
+    "sql_insert_overwrite_dynamic",
     # bucketed saveAsTable writes both catalog tables at build time
     "layout_bucketed_colocated_join",
     "scan_schema_evolution",
