@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import pin
 from ..sources.batch import load_table
 from .registry import register
 
@@ -666,8 +667,8 @@ def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("bitmap_bucket_number(o_custkey)").alias("bucket"),
         )
         .agg(F.expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))").alias("bm"))
-        .persist()
     )
+    cells = pin(cells)  # tracked persist: release_pins drops it next query (ADVICE r6)
     per = cells.groupBy("o_orderpriority").agg(
         F.sum(F.expr("bitmap_count(bm)")).alias("n_buyers")
     )

@@ -479,17 +479,13 @@ def layout_partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFram
     between scanning one day/year of a fact table and scanning all of
     it.  The oracle replays the min-year filter over the source of
     truth, proving the partitioned round trip is lossless."""
-    import os
-    import tempfile
-    import uuid
+    from ..tmpdirs import entry_tmp_dir
 
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate"
     )
     o2 = orders.withColumn("order_year", F.year("o_orderdate"))
-    path = os.path.join(
-        tempfile.gettempdir(), f"hg_part_{uuid.uuid4().hex[:8]}"
-    )
+    path = entry_tmp_dir("hg_part_prune")
     o2.write.partitionBy("order_year").mode("overwrite").parquet(path)
     min_year = o2.agg(F.min("order_year")).collect()[0][0]
     back = spark.read.parquet(path).filter(F.col("order_year") == min_year)

@@ -294,16 +294,15 @@ def scan_binary_file_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster, payloads are projected away right after feature extraction,
     and `maxBytesPerFile`-class knobs bound task memory."""
     import os
-    import tempfile
-    import uuid
 
     import pandas as pd
 
     from ..operators.multimodal import decode_image, encode_pgm
+    from ..tmpdirs import entry_tmp_dir
 
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey")
     keys = sorted(r.n_nationkey for r in nation.collect())  # 25 rows, bounded
-    adir = os.path.join(tempfile.gettempdir(), f"hg_assets_{uuid.uuid4().hex[:8]}")
+    adir = entry_tmp_dir("hg_assets_binaryfile")
     os.makedirs(adir)
     for k in keys:
         pixels = bytes((k * 31 + i) % 256 for i in range(64))

@@ -10,15 +10,12 @@ in the reference (SURVEY.md §1.3).
 
 from __future__ import annotations
 
-import os
-import tempfile
-import uuid
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..sources.batch import load_table, read_csv, read_json
+from ..tmpdirs import entry_tmp_dir
 from .registry import register
 
 NATION_SCHEMA = T.StructType(
@@ -30,8 +27,10 @@ NATION_SCHEMA = T.StructType(
 )
 
 
-def _roundtrip_dir() -> str:
-    return os.path.join(tempfile.gettempdir(), f"hg_scan_{uuid.uuid4().hex[:8]}")
+def _roundtrip_dir(name: str) -> str:
+    """Fixed per-entry scratch dir, cleared before reuse (ADVICE r6 —
+    uuid-named dirs accumulated across bench repeats / driver runs)."""
+    return entry_tmp_dir(f"hg_scan_{name}")
 
 
 @register(
@@ -48,7 +47,7 @@ def scan_csv_explicit_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reader).  Round-trips nation through CSV to prove the scan path,
     then aggregates for a value-checkable result."""
     nation = load_table(spark, sf_dir, "nation")
-    path = _roundtrip_dir()
+    path = _roundtrip_dir("scan_csv_explicit_schema")
     nation.write.option("header", "true").mode("overwrite").csv(path)
     back = read_csv(spark, path, schema=NATION_SCHEMA)
     return back.groupBy("n_regionkey").agg(
@@ -68,7 +67,7 @@ def scan_json_explicit_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines scan with explicit schema (the reference's stream payload
     format, minus the Kinesis transport — A5's SerDe role)."""
     nation = load_table(spark, sf_dir, "nation")
-    path = _roundtrip_dir()
+    path = _roundtrip_dir("scan_json_explicit_schema")
     nation.write.mode("overwrite").json(path)
     back = read_json(spark, path, schema=NATION_SCHEMA)
     return back.groupBy("n_regionkey").agg(
@@ -159,7 +158,7 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle checks against the source-of-truth view, proving the format
     round-trip is lossless."""
     nation = load_table(spark, sf_dir, "nation")
-    path = _roundtrip_dir()
+    path = _roundtrip_dir("scan_orc_roundtrip")
     nation.write.mode("overwrite").orc(path)
     back = spark.read.orc(path)
     return back.groupBy("n_regionkey").agg(
@@ -190,7 +189,7 @@ def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", "s_nationkey"
     )
-    path = _roundtrip_dir()
+    path = _roundtrip_dir("scan_xml_roundtrip")
     (
         supplier.write.format("xml")
         .option("rootTag", "suppliers")
@@ -330,7 +329,7 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     per row; incompatible type changes (not exercised here) fail fast at
     that same planning step."""
     nation = load_table(spark, sf_dir, "nation")
-    path = _roundtrip_dir()
+    path = _roundtrip_dir("scan_schema_evolution")
     nation.select(
         F.lit(1).alias("gen"), "n_nationkey", "n_name"
     ).write.mode("overwrite").parquet(path + "/gen=1x")
@@ -383,7 +382,7 @@ def scan_csv_malformed_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         ).alias("value")
     )
-    path = _roundtrip_dir()
+    path = _roundtrip_dir("scan_csv_malformed_quarantine")
     lines.write.mode("overwrite").text(path)
     schema = T.StructType(
         [
@@ -448,7 +447,7 @@ def scan_nested_parquet_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice").alias("totalprice"),
         ).alias("info"),
     )
-    path = _roundtrip_dir()
+    path = _roundtrip_dir("scan_nested_parquet_pruning")
     nested.write.mode("overwrite").parquet(path)
     back = spark.read.parquet(path)
     return back.groupBy(F.col("info.status").alias("status")).agg(
@@ -486,7 +485,7 @@ def sink_python_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars"
     )
-    path = _roundtrip_dir()
+    path = _roundtrip_dir("sink_python_datasource_write")
     docs.write.format("jsonl_sink").option("path", path).mode("append").save()
     back = read_jsonl_sink(
         spark, path, "doc_id long, lang string, n_chars long"
@@ -527,7 +526,7 @@ def scan_file_metadata_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars"
     )
-    path = _roundtrip_dir()
+    path = _roundtrip_dir("scan_file_metadata_lineage")
     docs.write.partitionBy("lang").mode("overwrite").parquet(path)
     back = spark.read.parquet(path)
     lang_from_path = F.regexp_extract(

@@ -126,7 +126,12 @@ def sql_udf_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # the registry decorator has run by module-import time; wire the reused
-# oracle text afterwards so a text_ops edit can't silently fork the two
+# oracle text afterwards so a text_ops edit can't silently fork the two.
+# The explicit import declares the dependency — before it, this line only
+# worked because chat_ops (imported earlier in plans/__init__) happened to
+# import text_ops first (ADVICE r6).
+from . import text_ops  # noqa: E402  (must run before the ORACLE lookup)
+
 ORACLE["sql_udf_quality_score"] = ORACLE["text_quality_score"]
 
 
@@ -440,10 +445,13 @@ def sql_insert_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
+        # named parameter marker, not string splicing — a lang value
+        # containing a quote must not break the statement (ADVICE r6)
         spark.sql(
             "INSERT OVERWRITE ow_docs_dyn "
             "SELECT doc_id, n_chars * 2 AS n_chars, lang FROM docs_ow_src "
-            f"WHERE lang = '{rev_lang}'"
+            "WHERE lang = :rev",
+            args={"rev": rev_lang},
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

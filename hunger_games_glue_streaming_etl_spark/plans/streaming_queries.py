@@ -34,7 +34,6 @@ leaked checkpoints).
 from __future__ import annotations
 
 import os
-import tempfile
 import uuid
 from contextlib import contextmanager
 
@@ -43,6 +42,7 @@ from pyspark.sql import functions as F
 
 from ..schemas import EVENTS_SCHEMA
 from ..sources.batch import load_table
+from ..tmpdirs import entry_tmp_dir
 from ..streaming.ops import dedup_stream, windowed_agg
 from .registry import register
 
@@ -73,7 +73,7 @@ def _stage_events_stream_impl(spark: SparkSession, sf_dir: str, n_batches: int) 
     )
     dst = _write_and_flatten_batches(
         events.withColumn("ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")),
-        prefix="hg_stream",
+        prefix=f"hg_stream_{os.path.basename(sf_dir.rstrip('/'))}",
     )
     _stage_cache[sf_dir] = dst
     return dst
@@ -85,8 +85,13 @@ def _write_and_flatten_batches(staged: "DataFrame", prefix: str) -> str:
     into one sequentially-named JSON-lines file (the file source replays
     files in name order ⇒ one file per micro-batch slot).  Part files are
     concatenated in sorted order so staging is deterministic even when an
-    upstream repartition writes multiple parts per batch."""
-    out = os.path.join(tempfile.gettempdir(), f"{prefix}_{uuid.uuid4().hex[:8]}")
+    upstream repartition writes multiple parts per batch.
+
+    The staging dir is FIXED per prefix (callers bake the sf tag into the
+    prefix) and cleared before reuse — bench repeats and driver runs stop
+    accumulating orphaned uuid dirs (ADVICE r6); the process-level stage
+    cache still short-circuits re-staging within a run."""
+    out = entry_tmp_dir(prefix)
     os.makedirs(out)
     staged.write.partitionBy("__batch").mode("overwrite").json(out + "/staged")
     src_root = out + "/staged"
@@ -456,7 +461,7 @@ def _stage_documents_stream(
     )
     dst = _write_and_flatten_batches(
         staged.select("doc_id", "text", "lang", "source", "ingest_ts", "__batch"),
-        prefix="hg_docs",
+        prefix=f"hg_docs_{os.path.basename(sf_dir.rstrip('/'))}",
     )
     _doc_stage_cache[sf_dir] = dst
     return dst
@@ -768,9 +773,7 @@ def streaming_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
     register_synthetic_source(spark)
-    path = os.path.join(
-        tempfile.gettempdir(), f"hg_pysink_{uuid.uuid4().hex[:8]}"
-    )
+    path = entry_tmp_dir("hg_pysink") + "/out"
     stream = (
         spark.readStream.format("synthetic_events")
         .option("rows", "8000")
