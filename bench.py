@@ -78,14 +78,33 @@ def main() -> None:
 
     timings = {name: round(median(xs), 3) for name, xs in samples.items()}
     total = round(sum(timings.values()), 3)
+    full = {
+        "metric": "total_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    # Full per-query map goes to a FILE (BENCH_SELF.json): at 200+ entries
+    # the one-line JSON exceeds the driver's stdout tail capture, so the
+    # driver-recorded artifact truncated mid-JSON and parsed as null
+    # (VERDICT r6 "What's wrong #1").  The LAST stdout line is a compact
+    # summary (n, sf, total, slowest-10) that always fits and always parses.
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json")
+    with open(out_path, "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_clock",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": float(sf),
+                "n_queries": len(timings),
+                "repeats": repeats,
+                "queries": slowest,
+                "full_map": "BENCH_SELF.json",
             }
         )
     )

@@ -51,6 +51,50 @@ def test_pack_stats_consistent_with_manifest(spark, queries):
         )
 
 
+def test_pack_manifest_two_level_matches_plain_window(spark):
+    """Parity pin for the two-level packing cumsum (VERDICT r6 #3): on a
+    planted SINGLE-source corpus big enough to open multiple slices
+    (rows div 4096 >= 2), the sliced local-window + broadcast-offset sum
+    must reproduce the plain one-window running sum bit-for-bit."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hunger_games_glue_streaming_etl_spark.plans.llm_pipeline import (
+        _PACK_ROWS_PER_SLICE,
+        _pack_chunks,
+        _pack_offsets_sliced,
+    )
+
+    n = 10_000
+    assert n // _PACK_ROWS_PER_SLICE >= 2  # multiple slices actually open
+    t = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("commoncrawl").alias("source"),
+        ((F.col("id") * 37) % 100 + 1).cast("int").alias("n_tokens"),
+    )
+    got = {
+        r.doc_id: (r.start_off, r.chunk_first, r.chunk_last)
+        for r in _pack_chunks(_pack_offsets_sliced(t)).collect()
+    }
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    plain = t.withColumn(
+        "start_off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    )
+    exp = {
+        r.doc_id: (
+            r.start_off,
+            r.start_off // 256,
+            (r.start_off + r.n_tokens - 1) // 256,
+        )
+        for r in plain.collect()
+    }
+    assert got == exp
+
+
 def test_decontaminate_flags_only_train_docs(spark, queries):
     rows = queries["decontaminate_ngram_overlap"](spark, SF_DIR).collect()
     assert rows  # non-vacuous at sf0.01 (12 flagged docs)
