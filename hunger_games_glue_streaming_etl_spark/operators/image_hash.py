@@ -1,0 +1,216 @@
+"""Perceptual image hashing and hash-based image dedup.
+
+The #1 multimodal curation operator (VERDICT r6 "Next round" #4): find
+near-duplicate images without pairwise pixel comparison.  Two classic
+integer perceptual hashes over a 2x2-integer-downsampled grayscale grid:
+
+- **dHash** (gradient hash): bit(r, c) = grid[r][c] < grid[r][c+1] over an
+  8x9 grid -> 64 bits.  Invariant to global brightness shifts (every cell
+  moves equally, comparisons are unchanged) — the property that makes it a
+  *perceptual* hash rather than a checksum.
+- **aHash** (average hash): bit(r, c) = grid8x8[r][c] >= mean(grid8x8)
+  with an integer (floor-div) mean -> 64 bits.
+
+Everything is integer arithmetic (downsample = sum of 4 pixels div 4), so
+the DuckDB oracle can rebuild both hashes from the planted pixel formula
+and the gate is hash-EXACT, not tolerance-banded (the planted-codec-row
+pattern of ``multimodal_real_codec_features``).  Each 64-bit hash is
+carried as two nonneg 32-bit halves (``hi``/``lo`` BIGINTs) so no ``1<<63``
+term ever overflows under ANSI mode (the round-6 BIGINT-overflow rule).
+
+Near-pairs use the exact pigeonhole screen from SimHash
+(``operators/dedup.py:simhash_near_pairs``): 4 disjoint 16-bit chunks of
+the dHash; any pair with Hamming <= 3 must share a chunk, so candidate
+generation is a bucket join — never O(n^2) — and loses nothing.
+
+Reference scope: the reference (script/TributeStreamingJob.py) has no
+image code at all; this extends the engine's multimodal curation tier.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .multimodal import encode_pgm
+
+# planted-corpus geometry: 18x16 raster -> 9x8 downsampled grid
+IMG_W, IMG_H = 18, 16
+GRID_W, GRID_H = IMG_W // 2, IMG_H // 2  # 9 x 8
+# near-dup group size: doc_id div 4 shares a base image
+DHASH_GROUP = 4
+# brightness cycle and perturbation (one pixel +50 for doc_id % 5 == 4)
+DHASH_PERTURB_MOD = 5
+DHASH_MAX_HAMMING = 3
+
+_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("dh_hi", T.LongType()),
+        T.StructField("dh_lo", T.LongType()),
+        T.StructField("ah_hi", T.LongType()),
+        T.StructField("ah_lo", T.LongType()),
+    ]
+)
+
+
+def planted_pixels(doc_id: int) -> bytes:
+    """Deterministic 18x16 grayscale raster for a document id.
+
+    base = doc_id div 4 picks the pattern, doc_id mod 3 is a global
+    brightness shift (dHash-invariant), and every 5th doc gets ONE pixel
+    +50 (flips <= 2 gradient bits -> Hamming <= 2, still a near-dup).
+    All values <= 199 + 2 + 50 < 256.  The DuckDB oracle replays this
+    exact formula arithmetically."""
+    base = doc_id // DHASH_GROUP
+    hot = base % (IMG_W * IMG_H)
+    shift = doc_id % 3
+    perturb = doc_id % DHASH_PERTURB_MOD == DHASH_PERTURB_MOD - 1
+    # Knuth-multiplier double-mod mixer: a plain linear formula made every
+    # base's GRADIENT pattern identical (dHash ignores constant offsets),
+    # collapsing 76-doc hash groups and a quadratic pair blowup (measured
+    # 338k pairs at sf0.1); the multiplicative wrap decorrelates bases.
+    return bytes(
+        ((base * 2654435761 + i * 40503) % 65536) % 200
+        + shift
+        + (50 if perturb and i == hot else 0)
+        for i in range(IMG_W * IMG_H)
+    )
+
+
+def decode_pgm_raster(payload: bytes) -> np.ndarray:
+    """Minimal binary-PGM (P5) raster decode -> (H, W) uint8 array.
+    Raster-returning counterpart of ``multimodal.decode_image`` (which
+    returns summary features only); same header grammar, no comments
+    needed for self-encoded assets."""
+    if payload[:2] != b"P5":
+        raise ValueError("not a binary PGM payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        c = payload[pos : pos + 1]
+        if c.isspace():
+            pos += 1
+        else:
+            start = pos
+            while payload[pos : pos + 1].isdigit():
+                pos += 1
+            fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace before raster
+    w, h, _maxval = fields
+    return np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=pos).reshape(
+        h, w
+    )
+
+
+def _hashes_from_raster(raster: np.ndarray) -> tuple[int, int, int, int]:
+    """(dh_hi, dh_lo, ah_hi, ah_lo) from an (16, 18) uint8 raster.
+
+    Integer-only: downsampled cell = sum of its 2x2 pixels div 4; dHash
+    compares horizontal neighbors over the 8x9 grid (64 bits); aHash
+    thresholds the left 8x8 against its floor-div mean (64 bits).  Bits
+    pack little-endian by (row, col): position r*8+c, rows 0-3 -> hi,
+    rows 4-7 -> lo, each half < 2^32."""
+    g = raster.astype(np.int64)
+    grid = (g[0::2, 0::2] + g[0::2, 1::2] + g[1::2, 0::2] + g[1::2, 1::2]) // 4
+    dbits = (grid[:, :-1] < grid[:, 1:]).astype(np.int64)  # (8, 8)
+    sq = grid[:, :8]
+    mean = int(sq.sum()) // 64
+    abits = (sq >= mean).astype(np.int64)  # (8, 8)
+    weights = np.int64(1) << (
+        np.arange(4, dtype=np.int64)[:, None] * 8 + np.arange(8, dtype=np.int64)
+    )
+
+    def pack(bits: np.ndarray) -> tuple[int, int]:
+        return int((bits[:4] * weights).sum()), int((bits[4:] * weights).sum())
+
+    dh_hi, dh_lo = pack(dbits)
+    ah_hi, ah_lo = pack(abits)
+    return dh_hi, dh_lo, ah_hi, ah_lo
+
+
+def image_hash_fingerprints(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-document perceptual hashes via the REAL binary pipeline: plant
+    the deterministic raster, encode it as binary PGM, decode the bytes
+    back, downsample, hash — all inside one Arrow kernel, so the entry
+    exercises exactly the plumbing a binary-asset corpus needs (bytes in,
+    integer features out; payloads never leave the kernel).  At 100 TB the
+    kernel maps over binary-file partitions; per-row state is one 288-byte
+    raster, and only (id, 4 BIGINTs) ever shuffles."""
+    ids = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                payload = encode_pgm(IMG_W, IMG_H, planted_pixels(d))
+                raster = decode_pgm_raster(payload)
+                rows.append((d, *_hashes_from_raster(raster)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "dh_hi", "dh_lo", "ah_hi", "ah_lo"]
+            )
+
+    return ids.mapInPandas(kernel, schema=_FP_SCHEMA)
+
+
+def image_dhash_near_pairs(
+    docs: DataFrame, id_col: str = "doc_id", max_hamming: int = DHASH_MAX_HAMMING
+) -> DataFrame:
+    """dHash near-duplicate pairs (Hamming <= 3 over 64 bits) via the exact
+    pigeonhole chunk screen: 4 disjoint 16-bit chunks (2 per 32-bit half);
+    <= 3 differing bits cannot touch all 4 chunks, so bucket-join
+    candidates lose nothing and the verify popcount runs only on
+    chunk-collision pairs — never O(n^2).  Mirrors
+    ``dedup.simhash_near_pairs`` (same screen, two-halves hash)."""
+    from ..caching import pin
+
+    fp = pin(image_hash_fingerprints(docs, id_col).select("doc_id", "dh_hi", "dh_lo"))
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("part"),
+                F.shiftrightunsigned(F.col(col), start)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("chunk"),
+            )
+            for p, (col, start) in enumerate(
+                [("dh_hi", 0), ("dh_hi", 16), ("dh_lo", 0), ("dh_lo", 16)]
+            )
+        ]
+    )
+    exploded = fp.select("doc_id", "dh_hi", "dh_lo", F.explode(chunks).alias("pc")).select(
+        "doc_id", "dh_hi", "dh_lo", F.col("pc.part").alias("part"), F.col("pc.chunk").alias("chunk")
+    )
+    a = exploded.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("dh_hi").alias("hi_a"),
+        F.col("dh_lo").alias("lo_a"),
+        "part",
+        "chunk",
+    )
+    b = exploded.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("dh_hi").alias("hi_b"),
+        F.col("dh_lo").alias("lo_b"),
+        "part",
+        "chunk",
+    )
+    cand = (
+        a.join(b, ["part", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "hi_a", "lo_a", "hi_b", "lo_b")
+        .distinct()
+    )
+    ham = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    ).cast("int")
+    return (
+        cand.select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

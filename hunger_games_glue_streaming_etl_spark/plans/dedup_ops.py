@@ -410,3 +410,118 @@ def dedup_incremental_new_vs_base(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         )
     )
+
+
+# ---- image perceptual-hash dedup (VERDICT r6 "Next round" #4) --------------
+#
+# The DuckDB oracle rebuilds dHash/aHash from the planted pixel FORMULA
+# (operators/image_hash.py:planted_pixels) arithmetically — the Spark side
+# runs the real binary pipeline (encode PGM -> decode bytes -> downsample
+# -> hash) and must land on identical integers, proving codec + kernel +
+# hash agree end-to-end.  Every step is integer-only so the gate is
+# hash-exact; each 64-bit hash rides as two 32-bit halves (no 1<<63 under
+# ANSI — the r6 overflow rule).
+
+
+def _img_px_sql(row: str, col: str) -> str:
+    """Planted pixel value at raster (row, col) — mirror of planted_pixels."""
+    idx = f"(({row}) * 18 + ({col}))"
+    return (
+        f"((((base * 2654435761 + {idx} * 40503) % 65536) % 200) + shift"
+        f" + CASE WHEN pert = 1 AND {idx} = hot THEN 50 ELSE 0 END)"
+    )
+
+
+def _img_cell_sql() -> str:
+    """CTE body: 9x8 downsampled grid cells per document (integer mean)."""
+    quad = " + ".join(
+        _img_px_sql(r, c)
+        for r, c in (
+            ("2*r", "2*c"),
+            ("2*r", "2*c+1"),
+            ("2*r+1", "2*c"),
+            ("2*r+1", "2*c+1"),
+        )
+    )
+    return f"""
+    d AS (
+        SELECT doc_id, doc_id // 4 AS base, doc_id % 3 AS shift,
+               (doc_id // 4) % 288 AS hot,
+               CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END AS pert
+        FROM documents
+    ),
+    rc AS (
+        SELECT r, c
+        FROM (SELECT unnest(generate_series(0, 7)) AS r),
+             (SELECT unnest(generate_series(0, 8)) AS c)
+    ),
+    cell AS (
+        SELECT doc_id, r, c, ({quad}) // 4 AS v FROM d, rc
+    )
+    """
+
+
+_IMG_FP_SQL = f"""
+    WITH {_img_cell_sql()},
+    dbit AS (
+        SELECT a.doc_id, a.r, a.c, CASE WHEN a.v < b.v THEN 1 ELSE 0 END AS bit
+        FROM cell a JOIN cell b ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+        WHERE a.c <= 7
+    ),
+    am AS (SELECT doc_id, SUM(v) // 64 AS m FROM cell WHERE c <= 7 GROUP BY doc_id),
+    abit AS (
+        SELECT cell.doc_id, r, c, CASE WHEN v >= m THEN 1 ELSE 0 END AS bit
+        FROM cell JOIN am ON cell.doc_id = am.doc_id
+        WHERE c <= 7
+    ),
+    dfp AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN r < 4 THEN CAST(bit AS BIGINT) << (r * 8 + c) ELSE 0 END) AS BIGINT) AS dh_hi,
+               CAST(SUM(CASE WHEN r >= 4 THEN CAST(bit AS BIGINT) << ((r - 4) * 8 + c) ELSE 0 END) AS BIGINT) AS dh_lo
+        FROM dbit GROUP BY doc_id
+    ),
+    afp AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN r < 4 THEN CAST(bit AS BIGINT) << (r * 8 + c) ELSE 0 END) AS BIGINT) AS ah_hi,
+               CAST(SUM(CASE WHEN r >= 4 THEN CAST(bit AS BIGINT) << ((r - 4) * 8 + c) ELSE 0 END) AS BIGINT) AS ah_lo
+        FROM abit GROUP BY doc_id
+    )
+    SELECT dfp.doc_id, dh_hi, dh_lo, ah_hi, ah_lo
+    FROM dfp JOIN afp ON dfp.doc_id = afp.doc_id
+"""
+
+
+@register("dedup_image_dhash_fingerprints", oracle=_IMG_FP_SQL)
+def dedup_image_dhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hashes (dHash gradient bits + aHash mean bits) over
+    a planted binary-image corpus keyed by doc_id: the Arrow kernel
+    encodes each deterministic raster to real PGM bytes, decodes them
+    back, integer-downsamples 2x2, and packs 64 bits per hash as two
+    32-bit halves.  See operators/image_hash.py for the 100 TB posture
+    (payloads never leave the kernel; only id + 4 BIGINTs shuffle)."""
+    from ..operators.image_hash import image_hash_fingerprints
+
+    return image_hash_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_image_dhash_pairs",
+    oracle=f"""
+    WITH fp AS ({_IMG_FP_SQL.strip()})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.dh_hi, b.dh_hi))
+                + bit_count(xor(a.dh_lo, b.dh_lo)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.dh_hi, b.dh_hi)) + bit_count(xor(a.dh_lo, b.dh_lo)) <= 3
+    """,
+)
+def dedup_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs by dHash Hamming <= 3, via the exact
+    pigeonhole 4x16-bit chunk screen (the SimHash screen, reused): the
+    oracle brute-forces all pairs, the Spark plan bucket-joins chunk
+    collisions — identical pair sets, never O(n^2).  Non-vacuous by
+    construction: doc_id div 4 groups share a base image (brightness
+    shifts -> Hamming 0; the one-pixel perturbed docs -> Hamming <= 2)."""
+    from ..operators.image_hash import image_dhash_near_pairs
+
+    return image_dhash_near_pairs(load_table(spark, sf_dir, "documents"))
