@@ -16,6 +16,7 @@ from . import (  # noqa: E402,F401
     llm_pipeline,
     multimodal_ops,
     profile_ops,
+    sampling_ops,
     scalars,
     scd_ops,
     segment_ops,

@@ -92,6 +92,10 @@ SKIP_EXECUTING = {
     "sim_sq8_recall_check",
     "pipeline_pretrain_corpus",
     "curation_clean_corpus",
+    # df.stat.freqItems / df.stat.crosstab execute eagerly at build
+    # (sketch collect / distinct-value column discovery)
+    "sample_freqitems_contract",
+    "sample_crosstab_exact",
 }
 
 FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
