@@ -944,3 +944,73 @@ def sq8_ann_topk(
         ).alias("sq8_score"),
     )
     return scored.orderBy(F.desc("sq8_score"), F.col(id_col)).limit(k)
+
+
+def frozen_index_assign(
+    index_side: DataFrame,
+    assign_side: DataFrame,
+    vecs_per_cell: int = 64,
+    min_cells: int = 4,
+    max_cells: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Incremental ANN index maintenance: assign a NEW batch of vectors to
+    the EXISTING index built from ``index_side`` — centroid seeds and the
+    SQ8 scale are derived from the index side ONLY and frozen, so
+    ingesting a new batch never rebuilds the index or perturbs any prior
+    assignment (the ANN face of ``dedup_incremental_new_vs_base``).
+
+    The persistent index is the collected centroid set (metadata-scale,
+    the same driver-dial shape every ``sim_*`` index build uses) plus the
+    1-row SQ8 scale; only the new batch's (id, cell, code-checksum) rows
+    ever shuffle.  Seeds are the deterministic keyed-hash sample of the
+    index side (both engines replay it — hash-exact contract); assignment
+    is the shared argmax-dot kernel (expression path <= 16 cells, Arrow
+    kernel above — bit-identical, see ``_assign_cluster``).
+
+    Returns one row per assign-side vector: ``(vec_id, cell_id,
+    sq8_self)`` where ``cell_id`` is the owning frozen centroid's seed id
+    and ``sq8_self`` is the integer self-dot of the vector's frozen-scale
+    int8 codes (the checksum a code store would persist).
+    """
+    from ..functions.text import portable_hash64
+
+    n = index_side.count()
+    n_cells = max(min_cells, min(max_cells, n // vecs_per_cell))
+    seed_hash = portable_hash64(
+        F.concat(F.lit("icell:"), F.col(id_col).cast("string"))
+    )
+    seeds = (
+        index_side.orderBy(seed_hash, F.col(id_col))
+        .select(id_col, vec_col)
+        .limit(n_cells)
+        .collect()
+    )
+    if not seeds:
+        raise ValueError("frozen_index_assign: index side is empty")
+    seed_ids = [r[0] for r in seeds]
+    centroids = [[float(x) for x in r[1]] for r in seeds]
+
+    assigned = _assign_cluster(
+        assign_side.select(id_col, vec_col), centroids, vec_col
+    )
+    cell_id = F.lit(seed_ids[-1])
+    for i in reversed(range(len(seed_ids) - 1)):
+        cell_id = F.when(F.col("__cluster") == i, F.lit(seed_ids[i])).otherwise(cell_id)
+
+    dial = sq8_dials(index_side, vec_col)
+    codes = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda xi: _sq8_code(xi, F.col("__a")),
+    )
+    return (
+        assigned.crossJoin(F.broadcast(dial))
+        .select(
+            F.col(id_col),
+            cell_id.cast("long").alias("cell_id"),
+            F.aggregate(
+                codes, F.lit(0).cast("long"), lambda acc, x: acc + x * x
+            ).alias("sq8_self"),
+        )
+    )

@@ -326,3 +326,83 @@ def sim_sq8_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=_K
     )
     return _recall_check(spark, sf_dir, approx, floor_hits=8)
+
+
+# ---- incremental ANN index maintenance (VERDICT r6 "Next round" #6) --------
+
+
+def _inc_phash(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5('0:' || {expr}), 1, 12)) AS BIGINT)"
+
+
+@register(
+    "sim_incremental_index_assign",
+    oracle=f"""
+    WITH s AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               {_inc_phash("'inc:' || CAST(vec_id AS VARCHAR)")} % 4 AS side
+        FROM embeddings
+    ),
+    base AS (SELECT vec_id, v FROM s WHERE side < 3),
+    newb AS (SELECT vec_id, v FROM s WHERE side >= 3),
+    nc AS (SELECT GREATEST(4, LEAST(64, COUNT(*) // 64)) AS k FROM base),
+    ranked AS (
+        SELECT vec_id AS cid, v AS cvec,
+               ROW_NUMBER() OVER (
+                   ORDER BY {_inc_phash("'icell:' || CAST(vec_id AS VARCHAR)")},
+                            vec_id
+               ) AS rnk
+        FROM base
+    ),
+    c AS (SELECT cid, cvec, rnk FROM ranked WHERE rnk <= (SELECT k FROM nc)),
+    a AS (
+        SELECT MAX(ABS(val)) AS a
+        FROM (SELECT unnest(v) AS val FROM base)
+    ),
+    dp AS (
+        SELECT n.vec_id, c.cid, c.rnk, list_dot_product(n.v, c.cvec) AS d
+        FROM newb n CROSS JOIN c
+    ),
+    asg AS (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, rnk) AS rn
+        FROM dp
+    ),
+    codes AS (
+        SELECT e.vec_id,
+               CAST(SUM(CASE WHEN a.a = 0 THEN 0
+                             ELSE CAST(FLOOR((e.val * 127.0) / a.a) AS BIGINT)
+                                  * CAST(FLOOR((e.val * 127.0) / a.a) AS BIGINT)
+                        END) AS BIGINT) AS sq8_self
+        FROM (SELECT vec_id, unnest(v) AS val FROM newb) e CROSS JOIN a
+        GROUP BY e.vec_id
+    )
+    SELECT asg.vec_id, asg.cid AS cell_id, codes.sq8_self
+    FROM asg JOIN codes USING (vec_id)
+    WHERE rn = 1
+    """,
+)
+def sim_incremental_index_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN maintenance: the corpus splits 75/25 by portable
+    hash into the EXISTING index side and a NEW ingest batch (the
+    ``dedup_incremental_new_vs_base`` mechanism); centroid seeds
+    (deterministic keyed-hash sample) and the SQ8 scale are computed from
+    the index side only and FROZEN, and the new batch is assigned to the
+    frozen cells + coded with the frozen scale — no rebuild, no
+    re-assignment of history (drift pinned in
+    tests/test_dedup_similarity.py).  The oracle nests the same frozen
+    CTEs, so cell assignments AND integer code checksums are hash-exact.
+    See ``operators/similarity.py:frozen_index_assign`` for the 100 TB
+    posture (index = collected centroids + 1-row scale; only new-batch
+    keys shuffle)."""
+    from ..functions.text import portable_hash64
+    from ..operators.similarity import frozen_index_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    side = F.pmod(
+        portable_hash64(F.concat(F.lit("inc:"), F.col("vec_id").cast("string"))),
+        F.lit(4),
+    )
+    base = emb.filter(side < 3)
+    new = emb.filter(side >= 3)
+    return frozen_index_assign(base, new)

