@@ -800,3 +800,72 @@ def streaming_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFr
         F.sum("metric_fp").alias("metric_sum"),
         F.sum(F.when(F.col("state") == "IDLE", 1).otherwise(0)).alias("n_idle"),
     )
+
+
+@register(
+    "streaming_available_now_drain",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS value_cents,
+           TRUE AS drained_multi_batch,
+           TRUE AS self_terminated
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def streaming_available_now_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``Trigger.AvailableNow`` drain-mode contract (VERDICT r6 #7 — the
+    CLI's ``--available-now`` path finally under the oracle gate): the
+    query must consume EXACTLY the staged backlog, respect per-trigger
+    read limits while doing it (maxFilesPerTrigger=1 over 4 staged files
+    -> multiple micro-batches, not one giant batch), then terminate on
+    its own — no ``stop()``.  The memory sink then holds precisely the
+    backlog, so per-type counts and exact integer cent-sums
+    (``FLOOR(v*100+0.5)`` — IEEE multiply/add/floor, engine-portable
+    unlike double SUM rounding) hash-match the batch table; the two
+    booleans pin multi-batch execution and self-termination, both
+    deterministic.  Restart semantics (second AvailableNow run drains
+    only newly-arrived files) are e2e-pinned in
+    tests/test_streaming_depth.py.  At 100 TB this is the nightly
+    catch-up mode: bounded batches under the same state/watermark
+    machinery, no always-on cluster."""
+    src = _stage_events_stream(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    proj = stream.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    qname = f"availnow_{uuid.uuid4().hex[:8]}"
+    with _lean_state_partitions(spark):
+        q = (
+            proj.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        terminated = q.awaitTermination(120)
+        n_batches = len([p for p in q.recentProgress if p.numInputRows > 0])
+        if q.isActive:
+            q.stop()
+    return (
+        spark.table(qname)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("cents").alias("value_cents"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "value_cents",
+            F.lit(n_batches >= 2).alias("drained_multi_batch"),
+            F.lit(bool(terminated)).alias("self_terminated"),
+        )
+    )
