@@ -45,66 +45,24 @@ from . import (  # noqa: E402,F401
 # already have green rows in CORRECTNESS_r01-r03 follow in import order.
 # ---------------------------------------------------------------------------
 _SAMPLE_FIRST = [
-    # ---- round-6 rotation (VERDICT r5 "Next round #1"): the first ~50
+    # ---- round-7 rotation (VERDICT r6 "Next round #1"): the first ~50
     # must ALL be oracled — the 4 rows-only-by-design entries
     # (sim_pq_ann_topk, agg_approx_distinct, sim_embedding_pairs_blas,
     # sim_ivf_ann_topk) stay OUT of this window permanently so every
     # driver-recorded row is hash-checkable.  Lead with this round's new
-    # entries (first recorded row), then freshness-rotate: the oracled
-    # entries whose latest recorded row is OLDEST (r1, then r2, then r3
-    # in recorded order). ----
-    # round-6 new entries
-    "scan_xml_roundtrip",
-    "scan_csv_malformed_quarantine",
-    "layout_partitioned_write_prune",
-    "graph_triangles_copurchase",
-    "event_session_window_fn",
-    "dq_table_fingerprint",
-    "scan_nested_parquet_pruning",
-    "udf_map_in_arrow",
-    "udf_cogrouped_orders_profile",
-    "timeseries_ohlc_hourly",
-    "udf_grouped_apply_in_arrow",
-    "q18_large_orders",
-    "q12_late_lines_priority",
-    "q21_waiting_supplier",
-    "sink_python_datasource_write",
-    "curriculum_length_buckets",
-    "incremental_agg_merge",
-    "sql_cache_table",
-    "scalar_map_funcs",
-    "scan_file_metadata_lineage",
-    "sql_insert_into_select",
-    "relational_transpose",
-    "streaming_python_datasource_sink",
-    "set_union_by_name_evolution",
-    "udtf_dynamic_schema_split",
-    "sql_insert_default_columns",
-    "scan_binary_file_assets",
-    "scalar_try_arithmetic",
-    "agg_bitmap_exact_distinct",
-    "scalar_collation_casefold",
-    "sql_parameterized_identifier",
-    "udtf_table_partition_args",
-    "sort_limit_offset",
-    "agg_regression_funcs",
-    "sql_insert_overwrite_dynamic",
-    "layout_bucketed_colocated_join",
-    "text_chunk_sliding",
-    "multimodal_video_y4m_frames",
-    "pipeline_rag_retrieval",
-    "curation_winsorize_quantiles",
-    "sql_recursive_reachability",
-    "sql_udf_quality_score",
-    "sql_session_variable_dial",
-    "streaming_chained_windows",
-    "text_bpe_encode",
-    # latest recorded row is r1
-    "distinct_projection",
-    "set_except",
-    "set_intersect",
-    "sim_cosine_topk",
-    "sim_lsh_ann_topk",
+    # entries (first recorded row), then freshness-rotate: the 12 oracled
+    # entries whose latest recorded row is r2, then the r3 batch.  The
+    # round-6 cohort (45 entries + the 5 r1-latest) recorded green rows
+    # in CORRECTNESS_r06 and rotates to the back. ----
+    # round-7 new entries
+    "dedup_image_dhash_fingerprints",
+    "dedup_image_dhash_pairs",
+    "sample_tablesample_percent",
+    "sample_stratified_by_key",
+    "sample_freqitems_contract",
+    "sample_crosstab_exact",
+    "sim_incremental_index_assign",
+    "streaming_available_now_drain",
     # latest recorded row is r2
     "merge_upsert_customer",
     "multimodal_binary_features",
