@@ -158,18 +158,19 @@ def image_hash_fingerprints(docs: DataFrame, id_col: str = "doc_id") -> DataFram
     return ids.mapInPandas(kernel, schema=_FP_SCHEMA)
 
 
-def image_dhash_near_pairs(
-    docs: DataFrame, id_col: str = "doc_id", max_hamming: int = DHASH_MAX_HAMMING
+def hi_lo_near_pairs(
+    fp: DataFrame, hi_col: str, lo_col: str, max_hamming: int = DHASH_MAX_HAMMING
 ) -> DataFrame:
-    """dHash near-duplicate pairs (Hamming <= 3 over 64 bits) via the exact
-    pigeonhole chunk screen: 4 disjoint 16-bit chunks (2 per 32-bit half);
-    <= 3 differing bits cannot touch all 4 chunks, so bucket-join
-    candidates lose nothing and the verify popcount runs only on
-    chunk-collision pairs — never O(n^2).  Mirrors
-    ``dedup.simhash_near_pairs`` (same screen, two-halves hash)."""
+    """Near-pairs by Hamming <= ``max_hamming`` over a two-half 64-bit
+    fingerprint ``(doc_id, hi, lo)`` — the exact pigeonhole chunk screen
+    shared by the image-dHash and audio-fingerprint dedup entries: 4
+    disjoint 16-bit chunks (2 per 32-bit half); <= 3 differing bits
+    cannot touch all 4 chunks, so bucket-join candidates lose nothing and
+    the verify popcount runs only on chunk-collision pairs — never
+    O(n^2).  Mirrors ``dedup.simhash_near_pairs`` for split hashes."""
     from ..caching import pin
 
-    fp = pin(image_hash_fingerprints(docs, id_col).select("doc_id", "dh_hi", "dh_lo"))
+    fp = pin(fp.select("doc_id", hi_col, lo_col))
     chunks = F.array(
         *[
             F.struct(
@@ -179,24 +180,24 @@ def image_dhash_near_pairs(
                 .alias("chunk"),
             )
             for p, (col, start) in enumerate(
-                [("dh_hi", 0), ("dh_hi", 16), ("dh_lo", 0), ("dh_lo", 16)]
+                [(hi_col, 0), (hi_col, 16), (lo_col, 0), (lo_col, 16)]
             )
         ]
     )
-    exploded = fp.select("doc_id", "dh_hi", "dh_lo", F.explode(chunks).alias("pc")).select(
-        "doc_id", "dh_hi", "dh_lo", F.col("pc.part").alias("part"), F.col("pc.chunk").alias("chunk")
+    exploded = fp.select("doc_id", hi_col, lo_col, F.explode(chunks).alias("pc")).select(
+        "doc_id", hi_col, lo_col, F.col("pc.part").alias("part"), F.col("pc.chunk").alias("chunk")
     )
     a = exploded.select(
         F.col("doc_id").alias("id_a"),
-        F.col("dh_hi").alias("hi_a"),
-        F.col("dh_lo").alias("lo_a"),
+        F.col(hi_col).alias("hi_a"),
+        F.col(lo_col).alias("lo_a"),
         "part",
         "chunk",
     )
     b = exploded.select(
         F.col("doc_id").alias("id_b"),
-        F.col("dh_hi").alias("hi_b"),
-        F.col("dh_lo").alias("lo_b"),
+        F.col(hi_col).alias("hi_b"),
+        F.col(lo_col).alias("lo_b"),
         "part",
         "chunk",
     )
@@ -213,4 +214,14 @@ def image_dhash_near_pairs(
     return (
         cand.select("id_a", "id_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def image_dhash_near_pairs(
+    docs: DataFrame, id_col: str = "doc_id", max_hamming: int = DHASH_MAX_HAMMING
+) -> DataFrame:
+    """dHash near-duplicate pairs (Hamming <= 3 over 64 bits) via the
+    shared pigeonhole screen (``hi_lo_near_pairs``)."""
+    return hi_lo_near_pairs(
+        image_hash_fingerprints(docs, id_col), "dh_hi", "dh_lo", max_hamming
     )

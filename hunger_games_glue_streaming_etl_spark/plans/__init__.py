@@ -57,6 +57,9 @@ _SAMPLE_FIRST = [
     # round-7 new entries
     "dedup_image_dhash_fingerprints",
     "dedup_image_dhash_pairs",
+    "dedup_audio_fingerprints",
+    "dedup_audio_fingerprint_pairs",
+    "sql_pipe_syntax",
     "sample_tablesample_percent",
     "sample_stratified_by_key",
     "sample_freqitems_contract",

@@ -525,3 +525,76 @@ def dedup_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.image_hash import image_dhash_near_pairs
 
     return image_dhash_near_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# ---- audio perceptual-fingerprint dedup (the audio face of dHash) ----------
+
+
+def _aud_samp_sql(idx: str) -> str:
+    """Planted PCM sample at index — mirror of audio_hash.planted_samples."""
+    return (
+        f"((((base * 2654435761 + ({idx}) * 48271) % 65536) % 24000) + dc"
+        f" + CASE WHEN pert = 1 AND ({idx}) = hot THEN 8000 ELSE 0 END)"
+    )
+
+
+_AUD_FP_SQL = f"""
+    WITH d AS (
+        SELECT doc_id, doc_id // 4 AS base, (doc_id % 3) * 16 AS dc,
+               (doc_id // 4) % 256 AS hot,
+               CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END AS pert
+        FROM documents
+    ),
+    js AS (SELECT unnest(generate_series(0, 63)) AS j),
+    frame AS (
+        SELECT doc_id, j,
+               ({_aud_samp_sql("4*j")} + {_aud_samp_sql("4*j+1")}
+                + {_aud_samp_sql("4*j+2")} + {_aud_samp_sql("4*j+3")}) AS s
+        FROM d, js
+    ),
+    abit AS (
+        SELECT a.doc_id, a.j, CASE WHEN a.s < b.s THEN 1 ELSE 0 END AS bit
+        FROM frame a JOIN frame b ON a.doc_id = b.doc_id AND b.j = a.j + 1
+        WHERE a.j <= 62
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN j < 32 THEN CAST(bit AS BIGINT) << j ELSE 0 END) AS BIGINT) AS af_hi,
+           CAST(SUM(CASE WHEN j >= 32 THEN CAST(bit AS BIGINT) << (j - 32) ELSE 0 END) AS BIGINT) AS af_lo
+    FROM abit GROUP BY doc_id
+"""
+
+
+@register("dedup_audio_fingerprints", oracle=_AUD_FP_SQL)
+def dedup_audio_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-gradient audio fingerprints (chromaprint-style sign-of-delta
+    over frame energies) via the REAL binary pipeline: plant deterministic
+    PCM keyed by doc_id, encode actual RIFF/WAV bytes, decode them back,
+    frame, hash — all in one Arrow kernel.  DC offsets (the audio analog
+    of brightness) don't move the bits; the one-sample perturbed docs stay
+    within Hamming 2.  See operators/audio_hash.py for the 100 TB
+    posture."""
+    from ..operators.audio_hash import audio_fingerprints
+
+    return audio_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_audio_fingerprint_pairs",
+    oracle=f"""
+    WITH fp AS ({_AUD_FP_SQL.strip()})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.af_hi, b.af_hi))
+                + bit_count(xor(a.af_lo, b.af_lo)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.af_hi, b.af_hi)) + bit_count(xor(a.af_lo, b.af_lo)) <= 3
+    """,
+)
+def dedup_audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate pairs by fingerprint Hamming <= 3, via the
+    SAME exact pigeonhole 4x16-bit chunk screen the image-dHash pairs use
+    (``image_hash.hi_lo_near_pairs``) — one screen, every modality.  The
+    oracle brute-forces all pairs; the Spark plan bucket-joins chunk
+    collisions — identical pair sets, never O(n^2)."""
+    from ..operators.audio_hash import audio_near_pairs
+
+    return audio_near_pairs(load_table(spark, sf_dir, "documents"))

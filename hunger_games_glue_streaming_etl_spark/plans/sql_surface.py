@@ -463,3 +463,39 @@ def sql_insert_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ow_docs_dyn GROUP BY 1
         """
     )
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    LIMIT 3
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (``|>``, Spark 4.0+): the linear FROM-first query
+    form — each stage feeds the next, the order you read is the order it
+    runs.  Join, filter, aggregate-with-inline-GROUP-BY, order, limit all
+    through pipe stages; Catalyst lowers it to the identical plan the
+    standard form produces, which is exactly what the oracle pins (same
+    result set, hash-checked).  Surface-only entry: no new execution
+    machinery, the point is that a user of the pipe dialect can run it
+    here."""
+    _canonical_views(spark, sf_dir, "orders", "customer")
+    return spark.sql(
+        """
+        FROM orders
+        |> JOIN customer ON o_custkey = c_custkey
+        |> WHERE c_mktsegment = 'BUILDING'
+        |> AGGREGATE COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total
+           GROUP BY o_orderpriority
+        |> ORDER BY o_orderpriority
+        |> LIMIT 3
+        """
+    )

@@ -842,3 +842,27 @@ def test_incremental_index_assign_no_drift(spark):
     assert new_ids <= set(after) - set() and all(
         after[v][0] in {c for c, _ in before.values()} or True for v in new_ids
     )
+
+
+def test_audio_fingerprint_roundtrip_and_dc_invariance():
+    """WAV encode/decode reproduces the planted samples; the fingerprint is
+    invariant to the DC offset within a doc group and within Hamming 2 of
+    the one-sample-perturbed member."""
+    from hunger_games_glue_streaming_etl_spark.operators.audio_hash import (
+        decode_wav_samples,
+        fingerprint_from_samples,
+        planted_samples,
+    )
+    from hunger_games_glue_streaming_etl_spark.operators.multimodal import encode_wav
+
+    for doc_id in (0, 7, 24, 123):
+        s = planted_samples(doc_id)
+        assert decode_wav_samples(encode_wav(8000, s)) == s
+
+    def fp(d):
+        return fingerprint_from_samples(planted_samples(d))
+
+    assert fp(40) == fp(41)  # DC offset only
+    h0, h1 = fp(25), fp(24)  # 24 % 5 == 4: perturbed group member
+    ham = bin(h0[0] ^ h1[0]).count("1") + bin(h0[1] ^ h1[1]).count("1")
+    assert 0 <= ham <= 2
