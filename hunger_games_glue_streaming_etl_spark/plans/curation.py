@@ -247,3 +247,68 @@ def curation_winsorize_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_clipped_hi"),
         F.sum(clipped).alias("winsorized_sum"),
     )
+
+
+@register(
+    "curation_domain_caps",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               'https://site' || CAST(doc_id % 37 AS VARCHAR)
+                   || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url
+        FROM documents
+    ),
+    d AS (
+        SELECT doc_id,
+               regexp_extract(url, 'https://([^/]+)/', 1) AS domain
+        FROM u
+    ),
+    r AS (
+        SELECT doc_id, domain,
+               ROW_NUMBER() OVER (
+                   PARTITION BY domain
+                   ORDER BY CAST(('0x' || substr(md5('0:' || 'dom:'
+                       || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT),
+                       doc_id
+               ) AS rnk
+        FROM d
+    )
+    SELECT doc_id, domain, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 8
+    """,
+)
+def curation_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document caps (the CommonCrawl curation rule that stops
+    one template-heavy site from dominating a language's mixture): URLs
+    are planted deterministically (the fixtures carry none), the domain is
+    recovered by the SAME regex in both engines, and each domain keeps its
+    first 8 docs in portable-hash order — an unbiased per-domain sample
+    whose manifest is hash-exact.  At 100 TB: domain extraction is
+    map-side; the rank is one window per domain key (millions of domains
+    → natural parallelism; a pathological single-domain corpus routes
+    through the two-level cumsum like packing).  Non-vacuous at every sf
+    (37 planted domains, every one over its cap at sf0.01+)."""
+    from ..functions.text import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://site"),
+            (F.col("doc_id") % 37).cast("string"),
+            F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    d = u.select(
+        "doc_id", F.regexp_extract("url", "https://([^/]+)/", 1).alias("domain")
+    )
+    w = Window.partitionBy("domain").orderBy(
+        portable_hash64(F.concat(F.lit("dom:"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    return (
+        d.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 8)
+        .select("doc_id", "domain", "rnk")
+    )

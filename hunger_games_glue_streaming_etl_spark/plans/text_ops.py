@@ -723,3 +723,99 @@ def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("chunk_len").alias("covered_slots"),
         F.sum("chunk_h").alias("chunks_hash_sum"),
     )
+
+
+# ---- HTML boilerplate extraction (WET-style, round 7) ----------------------
+#
+# The first stage of every web-scale pretrain pipeline: raw HTML ->
+# main-content text.  The fixtures carry no HTML, so both engines CONSTRUCT
+# the same page around each document's text (the planted-corpus pattern) and
+# run the SAME extraction regexes: drop <head>/<script>/<nav>/<footer>
+# blocks, strip remaining tags, collapse whitespace.  ASCII-only,
+# lookahead-free patterns — Java regex and DuckDB's RE2 agree on every one
+# (the pii_scrub_planted precedent).  DuckDB needs the 'g' flag for global
+# replace; Spark is global by default.
+
+_HTML_BUILD_SQL = """
+    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+    || '</title><style>p (margin:0) </style></head><body>'
+    || '<nav><a href="/home">home</a> <a href="/about">about</a></nav>'
+    || '<p>' || substr(text, 1, 120) || '</p>'
+    || '<script>var tracking_id = ' || CAST(doc_id AS VARCHAR) || ';</script>'
+    || '<p>' || substr(text, 121, 200) || '</p>'
+    || '<footer>copyright corp</footer></body></html>'
+"""
+
+_HTML_STRIP_STEPS = [
+    ("(?s)<head>.*?</head>", ""),
+    ("(?s)<script[^>]*>.*?</script>", ""),
+    ("(?s)<nav>.*?</nav>", ""),
+    ("(?s)<footer>.*?</footer>", ""),
+    ("<[^>]+>", " "),
+]
+
+
+@register(
+    "text_html_extract",
+    oracle=f"""
+    WITH page AS (
+        SELECT doc_id, {_HTML_BUILD_SQL} AS html FROM documents
+    ),
+    x AS (
+        SELECT doc_id, html,
+               trim(regexp_replace(
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(
+                               regexp_replace(
+                                   regexp_replace(html, '(?s)<head>.*?</head>', '', 'g'),
+                                   '(?s)<script[^>]*>.*?</script>', '', 'g'),
+                               '(?s)<nav>.*?</nav>', '', 'g'),
+                           '(?s)<footer>.*?</footer>', '', 'g'),
+                       '<[^>]+>', ' ', 'g'),
+                   '\\s+', ' ', 'g')) AS extracted
+        FROM page
+    )
+    SELECT doc_id, extracted,
+           CAST(LENGTH(html) - LENGTH(extracted) AS BIGINT) AS boilerplate_chars
+    FROM x
+    """,
+)
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> main-content text extraction (the WET/trafilatura stage of a
+    web-crawl pretrain pipeline): both engines build the identical page
+    around each document, then head/script/nav/footer blocks are removed,
+    tags stripped, whitespace collapsed — the extracted text itself is
+    value-hashed, so any regex or flag divergence fails the gate.  At
+    100 TB this is a pure map-side regex chain over the raw crawl: no
+    shuffle, codegen'd, and the boilerplate_chars column is the audit a
+    curation dashboard tracks."""
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><style>p (margin:0) </style></head><body>"),
+        F.lit('<nav><a href="/home">home</a> <a href="/about">about</a></nav>'),
+        F.lit("<p>"),
+        F.substring(F.col("text"), 1, 120),
+        F.lit("</p>"),
+        F.lit("<script>var tracking_id = "),
+        F.col("doc_id").cast("string"),
+        F.lit(";</script>"),
+        F.lit("<p>"),
+        F.substring(F.col("text"), 121, 200),
+        F.lit("</p>"),
+        F.lit("<footer>copyright corp</footer></body></html>"),
+    )
+    page = docs.select("doc_id", html.alias("html"))
+    extracted = F.col("html")
+    for pat, rep in _HTML_STRIP_STEPS:
+        extracted = F.regexp_replace(extracted, pat, rep)
+    extracted = F.trim(F.regexp_replace(extracted, r"\s+", " "))
+    return page.select(
+        "doc_id",
+        extracted.alias("extracted"),
+        (F.length("html") - F.length(extracted)).cast("long").alias(
+            "boilerplate_chars"
+        ),
+    )
