@@ -60,6 +60,8 @@ _SAMPLE_FIRST = [
     "dedup_audio_fingerprints",
     "dedup_audio_fingerprint_pairs",
     "sql_pipe_syntax",
+    "text_html_extract",
+    "curation_domain_caps",
     "sample_tablesample_percent",
     "sample_stratified_by_key",
     "sample_freqitems_contract",
