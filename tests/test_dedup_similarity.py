@@ -866,3 +866,54 @@ def test_audio_fingerprint_roundtrip_and_dc_invariance():
     h0, h1 = fp(25), fp(24)  # 24 % 5 == 4: perturbed group member
     ham = bin(h0[0] ^ h1[0]).count("1") + bin(h0[1] ^ h1[1]).count("1")
     assert 0 <= ham <= 2
+
+
+def test_hi_lo_screen_equals_bruteforce_on_adversarial_hashes(spark):
+    """The pigeonhole screen must return EXACTLY the brute-force Hamming<=3
+    pair set — including pairs whose differing bits are spread across 3
+    different chunks (caught only via the 4th), and excluding Hamming-4
+    pairs whether their flips share one chunk (candidate found, verify
+    rejects) or touch all four (no candidate, correctly none needed)."""
+    import hashlib
+
+    from hunger_games_glue_streaming_etl_spark.operators.image_hash import (
+        hi_lo_near_pairs,
+    )
+
+    def base_fp(i):
+        v = int(hashlib.md5(f"fp:{i}".encode()).hexdigest()[:16], 16)
+        return (v >> 32) & 0xFFFFFFFF, v & 0xFFFFFFFF
+
+    def flip(hi, lo, bits):
+        for b in bits:
+            if b < 32:
+                hi ^= 1 << b
+            else:
+                lo ^= 1 << (b - 32)
+        return hi, lo
+
+    rows = []
+    for i in range(40):
+        hi, lo = base_fp(i)
+        rows.append((100 * i, hi, lo))
+        if i % 4 == 0:  # hamming-3 neighbor spanning chunks 0, 1, 2
+            rows.append((100 * i + 1, *flip(hi, lo, [5, 20, 40])))
+        if i % 4 == 1:  # hamming-4 all four chunks: must NOT pair
+            rows.append((100 * i + 2, *flip(hi, lo, [5, 20, 40, 55])))
+        if i % 4 == 2:  # hamming-4 inside one chunk: candidate, verify kills
+            rows.append((100 * i + 3, *flip(hi, lo, [1, 2, 3, 4])))
+        if i % 4 == 3:  # hamming-1 at a chunk boundary bit
+            rows.append((100 * i + 4, *flip(hi, lo, [31])))
+    fp = spark.createDataFrame(rows, "doc_id long, hi long, lo long")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hi_lo_near_pairs(fp, "hi", "lo").collect()
+    }
+    exp = {}
+    for i, (ida, ha, la) in enumerate(rows):
+        for idb, hb, lb in rows[i + 1 :]:
+            a, b = (ida, idb) if ida < idb else (idb, ida)
+            ham = bin(ha ^ hb).count("1") + bin(la ^ lb).count("1")
+            if ham <= 3:
+                exp[(a, b)] = ham
+    assert got == exp and len(exp) >= 20
