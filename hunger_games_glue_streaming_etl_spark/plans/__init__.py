@@ -62,6 +62,7 @@ _SAMPLE_FIRST = [
     "sql_pipe_syntax",
     "text_html_extract",
     "curation_domain_caps",
+    "multimodal_image_dedup_pipeline",
     "sample_tablesample_percent",
     "sample_stratified_by_key",
     "sample_freqitems_contract",

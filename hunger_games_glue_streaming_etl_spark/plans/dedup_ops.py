@@ -432,8 +432,11 @@ def _img_px_sql(row: str, col: str) -> str:
     )
 
 
-def _img_cell_sql() -> str:
-    """CTE body: 9x8 downsampled grid cells per document (integer mean)."""
+def _img_cell_sql(id_source: str = "SELECT doc_id FROM documents") -> str:
+    """CTE body: 9x8 downsampled grid cells per document (integer mean).
+    ``id_source`` parameterizes the id domain so the binaryFile pipeline
+    entry (plans/multimodal_ops.py) can reuse the identical hash algebra
+    over its nation-derived asset ids."""
     quad = " + ".join(
         _img_px_sql(r, c)
         for r, c in (
@@ -448,7 +451,7 @@ def _img_cell_sql() -> str:
         SELECT doc_id, doc_id // 4 AS base, doc_id % 3 AS shift,
                (doc_id // 4) % 288 AS hot,
                CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END AS pert
-        FROM documents
+        FROM ({id_source})
     ),
     rc AS (
         SELECT r, c
@@ -598,3 +601,27 @@ def dedup_audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..operators.audio_hash import audio_near_pairs
 
     return audio_near_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def img_dhash_pairs_sql(id_source: str) -> str:
+    """Full dHash Hamming<=3 brute-force pairs SQL over an arbitrary id
+    domain — shared by the binaryFile image-dedup pipeline entry."""
+    return f"""
+    WITH {_img_cell_sql(id_source)},
+    dbit AS (
+        SELECT a.doc_id, a.r, a.c, CASE WHEN a.v < b.v THEN 1 ELSE 0 END AS bit
+        FROM cell a JOIN cell b ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+        WHERE a.c <= 7
+    ),
+    fp AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN r < 4 THEN CAST(bit AS BIGINT) << (r * 8 + c) ELSE 0 END) AS BIGINT) AS dh_hi,
+               CAST(SUM(CASE WHEN r >= 4 THEN CAST(bit AS BIGINT) << ((r - 4) * 8 + c) ELSE 0 END) AS BIGINT) AS dh_lo
+        FROM dbit GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.dh_hi, b.dh_hi))
+                + bit_count(xor(a.dh_lo, b.dh_lo)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.dh_hi, b.dh_hi)) + bit_count(xor(a.dh_lo, b.dh_lo)) <= 3
+    """

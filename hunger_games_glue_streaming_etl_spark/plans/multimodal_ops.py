@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from ..operators.multimodal import extract_media_features
 from ..sources.batch import load_table
-from .registry import register
+from .registry import ORACLE, register
 
 
 @register(
@@ -341,3 +341,73 @@ def scan_binary_file_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats,
         "asset_key long, file_len long, pixel_sum long, n_pixels long",
     )
+
+
+@register(
+    "multimodal_image_dedup_pipeline",
+    oracle=None,  # assigned below (shared dHash algebra from dedup_ops)
+)
+def multimodal_image_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal dedup tier END TO END on real files: plant 3
+    near-duplicate PGM variants per nation key (75 binary files on disk
+    — brightness-shifted / one perturbed, the planted_pixels corpus),
+    ingest them through the ``binaryFile`` SOURCE, recover the asset id
+    from the file PATH, decode the actual bytes, dHash, and bucket-join
+    Hamming<=3 pairs through the shared pigeonhole screen.  This is the
+    composition a real image-lake dedup runs — source, provenance,
+    codec, hash, screen in one plan — and every pair still hash-checks
+    against the closed-form pixel-formula oracle
+    (``dedup_ops.img_dhash_pairs_sql`` over the nation-derived id
+    domain).  At scale: binaryFile splits per file; payloads die inside
+    the kernel; only (id, 2 longs) shuffles into the screen."""
+    import os
+
+    import pandas as pd
+
+    from ..operators.image_hash import (
+        IMG_H,
+        IMG_W,
+        _hashes_from_raster,
+        decode_pgm_raster,
+        hi_lo_near_pairs,
+        planted_pixels,
+    )
+    from ..operators.multimodal import encode_pgm
+    from ..tmpdirs import entry_tmp_dir
+
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey")
+    keys = sorted(r.n_nationkey for r in nation.collect())  # 25 rows, bounded
+    adir = entry_tmp_dir("hg_img_dedup")
+    os.makedirs(adir)
+    for k in keys:
+        for v in range(3):
+            aid = k * 4 + v
+            with open(os.path.join(adir, f"asset-{aid}.pgm"), "wb") as fh:
+                fh.write(encode_pgm(IMG_W, IMG_H, planted_pixels(aid)))
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.pgm")
+        .load(adir)
+        .select("path", "content")
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                aid = int(path.rsplit("asset-", 1)[1].removesuffix(".pgm"))
+                raster = decode_pgm_raster(bytes(content))
+                dh_hi, dh_lo, _, _ = _hashes_from_raster(raster)
+                rows.append((aid, dh_hi, dh_lo))
+            yield pd.DataFrame(rows, columns=["doc_id", "dh_hi", "dh_lo"])
+
+    fp = files.mapInPandas(kernel, schema="doc_id long, dh_hi long, dh_lo long")
+    return hi_lo_near_pairs(fp, "dh_hi", "dh_lo")
+
+
+from .dedup_ops import img_dhash_pairs_sql as _img_pairs_sql  # noqa: E402
+
+ORACLE["multimodal_image_dedup_pipeline"] = _img_pairs_sql(
+    "SELECT n_nationkey * 4 + v.v AS doc_id FROM nation, (VALUES (0), (1), (2)) v(v)"
+)

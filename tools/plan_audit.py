@@ -64,6 +64,7 @@ SKIP_EXECUTING = {
     "scan_file_metadata_lineage",
     # plants PGM asset files + collects 25 nation keys at build time
     "scan_binary_file_assets",
+    "multimodal_image_dedup_pipeline",
     # CREATE TABLE + INSERT INTO run write jobs at build time
     "sql_insert_into_select",
     "sql_insert_default_columns",
