@@ -158,10 +158,14 @@ _PACK_BASE = f"""
 # Two-level packing cumsum dials: the sliced path engages only when some
 # source shard exceeds _PACK_PLAIN_MAX_ROWS (the plain per-source window is
 # already parallel and cheaper below that); a slice opens per ~4096 rows,
-# capped at 32 slices per source.
+# capped at 32 slices per source.  The threshold is MEASURED, not guessed
+# (r7, local[32], single-source synthetic): plain/sliced seconds were
+# 0.6/1.7 at 1M rows, 1.8/1.5 at 4M, 6.9/4.7 at 16M — crossover ~2-4M, so
+# the dial sits at 2^22; on a real cluster the plain path's ceiling is ONE
+# task per source, so the sliced win grows with executor count.
 _PACK_PARTS_MAX = 32
 _PACK_ROWS_PER_SLICE = 4096
-_PACK_PLAIN_MAX_ROWS = 1 << 20
+_PACK_PLAIN_MAX_ROWS = 1 << 22
 
 # per-fixture dial cache: max rows in any one source shard of the documents
 # table (an UPPER BOUND for every packed frame, which is always a filtered
