@@ -45,9 +45,6 @@ SAMPLE_RATE = 0.25
 SAMPLE_BAND = 0.15
 SAMPLE_SEED = 42
 
-_HASH_PCT = "pmod(portable_hash64('smp:' || key), 100)"
-
-
 def _hash_sample_filter(key_col) -> F.Column:
     """Portable Bernoulli(SAMPLE_RATE) by 48-bit hash percentile — the
     engine-replayable twin of the native sampler."""
