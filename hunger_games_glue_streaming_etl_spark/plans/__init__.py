@@ -59,6 +59,8 @@ _SAMPLE_FIRST = [
     "dedup_image_dhash_pairs",
     "dedup_audio_fingerprints",
     "dedup_audio_fingerprint_pairs",
+    "dedup_video_fingerprints",
+    "dedup_video_fingerprint_pairs",
     "sql_pipe_syntax",
     "text_html_extract",
     "curation_domain_caps",

@@ -625,3 +625,99 @@ def img_dhash_pairs_sql(id_source: str) -> str:
     FROM fp a JOIN fp b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.dh_hi, b.dh_hi)) + bit_count(xor(a.dh_lo, b.dh_lo)) <= 3
     """
+
+
+# ---- video perceptual-fingerprint dedup (the modality triple's third leg) --
+
+
+def _vid_px_sql(row: str, col: str) -> str:
+    """Planted luma value at (frame f, raster row, col) — mirror of
+    video_hash.planted_luma (f is in scope from the fr CTE)."""
+    idx = f"(({row}) * 18 + ({col}))"
+    return (
+        f"((((base * 2654435761 + (f * 288 + {idx}) * 40503) % 65536) % 200) + shift"
+        f" + CASE WHEN pert = 1 AND f = 0 AND {idx} = hot THEN 50 ELSE 0 END)"
+    )
+
+
+def _vid_fp_sql() -> str:
+    quad = " + ".join(
+        _vid_px_sql(r, c)
+        for r, c in (
+            ("2*r", "2*c"),
+            ("2*r", "2*c+1"),
+            ("2*r+1", "2*c"),
+            ("2*r+1", "2*c+1"),
+        )
+    )
+    return f"""
+    WITH d AS (
+        SELECT doc_id, doc_id // 4 AS base, doc_id % 3 AS shift,
+               (doc_id // 4) % 288 AS hot,
+               CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END AS pert
+        FROM documents
+    ),
+    fr AS (SELECT unnest([0, 2, 4]) AS f),
+    rc AS (
+        SELECT r, c
+        FROM (SELECT unnest(generate_series(0, 7)) AS r),
+             (SELECT unnest(generate_series(0, 8)) AS c)
+    ),
+    cell AS (
+        SELECT doc_id, f, r, c, ({quad}) // 4 AS v FROM d, fr, rc
+    ),
+    vbit AS (
+        SELECT a.doc_id, a.f, a.r, a.c, CASE WHEN a.v < b.v THEN 1 ELSE 0 END AS bit
+        FROM cell a JOIN cell b
+          ON a.doc_id = b.doc_id AND a.f = b.f AND a.r = b.r AND b.c = a.c + 1
+        WHERE a.c <= 7
+    ),
+    ffp AS (
+        SELECT doc_id, f,
+               CAST(SUM(CASE WHEN r < 4 THEN CAST(bit AS BIGINT) << (r * 8 + c) ELSE 0 END) AS BIGINT) AS fhi,
+               CAST(SUM(CASE WHEN r >= 4 THEN CAST(bit AS BIGINT) << ((r - 4) * 8 + c) ELSE 0 END) AS BIGINT) AS flo
+        FROM vbit GROUP BY doc_id, f
+    ),
+    fp AS (
+        SELECT doc_id, CAST(bit_xor(fhi) AS BIGINT) AS vf_hi,
+               CAST(bit_xor(flo) AS BIGINT) AS vf_lo
+        FROM ffp GROUP BY doc_id
+    )
+    """
+
+
+@register(
+    "dedup_video_fingerprints",
+    oracle=f"{_vid_fp_sql()} SELECT doc_id, vf_hi, vf_lo FROM fp",
+)
+def dedup_video_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TMK-style video fingerprints: real Y4M (C444) clips planted per
+    doc_id, stride-2 frame sampling, per-frame integer dHash, XOR fold —
+    brightness-invariant, one-pixel-one-frame perturbations stay within
+    Hamming 2.  The whole encode→parse→sample→hash loop runs on real
+    bytes in one Arrow kernel; the oracle rebuilds per-frame hashes from
+    the luma formula and `bit_xor`-aggregates.  See
+    operators/video_hash.py for the stride-bounds-decode-cost argument."""
+    from ..operators.video_hash import video_fingerprints
+
+    return video_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_video_fingerprint_pairs",
+    oracle=f"""
+    {_vid_fp_sql()}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.vf_hi, b.vf_hi))
+                + bit_count(xor(a.vf_lo, b.vf_lo)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.vf_hi, b.vf_hi)) + bit_count(xor(a.vf_lo, b.vf_lo)) <= 3
+    """,
+)
+def dedup_video_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicate pairs by fold-hash Hamming <= 3 through the
+    SAME pigeonhole screen as image and audio — one screen, all three
+    modalities; oracle brute-forces, the plan bucket-joins."""
+    from ..operators.video_hash import video_near_pairs
+
+    return video_near_pairs(load_table(spark, sf_dir, "documents"))

@@ -917,3 +917,32 @@ def test_hi_lo_screen_equals_bruteforce_on_adversarial_hashes(spark):
             if ham <= 3:
                 exp[(a, b)] = ham
     assert got == exp and len(exp) >= 20
+
+
+def test_video_fingerprint_roundtrip_and_invariance():
+    """Y4M encode/parse reproduces the planted luma planes; the XOR-fold
+    fingerprint is brightness-invariant within a clip group and within
+    Hamming 2 of the one-pixel-one-frame perturbed member."""
+    from hunger_games_glue_streaming_etl_spark.operators.video_hash import (
+        FRAME_STRIDE,
+        N_FRAMES,
+        decode_y4m_luma_frames,
+        planted_clip,
+        planted_luma,
+        video_fingerprint_from_clip,
+    )
+
+    clip = planted_clip(17)
+    frames = decode_y4m_luma_frames(clip, 1)
+    assert len(frames) == N_FRAMES
+    for f, raster in enumerate(frames):
+        assert raster.tobytes() == planted_luma(17, f)
+    assert len(decode_y4m_luma_frames(clip, FRAME_STRIDE)) == 3
+
+    def fp(d):
+        return video_fingerprint_from_clip(planted_clip(d))
+
+    assert fp(40) == fp(41)  # brightness shift only
+    h0, h1 = fp(25), fp(24)  # 24 % 5 == 4: perturbed member, frame 0
+    ham = bin(h0[0] ^ h1[0]).count("1") + bin(h0[1] ^ h1[1]).count("1")
+    assert 0 <= ham <= 2
