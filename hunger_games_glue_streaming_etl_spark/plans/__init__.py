@@ -65,6 +65,7 @@ _SAMPLE_FIRST = [
     "text_html_extract",
     "curation_domain_caps",
     "multimodal_image_dedup_pipeline",
+    "mix_upsample_epochs",
     "sample_tablesample_percent",
     "sample_stratified_by_key",
     "sample_freqitems_contract",

@@ -1274,3 +1274,76 @@ def curriculum_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+@register(
+    "mix_upsample_epochs",
+    oracle=f"""
+    WITH langs AS (SELECT DISTINCT lang FROM documents),
+    r4 AS (
+        SELECT lang,
+               4 + {_phash_sql("'rate:' || lang")} % 8 AS rate4
+        FROM langs
+    ),
+    d AS (
+        SELECT doc_id, documents.lang, r4.rate4 // 4 AS base_copies,
+               CASE WHEN {_phash_sql("'up:' || CAST(doc_id AS VARCHAR)")} % 100
+                         < (r4.rate4 % 4) * 25
+                    THEN 1 ELSE 0 END AS extra
+        FROM documents JOIN r4 USING (lang)
+    )
+    SELECT doc_id, lang,
+           CAST(unnest(generate_series(1, base_copies + extra)) AS BIGINT)
+               AS epoch_copy,
+           CAST(base_copies + extra AS BIGINT) AS n_copies
+    FROM d
+    """,
+)
+def mix_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture UPSAMPLING — rates above 1 (the half of a mixture spec the
+    <=1-rate samplers can't express): a language with rate 2.25 emits
+    every doc twice plus a deterministic-hash 25% of docs a third time,
+    so realized epochs track the spec exactly in expectation and
+    reproducibly in fact (rerunning a 100 TB mix must duplicate the SAME
+    docs).  Rates are quarter-granular per language, derived from the
+    portable lang hash (1.0-2.75 here) so both engines compute the table
+    from the data; the fractional remainder reuses the keyed-hash filter
+    mechanism of `mix_weighted_sample`.  Plan shape: a broadcast join of
+    the per-language rate table (bounded domain) then a map-side
+    `explode(sequence(1, copies))` — copies per row is <= ceil(max rate),
+    so the blowup is the spec itself, never data-dependent skew; nothing
+    shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    langs = docs.select("lang").distinct()
+    r4 = langs.select(
+        "lang",
+        (
+            F.lit(4)
+            + F.pmod(portable_hash64(F.concat(F.lit("rate:"), F.col("lang"))), F.lit(8))
+        ).alias("rate4"),
+    )
+    d = docs.join(F.broadcast(r4), "lang").select(
+        "doc_id",
+        "lang",
+        (
+            F.expr("rate4 div 4")
+            + F.when(
+                F.pmod(
+                    portable_hash64(
+                        F.concat(F.lit("up:"), F.col("doc_id").cast("string"))
+                    ),
+                    F.lit(100),
+                )
+                < (F.col("rate4") % 4) * 25,
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_copies"),
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_copies"))).alias(
+            "epoch_copy"
+        ),
+        "n_copies",
+    )
