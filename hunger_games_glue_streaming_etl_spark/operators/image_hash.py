@@ -163,14 +163,40 @@ def hi_lo_near_pairs(
 ) -> DataFrame:
     """Near-pairs by Hamming <= ``max_hamming`` over a two-half 64-bit
     fingerprint ``(doc_id, hi, lo)`` — the exact pigeonhole chunk screen
-    shared by the image-dHash and audio-fingerprint dedup entries: 4
-    disjoint 16-bit chunks (2 per 32-bit half); <= 3 differing bits
-    cannot touch all 4 chunks, so bucket-join candidates lose nothing and
-    the verify popcount runs only on chunk-collision pairs — never
-    O(n^2).  Mirrors ``dedup.simhash_near_pairs`` for split hashes."""
-    from ..caching import pin
+    shared by the image/audio/video dedup entries, with an
+    exact-duplicate collapse in front of it (VERDICT r7 #1).
 
-    fp = pin(fp.select("doc_id", hi_col, lo_col))
+    Identical fingerprints never enter the screen: a window-min over the
+    fingerprint partition picks one representative per distinct
+    fingerprint (min doc_id), the k-1 other members emit Hamming-0
+    edges to that representative, and only DISTINCT fingerprints are
+    chunk-exploded.  A viral asset duplicated k times therefore costs
+    O(k) representative edges and ONE screen row — not k^2/2 bucket
+    pairs (the n-gram DF-cap precedent, ``operators/dedup.py``).  Both
+    window branches sit above the same (hi, lo) exchange, so
+    ReuseExchange runs the upstream fingerprint kernel once per action.
+
+    The screen itself: 4 disjoint 16-bit chunks (2 per 32-bit half);
+    <= 3 differing bits cannot touch all 4 chunks, so bucket-join
+    candidates lose nothing and the verify popcount runs only on
+    chunk-collision pairs — never O(n^2).  Output contract: for every
+    group of identical fingerprints, (rep, member, 0) edges; for every
+    pair of distinct fingerprints within ``max_hamming``, one
+    (rep_a, rep_b, hamming) edge with rep_a < rep_b."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(hi_col, lo_col)
+    marked = fp.select("doc_id", hi_col, lo_col).withColumn(
+        "rep", F.min("doc_id").over(w)
+    )
+    dup = marked.filter(F.col("doc_id") != F.col("rep")).select(
+        F.col("rep").alias("id_a"),
+        F.col("doc_id").alias("id_b"),
+        F.lit(0).cast("int").alias("hamming"),
+    )
+    reps = marked.filter(F.col("doc_id") == F.col("rep")).select(
+        "doc_id", hi_col, lo_col
+    )
     chunks = F.array(
         *[
             F.struct(
@@ -184,7 +210,9 @@ def hi_lo_near_pairs(
             )
         ]
     )
-    exploded = fp.select("doc_id", hi_col, lo_col, F.explode(chunks).alias("pc")).select(
+    exploded = reps.select(
+        "doc_id", hi_col, lo_col, F.explode(chunks).alias("pc")
+    ).select(
         "doc_id", hi_col, lo_col, F.col("pc.part").alias("part"), F.col("pc.chunk").alias("chunk")
     )
     a = exploded.select(
@@ -211,10 +239,10 @@ def hi_lo_near_pairs(
         F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
         + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
     ).cast("int")
-    return (
-        cand.select("id_a", "id_b", ham.alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
+    near = cand.select("id_a", "id_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
     )
+    return dup.unionByName(near)
 
 
 def image_dhash_near_pairs(

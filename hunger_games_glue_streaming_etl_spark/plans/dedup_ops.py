@@ -423,6 +423,34 @@ def dedup_incremental_new_vs_base(spark: SparkSession, sf_dir: str) -> DataFrame
 # ANSI — the r6 overflow rule).
 
 
+def collapsed_pairs_tail_sql(hi: str, lo: str, max_hamming: int = 3) -> str:
+    """Oracle tail mirroring ``image_hash.hi_lo_near_pairs``' duplicate
+    collapse: assumes a CTE ``fp(doc_id, {hi}, {lo})`` is already in
+    scope, groups identical fingerprints to a min-doc_id representative,
+    emits Hamming-0 member->rep edges, and brute-forces the near screen
+    over DISTINCT fingerprints only (same GROUP BY as the Spark window).
+    Appended with a leading comma so it composes onto any WITH chain."""
+    xors = (
+        f"bit_count(xor(a.{hi}, b.{hi})) + bit_count(xor(a.{lo}, b.{lo}))"
+    )
+    return f""",
+    g AS (SELECT {hi}, {lo}, MIN(doc_id) AS rep FROM fp GROUP BY {hi}, {lo}),
+    dup AS (
+        SELECT g.rep AS id_a, fp.doc_id AS id_b, CAST(0 AS INT) AS hamming
+        FROM fp JOIN g ON fp.{hi} = g.{hi} AND fp.{lo} = g.{lo}
+        WHERE fp.doc_id <> g.rep
+    ),
+    near AS (
+        SELECT a.rep AS id_a, b.rep AS id_b, CAST({xors} AS INT) AS hamming
+        FROM g a JOIN g b ON a.rep < b.rep
+        WHERE {xors} <= {max_hamming}
+    )
+    SELECT id_a, id_b, hamming FROM dup
+    UNION ALL
+    SELECT id_a, id_b, hamming FROM near
+    """
+
+
 def _img_px_sql(row: str, col: str) -> str:
     """Planted pixel value at raster (row, col) — mirror of planted_pixels."""
     idx = f"(({row}) * 18 + ({col}))"
@@ -510,21 +538,20 @@ def dedup_image_dhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFram
 @register(
     "dedup_image_dhash_pairs",
     oracle=f"""
-    WITH fp AS ({_IMG_FP_SQL.strip()})
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(bit_count(xor(a.dh_hi, b.dh_hi))
-                + bit_count(xor(a.dh_lo, b.dh_lo)) AS INT) AS hamming
-    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.dh_hi, b.dh_hi)) + bit_count(xor(a.dh_lo, b.dh_lo)) <= 3
+    WITH fp AS ({_IMG_FP_SQL.strip()}){collapsed_pairs_tail_sql("dh_hi", "dh_lo")}
     """,
 )
 def dedup_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image near-duplicate pairs by dHash Hamming <= 3, via the exact
-    pigeonhole 4x16-bit chunk screen (the SimHash screen, reused): the
-    oracle brute-forces all pairs, the Spark plan bucket-joins chunk
-    collisions — identical pair sets, never O(n^2).  Non-vacuous by
-    construction: doc_id div 4 groups share a base image (brightness
-    shifts -> Hamming 0; the one-pixel perturbed docs -> Hamming <= 2)."""
+    """Image near-duplicate edges by dHash Hamming <= 3, via the exact
+    pigeonhole 4x16-bit chunk screen with identical fingerprints
+    collapsed to a min-id representative first (VERDICT r7 #1): members
+    of a duplicate group emit Hamming-0 edges to their representative,
+    only distinct fingerprints enter the bucket join, so an
+    exact-dup-heavy corpus costs O(k) edges, never k^2/2.  The oracle
+    replays the same GROUP BY collapse and brute-forces only distinct
+    fingerprints.  Non-vacuous by construction: doc_id div 4 groups
+    share a base image (brightness shifts -> Hamming 0 dup edges; the
+    one-pixel perturbed docs -> Hamming <= 2 near edges)."""
     from ..operators.image_hash import image_dhash_near_pairs
 
     return image_dhash_near_pairs(load_table(spark, sf_dir, "documents"))
@@ -584,20 +611,16 @@ def dedup_audio_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_audio_fingerprint_pairs",
     oracle=f"""
-    WITH fp AS ({_AUD_FP_SQL.strip()})
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(bit_count(xor(a.af_hi, b.af_hi))
-                + bit_count(xor(a.af_lo, b.af_lo)) AS INT) AS hamming
-    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.af_hi, b.af_hi)) + bit_count(xor(a.af_lo, b.af_lo)) <= 3
+    WITH fp AS ({_AUD_FP_SQL.strip()}){collapsed_pairs_tail_sql("af_hi", "af_lo")}
     """,
 )
 def dedup_audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio near-duplicate pairs by fingerprint Hamming <= 3, via the
-    SAME exact pigeonhole 4x16-bit chunk screen the image-dHash pairs use
-    (``image_hash.hi_lo_near_pairs``) — one screen, every modality.  The
-    oracle brute-forces all pairs; the Spark plan bucket-joins chunk
-    collisions — identical pair sets, never O(n^2)."""
+    """Audio near-duplicate edges by fingerprint Hamming <= 3, via the
+    SAME collapse-then-screen as the image-dHash pairs
+    (``image_hash.hi_lo_near_pairs``) — one screen, every modality:
+    identical fingerprints emit Hamming-0 representative edges, only
+    distinct fingerprints enter the bucket join.  The oracle replays the
+    identical GROUP BY collapse and brute-forces distinct fingerprints."""
     from ..operators.audio_hash import audio_near_pairs
 
     return audio_near_pairs(load_table(spark, sf_dir, "documents"))
@@ -618,12 +641,7 @@ def img_dhash_pairs_sql(id_source: str) -> str:
                CAST(SUM(CASE WHEN r < 4 THEN CAST(bit AS BIGINT) << (r * 8 + c) ELSE 0 END) AS BIGINT) AS dh_hi,
                CAST(SUM(CASE WHEN r >= 4 THEN CAST(bit AS BIGINT) << ((r - 4) * 8 + c) ELSE 0 END) AS BIGINT) AS dh_lo
         FROM dbit GROUP BY doc_id
-    )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(bit_count(xor(a.dh_hi, b.dh_hi))
-                + bit_count(xor(a.dh_lo, b.dh_lo)) AS INT) AS hamming
-    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.dh_hi, b.dh_hi)) + bit_count(xor(a.dh_lo, b.dh_lo)) <= 3
+    ){collapsed_pairs_tail_sql("dh_hi", "dh_lo")}
     """
 
 
@@ -706,18 +724,14 @@ def dedup_video_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_video_fingerprint_pairs",
     oracle=f"""
-    {_vid_fp_sql()}
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(bit_count(xor(a.vf_hi, b.vf_hi))
-                + bit_count(xor(a.vf_lo, b.vf_lo)) AS INT) AS hamming
-    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.vf_hi, b.vf_hi)) + bit_count(xor(a.vf_lo, b.vf_lo)) <= 3
+    {_vid_fp_sql()}{collapsed_pairs_tail_sql("vf_hi", "vf_lo")}
     """,
 )
 def dedup_video_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video near-duplicate pairs by fold-hash Hamming <= 3 through the
-    SAME pigeonhole screen as image and audio — one screen, all three
-    modalities; oracle brute-forces, the plan bucket-joins."""
+    """Video near-duplicate edges by fold-hash Hamming <= 3 through the
+    SAME collapse-then-screen as image and audio — one screen, all three
+    modalities; duplicate fingerprints emit Hamming-0 representative
+    edges, the oracle replays the identical GROUP BY collapse."""
     from ..operators.video_hash import video_near_pairs
 
     return video_near_pairs(load_table(spark, sf_dir, "documents"))

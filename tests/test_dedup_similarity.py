@@ -839,9 +839,38 @@ def test_incremental_index_assign_no_drift(spark):
         assert after[vid] == cell, vid
     # and the new batch actually landed in frozen cells
     new_ids = {r.vec_id for r in new.select("vec_id").collect()}
-    assert new_ids <= set(after) - set() and all(
-        after[v][0] in {c for c, _ in before.values()} or True for v in new_ids
+    frozen_cells = {c for c, _ in before.values()}
+    assert new_ids <= set(after)
+    assert all(after[v][0] in frozen_cells for v in new_ids)
+
+
+def test_hi_lo_screen_collapses_duplicate_fingerprints(spark):
+    """Exact-duplicate-heavy corpora must cost O(k), not k^2/2 (VERDICT r7
+    #1): k=500 copies of one fingerprint emit exactly k-1 Hamming-0 edges
+    to the min-id representative, and only the DISTINCT fingerprints are
+    screened (one near edge between the two distinct-but-close hashes,
+    carried by their representatives)."""
+    from hunger_games_glue_streaming_etl_spark.operators.image_hash import (
+        hi_lo_near_pairs,
     )
+
+    K = 500
+    viral = [(1000 + i, 0xDEADBEEF, 0x12345678) for i in range(K)]
+    # a second group, Hamming 2 from the viral hash, duplicated 3x
+    close = [(5000 + i, 0xDEADBEEC, 0x12345678) for i in range(3)]
+    # a far-away singleton: no edges at all
+    far = [(9000, 0x0F0F0F0F, 0xF0F0F0F0)]
+    fp = spark.createDataFrame(viral + close + far, "doc_id long, hi long, lo long")
+    rows = hi_lo_near_pairs(fp, "hi", "lo").collect()
+    dup = [(r.id_a, r.id_b) for r in rows if r.hamming == 0]
+    near = [(r.id_a, r.id_b, r.hamming) for r in rows if r.hamming > 0]
+    # O(k): 499 + 2 representative edges, 1 near edge — never 124750 pairs
+    assert len(rows) == (K - 1) + 2 + 1
+    assert set(dup) == {(1000, 1000 + i) for i in range(1, K)} | {
+        (5000, 5001),
+        (5000, 5002),
+    }
+    assert near == [(1000, 5000, 2)]
 
 
 def test_audio_fingerprint_roundtrip_and_dc_invariance():
