@@ -428,7 +428,10 @@ def collapsed_pairs_tail_sql(hi: str, lo: str, max_hamming: int = 3) -> str:
     collapse: assumes a CTE ``fp(doc_id, {hi}, {lo})`` is already in
     scope, groups identical fingerprints to a min-doc_id representative,
     emits Hamming-0 member->rep edges, and brute-forces the near screen
-    over DISTINCT fingerprints only (same GROUP BY as the Spark window).
+    over DISTINCT fingerprints only (same GROUP BY + equi-join as the
+    Spark side).  PRECONDITION: non-NULL fingerprints (ADVICE r8 low) —
+    the equi-joins here and in ``hi_lo_near_pairs`` drop NULL rows,
+    which every planted kernel rules out by construction.
     Appended with a leading comma so it composes onto any WITH chain."""
     xors = (
         f"bit_count(xor(a.{hi}, b.{hi})) + bit_count(xor(a.{lo}, b.{lo}))"

@@ -143,12 +143,19 @@ def sample_stratified_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(_hash_sample_filter(F.col("o_orderkey")), 1).otherwise(0)
         ).alias("n_hash_sample"),
     )
-    return audit.join(F.broadcast(native), "o_orderpriority").select(
+    # LEFT join + coalesce(n_native, 0): a stratum where the seeded
+    # sampler returned zero rows must still appear (reading false), not
+    # vanish from the audit (ADVICE r7 low #3 / VERDICT r8 #6).
+    return audit.join(F.broadcast(native), "o_orderpriority", "left").select(
         F.col("o_orderpriority").alias("stratum"),
         "n_stratum",
         "n_hash_sample",
         (
-            F.abs(F.col("n_native") / F.col("n_stratum") - F.lit(SAMPLE_RATE))
+            F.abs(
+                F.coalesce(F.col("n_native"), F.lit(0))
+                / F.col("n_stratum")
+                - F.lit(SAMPLE_RATE)
+            )
             <= F.lit(SAMPLE_BAND)
         ).alias("native_in_band"),
     )

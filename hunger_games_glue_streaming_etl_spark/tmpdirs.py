@@ -12,13 +12,22 @@ another user made ``rmtree(ignore_errors=True)`` silently fail so the
 caller's bare ``os.makedirs`` raised ``FileExistsError``, and a
 predictable world-shared /tmp path is a symlink/pre-creation surface.
 
-``entry_tmp_dir`` now namespaces the root per USER (mode 0o700, with an
+``entry_tmp_dir`` namespaces the root per USER (mode 0o700, with an
 ownership check) and per PROCESS (pid leaf), so concurrent runs never
 share scratch, while re-runs of one entry within a process still
-overwrite instead of accumulating.  Stale pid roots from previous
-processes of the same user are swept opportunistically.  If the
-per-user root exists but is not ours (symlink or foreign owner), fall
-back to a fresh ``mkdtemp`` root for safety.
+overwrite instead of accumulating.  If the per-user root exists but is
+not ours (symlink or foreign owner), fall back to a fresh ``mkdtemp``
+root for safety.
+
+Lifecycle (ADVICE r8 lows): the verified user root and created proc
+root are cached in module globals, so the makedirs/lstat probe and the
+sibling-pid sweep run ONCE per process, not per entry invocation.  An
+``atexit`` handler removes this process's proc root (and any fallback
+mkdtemp root, whose random name no future pid sweep could reclaim) at
+interpreter shutdown; stale pid roots from CRASHED same-user processes
+are still reclaimed by the opportunistic sweep on the next run, and the
+pre-r8 shared root ``/tmp/hg_spark_scratch`` is removed during that
+sweep when we own it.
 
 The leaf directory is NOT created (Spark writers and ``os.makedirs``
 call sites expect to create it themselves); only the parent root exists.
@@ -26,21 +35,27 @@ call sites expect to create it themselves); only the parent root exists.
 
 from __future__ import annotations
 
+import atexit
 import getpass
 import os
 import shutil
 import tempfile
 
 _FALLBACK_ROOT: str | None = None
+_USER_ROOT: str | None = None
+_PROC_ROOT: str | None = None
 
 
 def _user_root() -> str:
     """The per-user scratch root, created 0o700 and ownership-checked;
-    a foreign or symlinked path falls back to a private mkdtemp root
-    (cached for the life of the process so entry paths stay stable)."""
-    global _FALLBACK_ROOT
+    a foreign or symlinked path falls back to a private mkdtemp root.
+    Both outcomes are cached for the life of the process so entry paths
+    stay stable and the probe syscalls run once."""
+    global _FALLBACK_ROOT, _USER_ROOT
     if _FALLBACK_ROOT is not None:
         return _FALLBACK_ROOT
+    if _USER_ROOT is not None:
+        return _USER_ROOT
     try:
         user = getpass.getuser()
     except Exception:
@@ -54,14 +69,14 @@ def _user_root() -> str:
     except OSError:
         _FALLBACK_ROOT = tempfile.mkdtemp(prefix="hg_spark_scratch_")
         return _FALLBACK_ROOT
+    _USER_ROOT = root
     return root
 
 
-def _proc_root() -> str:
-    """Per-process leaf under the user root; sweeps sibling pid dirs whose
-    processes are gone (same-user orphans from crashed/finished runs)."""
-    uroot = _user_root()
-    proot = os.path.join(uroot, f"pid{os.getpid()}")
+def _sweep_orphans(uroot: str) -> None:
+    """Reclaim same-user pid dirs whose processes are gone, plus the
+    legacy pre-r8 shared root (only when we own it and it is not a
+    symlink — never follow a planted link)."""
     for name in os.listdir(uroot):
         if not name.startswith("pid") or name == f"pid{os.getpid()}":
             continue
@@ -75,7 +90,33 @@ def _proc_root() -> str:
             shutil.rmtree(os.path.join(uroot, name), ignore_errors=True)
         except OSError:
             pass
+    legacy = os.path.join(tempfile.gettempdir(), "hg_spark_scratch")
+    try:
+        if not os.path.islink(legacy) and os.lstat(legacy).st_uid == os.getuid():
+            shutil.rmtree(legacy, ignore_errors=True)
+    except OSError:
+        pass
+
+
+def _cleanup_at_exit() -> None:
+    for path in (_PROC_ROOT, _FALLBACK_ROOT):
+        if path is not None:
+            shutil.rmtree(path, ignore_errors=True)
+
+
+def _proc_root() -> str:
+    """Per-process leaf under the user root; created (and the orphan
+    sweep run) once per process, removed at interpreter exit."""
+    global _PROC_ROOT
+    if _PROC_ROOT is not None:
+        return _PROC_ROOT
+    uroot = _user_root()
+    if _FALLBACK_ROOT is None:
+        _sweep_orphans(uroot)
+    proot = os.path.join(uroot, f"pid{os.getpid()}")
     os.makedirs(proot, exist_ok=True)
+    _PROC_ROOT = proot
+    atexit.register(_cleanup_at_exit)
     return proot
 
 

@@ -65,6 +65,11 @@ SKIP_EXECUTING = {
     # plants PGM asset files + collects 25 nation keys at build time
     "scan_binary_file_assets",
     "multimodal_image_dedup_pipeline",
+    # hi_lo_near_pairs eagerly checkpoints the fingerprint frame at build
+    # (ADVICE r8 medium: kernel must run exactly once per call)
+    "dedup_image_dhash_pairs",
+    "dedup_audio_fingerprint_pairs",
+    "dedup_video_fingerprint_pairs",
     # CREATE TABLE + INSERT INTO run write jobs at build time
     "sql_insert_into_select",
     "sql_insert_default_columns",
