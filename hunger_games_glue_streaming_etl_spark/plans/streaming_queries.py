@@ -289,6 +289,13 @@ def _clicks_purchases_join(spark: SparkSession, sf_dir: str, how: str) -> DataFr
         F.col("ts").alias("p_ts"),
         F.col("event_id").alias("p_event_id"),
     )
+    # right/full outer pad the LEFT side with nulls, so user_id must fall
+    # back to the purchase side's copy of the key
+    user = (
+        F.coalesce(F.col("__l.user_id"), F.col("__r.user_id"))
+        if how in ("right_outer", "full_outer")
+        else F.col("__l.user_id")
+    )
     return stream_stream_join(
         clicks,
         purchases,
@@ -298,7 +305,7 @@ def _clicks_purchases_join(spark: SparkSession, sf_dir: str, how: str) -> DataFr
         watermark="1 hour",
         within="2 hours",
         how=how,
-    ).select("event_id", "p_event_id", F.col("__l.user_id").alias("user_id"))
+    ).select("event_id", "p_event_id", user.alias("user_id"))
 
 
 @register(
@@ -416,6 +423,62 @@ def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming_depth.py."""
     return _run_stream(
         spark, _clicks_purchases_join(spark, sf_dir, "left_outer"), "ssleftjoin"
+    )
+
+
+@register(
+    "streaming_right_outer_join",
+    oracle=_JOIN_ADMISSION
+    + """
+    SELECT event_id, p_event_id, user_id FROM matched
+    UNION ALL
+    SELECT NULL AS event_id, p.event_id AS p_event_id, p.user_id FROM p
+    WHERE p.event_id NOT IN (SELECT p_event_id FROM matched)
+      AND p.ts + INTERVAL 2 HOUR <= (SELECT w FROM wmf)
+    """,
+)
+def streaming_right_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-outer stream-stream join — the third cell of the Structured
+    Streaming outer-join support matrix (VERDICT r8 #5).  A purchase with
+    no click null-pads once the watermark proves none can arrive: clicks
+    match a purchase at ``c.ts in [p.ts, p.ts + 2h]`` and
+    below-watermark clicks drop on arrival, so a buffered purchase is
+    evictable exactly when ``p.ts + 2h`` falls at-or-below the final
+    watermark — the finalized-prefix condition the oracle states (the
+    OTHER side's bound than the left-outer entry, which pads at
+    ``c.ts <= wmf``).  Expiry semantics asserted in
+    tests/test_streaming_depth.py."""
+    return _run_stream(
+        spark, _clicks_purchases_join(spark, sf_dir, "right_outer"), "ssrightjoin"
+    )
+
+
+@register(
+    "streaming_full_outer_join",
+    oracle=_JOIN_ADMISSION
+    + """
+    SELECT event_id, p_event_id, user_id FROM matched
+    UNION ALL
+    SELECT c.event_id, NULL AS p_event_id, c.user_id FROM c
+    WHERE c.event_id NOT IN (SELECT event_id FROM matched)
+      AND c.ts <= (SELECT w FROM wmf)
+    UNION ALL
+    SELECT NULL AS event_id, p.event_id AS p_event_id, p.user_id FROM p
+    WHERE p.event_id NOT IN (SELECT p_event_id FROM matched)
+      AND p.ts + INTERVAL 2 HOUR <= (SELECT w FROM wmf)
+    """,
+)
+def streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer stream-stream join — the last cell of the support
+    matrix: matched pairs as both sides arrive, PLUS each side's
+    unmatched rows null-padded on state eviction under that side's own
+    expiry bound (clicks at ``c.ts <= wmf``; purchases at
+    ``p.ts + 2h <= wmf`` — the two sides finalize at DIFFERENT
+    watermark offsets because the join window is one-sided).  The
+    oracle is the union of the inner admission model with both
+    finalized-unmatched sets."""
+    return _run_stream(
+        spark, _clicks_purchases_join(spark, sf_dir, "full_outer"), "ssfulljoin"
     )
 
 

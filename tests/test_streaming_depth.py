@@ -279,6 +279,166 @@ def test_stream_stream_left_outer_join_emits_null_after_watermark(spark, tmp_pat
         q.stop()
 
 
+def test_foreach_row_writer_contract_and_parity(spark, tmp_path):
+    """The reference's literal per-row sink API
+    (``.writeStream.foreach(writer)``, script/TributeStreamingJob.py:139-144):
+    open/process/close fire per (partition, epoch) — including empty
+    partitions — close always follows open with no error, redelivered
+    event ids overwrite idempotently, and the keyed-latest state derived
+    from the per-row objects equals the engine's set-oriented
+    ``foreachBatch`` twin (ParquetLatestSink) over the same staged
+    batches."""
+    import glob
+
+    from hunger_games_glue_streaming_etl_spark.sinks import (
+        JsonRowForeachWriter,
+        ParquetLatestSink,
+    )
+
+    src = str(tmp_path / "src")
+    feeder = BatchFeeder(src)
+    out_dir = str(tmp_path / "foreach_out")
+
+    def stream():
+        return spark.readStream.schema(STREAM_SCHEMA).json(src).repartition(2)
+
+    q_fe = (
+        stream()
+        .writeStream.foreach(JsonRowForeachWriter(out_dir, id_col="event_id"))
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_fe"))
+        .start()
+    )
+    twin = ParquetLatestSink(
+        spark,
+        str(tmp_path / "latest"),
+        keys="user_id",
+        seq_cols="event_id",
+        lineage_id=str(tmp_path / "ckpt_fb"),
+    )
+    q_fb = (
+        stream()
+        .writeStream.foreachBatch(twin)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_fb"))
+        .start()
+    )
+    try:
+        feeder.feed(
+            q_fe,
+            ev(1, "2024-01-01 10:00:00", uid=1, value=1.0),
+            ev(2, "2024-01-01 10:05:00", uid=2, value=2.0),
+            ev(3, "2024-01-01 10:10:00", uid=1, value=3.0),
+        )
+        feeder.feed(
+            q_fe,
+            ev(5, "2024-01-01 11:00:00", uid=2, value=5.0),
+            ev(4, "2024-01-01 10:50:00", uid=3, value=4.0),
+        )
+        q_fb.processAllAvailable()
+
+        # lifecycle contract: every open has a matching clean close,
+        # both partitions of the repartition(2) were instantiated, and
+        # both data-bearing epochs ran
+        opens = {
+            (m["epoch"], m["partition"])
+            for m in map(
+                lambda p: json.load(open(p)),
+                glob.glob(os.path.join(out_dir, "markers", "*.open")),
+            )
+        }
+        closes = {}
+        for p in glob.glob(os.path.join(out_dir, "markers", "*.close")):
+            m = json.load(open(p))
+            closes[(m["epoch"], m["partition"])] = m
+        assert opens == set(closes)
+        assert {pt for _, pt in opens} == {0, 1}
+        assert len({e for e, _ in opens}) >= 2
+        assert all(m["err"] == "" for m in closes.values())
+        assert sum(m["n_rows"] for m in closes.values()) == 5
+
+        # keyed-latest parity with the foreachBatch twin
+        rows = [
+            json.load(open(p))
+            for p in glob.glob(os.path.join(out_dir, "data", "*.json"))
+        ]
+        assert len(rows) == 5  # one object per event id
+        latest_fe = {}
+        for r in rows:
+            cur = latest_fe.get(r["user_id"])
+            if cur is None or r["event_id"] > cur["event_id"]:
+                latest_fe[r["user_id"]] = r
+        latest_fb = {r["user_id"]: r.asDict() for r in twin.read().collect()}
+        assert {
+            u: (r["event_id"], r["value"]) for u, r in latest_fe.items()
+        } == {u: (r["event_id"], r["value"]) for u, r in latest_fb.items()}
+    finally:
+        q_fe.stop()
+        q_fb.stop()
+
+
+def test_stream_stream_right_full_outer_joins_pad_on_expiry(spark, tmp_path):
+    """Right- and full-outer stream-stream joins (the remaining support-
+    matrix cells): an unmatched RIGHT row null-pads only after the
+    watermark passes ITS join window (p.ts + within — a different offset
+    than the left side's c.ts bound, because the window is one-sided);
+    full-outer pads both sides.  Matched rows behave like the inner
+    join."""
+    from hunger_games_glue_streaming_etl_spark.streaming.ops import stream_stream_join
+
+    queries = {}
+    for how, sink in (("right_outer", "ss_right_join"), ("full_outer", "ss_full_join")):
+        src = str(tmp_path / f"src_{how}")
+        feeder = BatchFeeder(src)
+        stream = spark.readStream.schema(STREAM_SCHEMA).json(src)
+        clicks = stream.filter(F.col("event_type") == "click")
+        purchases = stream.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id"), F.col("ts").alias("p_ts"), F.col("event_id").alias("p_event_id")
+        )
+        joined = stream_stream_join(
+            clicks, purchases, on="user_id", left_ts="ts", right_ts="p_ts",
+            watermark="10 minutes", within="30 minutes", how=how,
+        ).select("event_id", "p_event_id")
+        queries[sink] = (_start(spark, joined, sink, "append"), feeder)
+    try:
+        for sink, (q, feeder) in queries.items():
+            feeder.feed(
+                q,
+                ev(1, "2024-01-01 10:00:00", uid=1, etype="purchase"),
+                ev(2, "2024-01-01 10:10:00", uid=1, etype="click"),     # matched
+                ev(3, "2024-01-01 10:20:00", uid=2, etype="click"),     # no purchase
+                ev(4, "2024-01-01 10:25:00", uid=3, etype="purchase"),  # no click
+            )
+            rows = {
+                (r["event_id"], r["p_event_id"])
+                for r in spark.sql(f"SELECT * FROM {sink}").collect()
+            }
+            assert (2, 1) in rows
+            assert (None, 4) not in rows  # unmatched purchase still pending
+            assert (3, None) not in rows  # unmatched click still pending
+            # advance the watermark far past both join windows; null
+            # emission happens on state EVICTION, which lags the advance
+            # by a micro-batch (events must pass BOTH input filters)
+            for i, ts in enumerate(["13:00:00", "14:00:00", "15:00:00"], start=9):
+                feeder.feed(
+                    q,
+                    ev(2 * i, f"2024-01-01 {ts}", uid=9, etype="click"),
+                    ev(2 * i + 1, f"2024-01-01 {ts}", uid=8, etype="purchase"),
+                )
+            rows = {
+                (r["event_id"], r["p_event_id"])
+                for r in spark.sql(f"SELECT * FROM {sink}").collect()
+            }
+            assert (None, 4) in rows  # right side null-padded after expiry
+            if sink == "ss_full_join":
+                assert (3, None) in rows  # left side padded too
+            else:
+                assert (3, None) not in rows  # right-outer never pads left
+    finally:
+        for q, _ in queries.values():
+            q.stop()
+
+
 def test_dedup_within_watermark_drops_restamped_retries(spark, tmp_path):
     """dropDuplicatesWithinWatermark: a redelivery with a DIFFERENT event
     time is still dropped (plain dropDuplicates on (key, ts) would pass

@@ -70,6 +70,8 @@ SKIP_EXECUTING = {
     "dedup_image_dhash_pairs",
     "dedup_audio_fingerprint_pairs",
     "dedup_video_fingerprint_pairs",
+    # decimal aggregate round-trips through parquet at build time
+    "scalar_decimal_exact",
     # CREATE TABLE + INSERT INTO run write jobs at build time
     "sql_insert_into_select",
     "sql_insert_default_columns",
