@@ -63,7 +63,10 @@ def main() -> None:
     # hiccup can't bill one query twice) and reports per-query MEDIANS.
     # The box drifts ±20-30% run-to-run; medians make round-over-round
     # deltas attributable (BASELINE.md records a repeats=3 reference).
-    repeats = int(os.environ.get("BENCH_REPEATS", "1"))
+    # Default is 3 (VERDICT r8 #3): a single-sample driver artifact
+    # manufactured seventeen phantom >2x movers in round 8 that had to be
+    # adjudicated by hand; set BENCH_REPEATS=1 explicitly for a quick pass.
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     samples: dict[str, list[float]] = {name: [] for name in QUERIES}
     for _ in range(repeats):
         for name in sorted(QUERIES):

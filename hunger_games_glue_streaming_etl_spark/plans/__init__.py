@@ -45,68 +45,30 @@ from . import (  # noqa: E402,F401
 # already have green rows in CORRECTNESS_r01-r03 follow in import order.
 # ---------------------------------------------------------------------------
 _SAMPLE_FIRST = [
-    # ---- round-7 rotation (VERDICT r6 "Next round #1"): the first ~50
-    # must ALL be oracled — the 4 rows-only-by-design entries
+    # ---- round-9 rotation (VERDICT r8 "Next round #1"): the first ~50
+    # must ALL be oracled — the rows-only-by-design entries
     # (sim_pq_ann_topk, agg_approx_distinct, sim_embedding_pairs_blas,
     # sim_ivf_ann_topk) stay OUT of this window permanently so every
-    # driver-recorded row is hash-checkable.  Lead with this round's new
-    # entries (first recorded row), then freshness-rotate: the 12 oracled
-    # entries whose latest recorded row is r2, then the r3 batch.  The
-    # round-6 cohort (45 entries + the 5 r1-latest) recorded green rows
-    # in CORRECTNESS_r06 and rotates to the back. ----
-    # round-7 new entries
-    "dedup_image_dhash_fingerprints",
+    # driver-recorded row is hash-checkable.  Order: (1) this round's new
+    # entries (first recorded row), (2) entries whose CODE changed this
+    # round (the pair-screen checkpoint restructure + the stratified-
+    # sample left join) so their newest green row postdates the change,
+    # (3) the 27 oracled entries stale since r3, (4) the oldest slice of
+    # the r4 cohort.  The r5-r8 cohorts rotate to the back in import
+    # order. ----
+    # round-9 new entries
+    "scalar_decimal_exact",
+    "streaming_right_outer_join",
+    "streaming_full_outer_join",
+    "streaming_state_store_read",
+    "pandas_api_on_spark",
+    # code changed in round 9 (re-record post-change)
     "dedup_image_dhash_pairs",
-    "dedup_audio_fingerprints",
     "dedup_audio_fingerprint_pairs",
-    "dedup_video_fingerprints",
     "dedup_video_fingerprint_pairs",
-    "sql_pipe_syntax",
-    "text_html_extract",
-    "curation_domain_caps",
     "multimodal_image_dedup_pipeline",
-    "mix_upsample_epochs",
-    "sample_tablesample_percent",
     "sample_stratified_by_key",
-    "sample_freqitems_contract",
-    "sample_crosstab_exact",
-    "sim_incremental_index_assign",
-    "streaming_available_now_drain",
-    # latest recorded row is r2
-    "merge_upsert_customer",
-    "multimodal_binary_features",
-    "scalar_array_funcs",
-    "scalar_conditional_null",
-    "scalar_date_funcs",
-    "scalar_json_extract",
-    "scalar_math_funcs",
-    "scalar_regexp_funcs",
-    "scalar_string_funcs",
-    "scd2_customer_balance",
-    "set_union_all",
-    "sort_limit_topk",
     # latest recorded row is r3
-    "agg_approx_distinct_error",
-    "agg_approx_percentile_error",
-    "agg_cube",
-    "agg_having",
-    "agg_minmax_distinct",
-    "agg_percentiles_exact",
-    "agg_pivot",
-    "agg_rollup",
-    "agg_statistics",
-    "case_derived_status",
-    "curation_clean_corpus",
-    "decontaminate_ngram_overlap",
-    "dedup_embedding_cosine_pairs",
-    "dedup_embedding_lsh_pairs",
-    "dedup_exact_groups",
-    "dedup_first_event",
-    "dedup_fuzzy_levenshtein_pairs",
-    "dedup_minhash_bands",
-    "dedup_minhash_lsh_pairs",
-    "dedup_minhash_signatures",
-    "dedup_ngram_jaccard_pairs",
     "dedup_simhash_fingerprints",
     "dedup_simhash_pairs",
     "filter_project",
@@ -119,6 +81,67 @@ _SAMPLE_FIRST = [
     "latest_event_per_user",
     "pack_sequences_concat",
     "pack_sequences_stats",
+    "q1_pricing_summary",
+    "salted_join_result_parity",
+    "sessionize_batch",
+    "sliding_window_agg",
+    "split_train_holdout",
+    "text_bpe_token_estimate",
+    "text_lang_id",
+    "text_quality_filter",
+    "text_quality_score",
+    "text_repetition_stats",
+    "text_tfidf_top_terms",
+    "text_token_stats",
+    "text_winnowing_fingerprints",
+    "tumbling_window_agg",
+    "wordcount_top20",
+    # oldest slice of the r4 cohort (fills the window to ~50)
+    "anomaly_hourly_event_rate",
+    "asof_latest_purchase_before_click",
+    "corpus_token_budget_select",
+    "dedup_cluster_canonical_keep",
+    "dq_referential_orphans",
+    "funnel_conversion_steps",
+    "layout_compaction_plan",
+    "layout_compaction_ratio",
+    "layout_zorder_file_stats",
+    "layout_zorder_pruning_ratio",
+    "mix_temperature_sample",
+    "mix_weighted_sample",
+    "multimodal_real_codec_features",
+    "pii_scrub_planted",
+    "profile_join_key_skew",
+    # rest of the r4 cohort (recorded if the window runs long)
+    "retention_cohort_weekly",
+    "scd2_asof_snapshot",
+    "semantic_dedup_cells",
+    "shuffle_training_order",
+    "streaming_corpus_ingest",
+    "streaming_funnel_state",
+    "streaming_keyed_dedup",
+    "streaming_left_outer_join",
+    "streaming_running_state",
+    "streaming_session_window",
+    "streaming_stream_stream_join",
+    "streaming_tumbling_agg",
+    "subquery_correlated_avg",
+    "subquery_in_having",
+    "subquery_not_exists_agg",
+    "text_bigram_coherence",
+    "text_bm25_search",
+    "text_duplicate_segments",
+    "text_segment_dedup_stats",
+    "text_vocab_oov",
+    "udaf_grouped_agg_median",
+    "udf_grouped_map_normalize",
+    "udf_pandas_zscore",
+    "udtf_token_positions",
+    "window_distribution_funcs",
+    "window_lag_lead",
+    "window_rank_dense",
+    "window_running_frame",
+    "window_topk_per_group",
 ]
 
 

@@ -539,3 +539,79 @@ def scan_file_metadata_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("chars_sum"),
         F.min("doc_id").alias("min_doc_id"),
     )
+
+
+# ---- Avro (env-gated: external spark-avro module, absent in this image) ----
+#
+# Avro is the message-bus interchange format (Kafka + schema registry —
+# exactly where the reference's Kinesis JSON would arrive as Avro in a
+# production bus).  Unlike XML (native in Spark 4) the avro data source and
+# ``from_avro``/``to_avro`` live in the EXTERNAL spark-avro module, which
+# this image does not ship (r6 finding) — so the entry follows the honest
+# env-gate pattern (Delta MERGE / transformWithStateInPandas precedent):
+# the full implementation registers and runs unmodified the round the jar
+# appears, and stays invisible (never fakes a pass) until then.
+
+
+def _avro_runtime_available() -> bool:
+    """True iff the spark-avro jar is on the JVM classpath.  Checked via
+    the pyspark jars directory (import-time, session-free — registration
+    happens at module import, the transformWithStateInPandas rule)."""
+    import glob as _glob
+    import os as _os
+
+    import pyspark
+
+    jars = _os.path.join(_os.path.dirname(pyspark.__file__), "jars")
+    return bool(_glob.glob(_os.path.join(jars, "spark-avro*.jar")))
+
+
+def _register_avro(fn):
+    if _avro_runtime_available():
+        return register(
+            "scan_avro_roundtrip",
+            oracle="""
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(o_custkey AS BIGINT)) AS BIGINT) AS custkey_sum
+            FROM orders GROUP BY o_orderpriority
+            """,
+        )(fn)
+    return fn
+
+
+@_register_avro
+def scan_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro file round-trip PLUS the message-bus payload path: orders →
+    ``to_avro(struct(...))`` binary column (what a Kafka producer ships) →
+    ``from_avro`` back to typed columns → aggregate, checked against the
+    parquet source of truth.  The binary hop proves schema'd
+    encode/decode losslessness, not just the file format.  Scale: avro
+    files split per-block like parquet; ``from_avro`` is JVM-side
+    expression work, no Python boundary."""
+    from pyspark.sql.avro.functions import from_avro, to_avro
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    path = _roundtrip_dir("scan_avro_roundtrip")
+    orders.write.mode("overwrite").format("avro").save(path)
+    back = spark.read.format("avro").load(path)
+    schema_json = (
+        '{"type":"record","name":"o","fields":['
+        '{"name":"o_custkey","type":"long"},'
+        '{"name":"o_orderpriority","type":"string"}]}'
+    )
+    payload = back.select(
+        to_avro(
+            F.struct(
+                F.col("o_custkey").cast("long").alias("o_custkey"),
+                "o_orderpriority",
+            )
+        ).alias("body")
+    )
+    decoded = payload.select(from_avro(F.col("body"), schema_json).alias("r"))
+    return decoded.groupBy(F.col("r.o_orderpriority").alias("o_orderpriority")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum("r.o_custkey").alias("custkey_sum"),
+    )

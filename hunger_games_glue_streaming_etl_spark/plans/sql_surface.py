@@ -499,3 +499,4 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> LIMIT 3
         """
     )
+

@@ -482,6 +482,75 @@ def streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_state_store_read",
+    oracle=f"""
+    WITH {_EVENTS_WITH_TRIGGER},
+    wm2 AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM e WHERE trg = 1),
+    adm AS (SELECT * FROM e WHERE trg = 1 OR ts >= (SELECT w FROM wm2)),
+    wmf AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM e)
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS value_sum_fp
+    FROM adm GROUP BY 1, 2, 3
+    HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR > (SELECT w FROM wmf)
+    """,
+)
+def streaming_state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The state-store DATA SOURCE (``spark.read.format("statestore")``,
+    Spark 4): read a streaming query's checkpointed state as a batch
+    DataFrame — the operational surface for debugging stuck state,
+    auditing watermark eviction, and state migration.  The entry runs a
+    watermarked hourly window agg to completion (append mode, real
+    checkpoint), then reads operator 0's state back: exactly the windows
+    the final watermark has NOT yet finalized — the COMPLEMENT of
+    ``streaming_tumbling_agg``'s emission (append mode emits + evicts
+    together), which the oracle states, including the trigger-2
+    late-admission model (a row below trigger 1's watermark is dropped
+    on arrival and so never reaches state).  The sum rides as integer
+    thousandths (BIGINT buffer) so the state VALUE is hash-exact.  At
+    100 TB the source reads one task per state partition in parallel —
+    no replay of the stream."""
+    src = _stage_events_stream(spark, sf_dir)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "maxFilesPerTrigger", "2"
+    ).json(src)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long")
+            ).alias("value_sum_fp"),
+        )
+    )
+    root = entry_tmp_dir("streaming_state_store_read")
+    ckpt = os.path.join(root, "ckpt")
+    with _lean_state_partitions(spark):
+        q = (
+            agg.writeStream.format("noop")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    st = spark.read.format("statestore").load(ckpt)
+    return st.select(
+        F.col("key.window.start").alias("window_start"),
+        F.col("key.window.end").alias("window_end"),
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").alias("n_events"),
+        F.col("value.sum").alias("value_sum_fp"),
+    )
+
+
 # ---- continuous corpus ingestion (the streaming face of the LLM tier) ------
 
 _doc_stage_cache: dict[str, str] = {}

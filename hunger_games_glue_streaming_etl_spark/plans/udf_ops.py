@@ -511,3 +511,43 @@ def udtf_table_partition_args(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ORDER BY (o_orderdate, o_orderkey))
         """
     )
+
+
+@register(
+    "pandas_api_on_spark",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total,
+           ROUND(MAX(o_totalprice), 2) AS max_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pandas_api_on_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pandas API on Spark (``pyspark.pandas``, the Koalas lineage) —
+    the third Python front end next to DataFrame and SQL, and the one a
+    pandas-native user reaches for first.  A groupby-agg written in
+    pandas idiom lowers to the SAME Catalyst hash aggregate as the
+    DataFrame form (no Python workers — every op here is a column
+    expression), which is exactly what the oracle pins.
+    ``to_spark(index_col=...)`` keeps the group key as a column and —
+    with the lazy groupby path — avoids materializing pandas-on-Spark's
+    default distributed-sequence index (a driver-coordinated zipWithIndex
+    job, the one anti-scale trap of this API; docstring is the warning).
+    Aggregates rounded, never per-row arithmetic."""
+    import pyspark.pandas as ps  # noqa: F401 (import also validates the module)
+
+    orders = load_table(spark, sf_dir, "orders")
+    psdf = orders.pandas_api()
+    g = psdf.groupby("o_orderpriority").agg(
+        n_orders=("o_orderkey", "count"),
+        total=("o_totalprice", "sum"),
+        max_price=("o_totalprice", "max"),
+    )
+    sdf = g.to_spark(index_col="o_orderpriority")
+    return sdf.select(
+        "o_orderpriority",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.round("total", 2).alias("total"),
+        F.round("max_price", 2).alias("max_price"),
+    )

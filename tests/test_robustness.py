@@ -146,3 +146,24 @@ def test_winnowing_overlap_detects_shared_passage(spark):
     assert overlap_12 >= 3  # the shared passage survives winnowing
     assert len(fps[1] & fps[3]) == 0 and len(fps[2] & fps[3]) == 0
     assert len(fps[4]) == 1 and len(fps[5]) == 1
+
+
+def test_avro_env_gate(spark):
+    """The Avro round-trip entry registers ONLY where the external
+    spark-avro jar is on the classpath (r6 finding: not shipped in this
+    image) — the honest env-gate, same as Delta MERGE and
+    transformWithStateInPandas.  When available it must run end to end
+    with nonzero rows."""
+    from hunger_games_glue_streaming_etl_spark.plans import QUERIES
+    from hunger_games_glue_streaming_etl_spark.plans.sources_sql import (
+        _avro_runtime_available,
+    )
+
+    avail = _avro_runtime_available()
+    assert ("scan_avro_roundtrip" in QUERIES) == avail
+    if not avail:
+        import pytest as _pytest
+
+        _pytest.skip("spark-avro jar absent — avro entry env-blocked here")
+    rows = QUERIES["scan_avro_roundtrip"](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0

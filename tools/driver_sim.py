@@ -17,6 +17,14 @@ for mod in ("google.protobuf.descriptor", "delta"):
         print(f"PROBE: {mod} AVAILABLE — env-gated entries should be live")
     except ImportError:
         print(f"PROBE: {mod} absent (env-gated entries stay gated)")
+from hunger_games_glue_streaming_etl_spark.plans.sources_sql import (
+    _avro_runtime_available,
+)
+print(
+    "PROBE: spark-avro jar "
+    + ("AVAILABLE — scan_avro_roundtrip should be live"
+       if _avro_runtime_available() else "absent (scan_avro_roundtrip stays gated)")
+)
 
 import __spark_entry__ as E
 
