@@ -312,3 +312,73 @@ def curation_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 8)
         .select("doc_id", "domain", "rnk")
     )
+
+
+@register(
+    "curation_url_canonicalize",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               source || '.example.com/a/' || CAST(doc_id // 40 AS VARCHAR)
+                      || '?id=' || CAST(doc_id % 20 AS VARCHAR) AS canonical_url,
+               CASE WHEN doc_id % 8 < 4 THEN 1 ELSE 0 END AS has_utm
+        FROM documents
+    )
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS rep_doc_id,
+           CAST(SUM(has_utm) AS BIGINT) AS n_utm_stripped
+    FROM u GROUP BY canonical_url
+    """,
+)
+def curation_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the FIRST dedup key of every web-crawl
+    pipeline (before any content hash): case-fold the host, strip the
+    ``www.`` prefix, drop tracking params and fragments, keep semantic
+    params.  The planted raw URLs carry every variance class (mixed-case
+    host, WWW./www., ``utm_source`` on the ``doc_id % 8 < 4`` lane, a
+    fragment on odd ids) and are built so each canonical group pairs ids
+    40 apart — one member WITH tracking params and one without, so the
+    group count is wrong unless stripping actually works.  Spark runs the
+    real parse (``parse_url`` HOST/PATH + the 3-arg QUERY-param form,
+    which also discards the fragment) while the oracle rebuilds the
+    canonical from the planted FORMULA — the binary-codec oracle style:
+    parser + normalizer must land on planted truth.  At 100 TB this is
+    pure map-side expression work feeding one hash aggregate on the
+    canonical key; raw URLs never need to leave the scan stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("WWW.")).otherwise(F.lit("www.")),
+        F.when(F.col("doc_id") % 2 == 0, F.upper("source")).otherwise(F.col("source")),
+        F.lit(".Example.COM/a/"),
+        F.floor(F.col("doc_id") / 40).cast("long").cast("string"),
+        F.when(F.col("doc_id") % 8 < 4, F.lit("?utm_source=feed&id=")).otherwise(
+            F.lit("?id=")
+        ),
+        (F.col("doc_id") % 20).cast("string"),
+        F.when(F.col("doc_id") % 2 == 1, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    parsed = docs.select(
+        "doc_id",
+        raw.alias("raw_url"),
+        (F.col("doc_id") % 8 < 4).cast("int").alias("has_utm"),
+    ).select(
+        "doc_id",
+        "has_utm",
+        F.concat(
+            F.regexp_replace(
+                F.lower(F.parse_url(F.col("raw_url"), F.lit("HOST"))),
+                r"^www\.",
+                "",
+            ),
+            F.parse_url(F.col("raw_url"), F.lit("PATH")),
+            F.lit("?id="),
+            F.parse_url(F.col("raw_url"), F.lit("QUERY"), F.lit("id")),
+        ).alias("canonical_url"),
+    )
+    return parsed.groupBy("canonical_url").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("rep_doc_id"),
+        F.sum("has_utm").alias("n_utm_stripped"),
+    )
