@@ -821,3 +821,52 @@ def test_available_now_drains_backlog_then_only_new_files(spark, tmp_path):
     assert sum(p.numInputRows for p in progress2) == 2  # ONLY the new files
     rows2 = {r.event_id for r in spark.read.json(sink).collect()}
     assert rows2 == {0, 1, 2, 3, 4, 5}
+
+
+def test_state_metadata_and_store_readers(spark, tmp_path):
+    """The checkpoint-introspection pair: ``state-metadata`` lists the
+    stateful operators a checkpoint holds (name, id, partition count,
+    batch range) and ``statestore`` reads a specific operator's rows —
+    together the ops workflow for diagnosing stuck streaming state.
+    Asserts the metadata matches the query shape and the store contents
+    match what the watermark had NOT yet evicted."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    feeder = BatchFeeder(src)
+    stream = spark.readStream.schema(STREAM_SCHEMA).json(src)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.format("noop")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        feeder.feed(
+            q,
+            ev(1, "2024-01-01 10:05:00", etype="click"),
+            ev(2, "2024-01-01 10:10:00", etype="click"),
+            ev(3, "2024-01-01 13:05:00", etype="view"),
+        )
+    finally:
+        q.stop()
+
+    meta = spark.read.format("state-metadata").load(ckpt).collect()
+    assert len(meta) == 1  # exactly one stateful operator
+    m = meta[0].asDict()
+    assert m["operatorId"] == 0
+    assert m["operatorName"] == "stateStoreSave"  # the streaming-agg state op
+    assert m["numPartitions"] == int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    st = spark.read.format("statestore").load(ckpt)
+    rows = {
+        (r["key"]["window"]["start"].hour, r["key"]["event_type"]): r["value"]["count"]
+        for r in st.collect()
+    }
+    # watermark = 13:05 - 10min = 12:55 -> the 10-11h window (end 11:00)
+    # was emitted + evicted; only the open 13-14h window remains in state
+    assert rows == {(13, "view"): 1}
