@@ -63,6 +63,7 @@ _SAMPLE_FIRST = [
     "streaming_state_store_read",
     "pandas_api_on_spark",
     "curation_url_canonicalize",
+    "merge_delete_forgotten",
     # code changed in round 9 (re-record post-change)
     "dedup_image_dhash_pairs",
     "dedup_audio_fingerprint_pairs",

@@ -138,3 +138,54 @@ def scd2_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).select(ts.alias("snapshot_ts"), "k", "bal")
         )
     return parts[0].unionByName(parts[1])
+
+
+@register(
+    "merge_delete_forgotten",
+    oracle="""
+    SELECT c_custkey, ROUND(c_acctbal, 2) AS c_acctbal
+    FROM customer WHERE c_custkey % 7 <> 0
+    """,
+)
+def merge_delete_forgotten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted DELETE on the keyed store — the compliance/right-to-be-
+    forgotten contract (the reference's DynamoDB table would take
+    ``delete_item`` calls; the engine's bucketed parquet view takes a
+    set-oriented ``delete_keys``).  Builds the latest-state table through
+    the real sink at build time (plan_audit executed-sweep class), erases
+    every 7th customer, and returns the read-back view; the oracle states
+    the complement directly.  O(touched buckets), never O(table): only
+    hash buckets containing doomed keys are rewritten, an emptied bucket
+    is removed explicitly (dynamic partition overwrite cannot), and the
+    file-level stability of untouched buckets is pinned in
+    tests/test_upsert_sink.py."""
+    import os as _os
+
+    from ..sinks import ParquetLatestSink
+    from ..tmpdirs import entry_tmp_dir
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.round("c_acctbal", 2).alias("c_acctbal")
+    )
+    root = entry_tmp_dir("merge_delete_forgotten")
+    sink = ParquetLatestSink(
+        spark,
+        _os.path.join(root, "latest"),
+        keys="c_custkey",
+        seq_cols="c_custkey",
+    )
+    # lean shuffle partitions for the build-time writes: every shuffle
+    # partition fans out into every touched bucket dir, so partitions x
+    # buckets small files dominate wall at fixture scale (the streaming
+    # entries' _lean_state_partitions rationale; at 100 TB you'd RAISE it
+    # — it's the write-parallelism knob, per-job by design)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        sink.upsert(cust)
+        sink.delete_keys(
+            cust.filter(F.col("c_custkey") % 7 == 0).select("c_custkey")
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return sink.read()

@@ -351,5 +351,102 @@ class ParquetLatestSink:
         finally:
             latest.unpersist()
 
+    def delete_keys(self, keys_df: DataFrame, epoch_id: int | None = None) -> int:
+        """Targeted key deletion — the compliance path (GDPR erasure /
+        right-to-be-forgotten) every keyed store needs: remove all stored
+        rows whose key appears in ``keys_df``, rewriting ONLY the hash
+        buckets those keys land in (O(touched buckets), never O(table) —
+        the same incremental contract as ``upsert``).  A bucket whose
+        every row is deleted is removed explicitly: dynamic partition
+        overwrite only replaces partitions PRESENT in the new data, so an
+        emptied bucket would otherwise silently keep its stale files.
+
+        With ``track_changes`` and an ``epoch_id``, the doomed rows are
+        appended to the CDC changelog as ``__change_op = 'delete'``
+        BEFORE the rewrite (pre-delete values, same idempotent epoch-dir
+        protocol as ``_emit_changes``), so downstream consumers can
+        propagate the erasure.  The same lineage-scoped epoch gate as
+        ``upsert`` makes redelivered delete batches no-ops.
+
+        Returns the number of stored rows removed.  A legacy (unbucketed)
+        view is migrated to the bucketed layout by the full rewrite this
+        delete already pays for."""
+        self._recover_interrupted_migration()
+        if epoch_id is not None:
+            committed = self._committed_epoch()
+            if committed is not None and epoch_id <= committed:
+                return 0
+        layout = self._layout()
+        if layout == "absent":
+            return 0
+        doomed = (
+            keys_df.select(*[F.col(k) for k in self.keys])
+            .distinct()
+            .withColumn(_BUCKET_COL, self._bucket_expr())
+            .persist()
+        )
+        try:
+            if layout == "legacy":
+                current = (
+                    self.spark.read.parquet(self.path)
+                    .drop(_BUCKET_COL)
+                    .withColumn(_BUCKET_COL, self._bucket_expr())
+                    .persist()
+                )
+            else:
+                touched = [
+                    r[0] for r in doomed.select(_BUCKET_COL).distinct().collect()
+                ]
+                if not touched:
+                    return 0
+                current = self.spark.read.parquet(self.path).filter(
+                    F.col(_BUCKET_COL).isin(touched)
+                ).persist()
+            victims_keys = doomed.drop(_BUCKET_COL)
+            n_deleted = current.join(victims_keys, self.keys, "left_semi").count()
+            if n_deleted == 0:
+                if epoch_id is not None:
+                    self._commit_epoch(epoch_id)
+                return 0
+            if self.track_changes and epoch_id is not None:
+                epoch_dir = f"{self.changes_path}/epoch={epoch_id}"
+                if not os.path.isfile(os.path.join(epoch_dir, "_SUCCESS")):
+                    (
+                        current.join(victims_keys, self.keys, "left_semi")
+                        .withColumn("__change_op", F.lit("delete"))
+                        .drop(_BUCKET_COL)
+                        .write.mode("overwrite")
+                        .parquet(epoch_dir)
+                    )
+            remaining = current.join(victims_keys, self.keys, "left_anti")
+            if layout == "legacy":
+                tmp, old = self.path + ".tmp", self.path + ".old"
+                self._write_bucketed(remaining, tmp)
+                if os.path.isdir(old):
+                    shutil.rmtree(old)
+                os.rename(self.path, old)
+                os.rename(tmp, self.path)
+                shutil.rmtree(old)
+            else:
+                kept = {
+                    r[0] for r in remaining.select(_BUCKET_COL).distinct().collect()
+                }
+                self._write_bucketed(remaining, self.path)
+                for b in touched:
+                    if b not in kept:
+                        shutil.rmtree(
+                            os.path.join(self.path, f"{_BUCKET_COL}={b}"),
+                            ignore_errors=True,
+                        )
+            if epoch_id is not None:
+                self._commit_epoch(epoch_id)
+            return n_deleted
+        finally:
+            doomed.unpersist()
+            try:
+                current.unpersist()
+            except NameError:
+                pass
+
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.path).drop(_BUCKET_COL)

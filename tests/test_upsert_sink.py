@@ -376,3 +376,60 @@ def test_changelog_vacuum_bounds_replay_depth(spark, tmp_path):
     assert sink.vacuum_changes(keep_epochs=2) == []
     assert sink.vacuum_changes(keep_epochs=0) == [2, 3]
     assert sink.vacuum_changes(keep_epochs=5) == []
+
+
+def test_delete_keys_touched_buckets_only(spark, tmp_path):
+    """delete_keys removes exactly the doomed keys, rewrites ONLY their
+    buckets (untouched bucket files keep their mtimes), removes a bucket
+    whose every row died (dynamic overwrite alone cannot), emits
+    __change_op='delete' CDC rows, and gates redelivered epochs."""
+    path = str(tmp_path / "latest")
+    sink = ParquetLatestSink(
+        spark, path, keys="k", seq_cols="seq", track_changes=True,
+        lineage_id="del-test",
+    )
+    rows = [(f"k{i}", 1, f"v{i}") for i in range(12)]
+    sink.upsert(
+        spark.createDataFrame(rows, "k string, seq long, v string"), epoch_id=0
+    )
+    before = _bucket_state(path)
+
+    # doom two keys from one bucket... pick keys sharing a bucket plus one
+    # key alone in its bucket (so that bucket empties entirely)
+    by_bucket = {}
+    for i in range(12):
+        by_bucket.setdefault(_bucket(f"k{i}"), []).append(f"k{i}")
+    lone = next(ks[0] for ks in by_bucket.values() if len(ks) == 1)
+    shared = next(ks for ks in by_bucket.values() if len(ks) >= 2)
+    doomed = [lone, shared[0]]
+
+    n = sink.delete_keys(
+        spark.createDataFrame([(k,) for k in doomed], "k string"), epoch_id=1
+    )
+    assert n == 2
+    st = {r["k"] for r in sink.read().collect()}
+    assert st == {f"k{i}" for i in range(12)} - set(doomed)
+
+    after = _bucket_state(path)
+    lone_dir = f"__bucket={_bucket(lone)}"
+    shared_dir = f"__bucket={_bucket(shared[0])}"
+    assert lone_dir not in after  # fully-emptied bucket removed
+    assert after[shared_dir] != before[shared_dir]  # rewritten
+    for d, files in before.items():
+        if d not in (lone_dir, shared_dir):
+            assert after[d] == files  # untouched buckets byte-stable
+
+    # CDC delete rows, pre-delete values
+    changes = {
+        (r["k"], r["__change_op"])
+        for r in sink.read_changes().filter("epoch = 1").collect()
+    }
+    assert changes == {(k, "delete") for k in doomed}
+
+    # epoch gate: a redelivered delete epoch is a no-op even for a key
+    # that is still present
+    survivor = next(k for k in st)
+    assert sink.delete_keys(
+        spark.createDataFrame([(survivor,)], "k string"), epoch_id=1
+    ) == 0
+    assert survivor in {r["k"] for r in sink.read().collect()}

@@ -80,8 +80,9 @@ SKIP_EXECUTING = {
     # bucketed saveAsTable writes both catalog tables at build time
     "layout_bucketed_colocated_join",
     "scan_schema_evolution",
-    # sink-backed entries replay upserts at build time
+    # sink-backed entries replay upserts/deletes at build time
     "merge_upsert_customer",
+    "merge_delete_forgotten",
     # ANN tier: driver-side centroid/codebook seed jobs + bounded probes
     "sim_ivf_ann_topk",
     "sim_ivf_ann_topk_fullprobe",
