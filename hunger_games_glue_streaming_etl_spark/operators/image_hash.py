@@ -178,7 +178,12 @@ def hi_lo_near_pairs(
     eagerly ``localCheckpoint``'d so the expensive encode/decode/hash
     kernel runs EXACTLY ONCE per call (ADVICE r8 medium: the r8
     window-min shape re-ran the kernel per AQE shuffle stage — dup and
-    screen branches did NOT share via ReuseExchange; measured 2x).  A
+    screen branches did NOT share via ReuseExchange; measured 2x).
+    ``localCheckpoint`` stores blocks on executors, so an executor loss
+    mid-job forfeits them (lineage is truncated); on a long-lived 1000-
+    executor run swap in ``spark.sparkContext.setCheckpointDir`` + a
+    reliable ``checkpoint()``, or accept the rare full-stage retry — the
+    frame is 24 B/row either way.  A
     ``groupBy(hi, lo).agg(min)`` picks one representative per distinct
     fingerprint with MAP-SIDE partial aggregation (VERDICT r8 #7: a
     fingerprint duplicated k times partial-aggregates to one row per map
