@@ -64,6 +64,7 @@ _SAMPLE_FIRST = [
     "pandas_api_on_spark",
     "curation_url_canonicalize",
     "merge_delete_forgotten",
+    "join_hint_shuffle_hash",
     # code changed in round 9 (re-record post-change)
     "dedup_image_dhash_pairs",
     "dedup_audio_fingerprint_pairs",

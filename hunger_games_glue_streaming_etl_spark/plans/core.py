@@ -560,3 +560,37 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supplier), F.col("skey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "numwait")
     )
+
+
+@register(
+    "join_hint_shuffle_hash",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SHUFFLE_HASH join-strategy hint — the large⋈large strategy
+    Catalyst almost never picks on its own (it defaults to sort-merge
+    for non-broadcastable sides): hash-partition both sides on the key,
+    build a hash map from the smaller side PER PARTITION, and skip both
+    sorts.  The right call when one side's per-partition slice fits in
+    executor memory — at 100 TB, orders⋈lineitem with AQE partition
+    sizing is exactly that shape, and skipping two O(n log n) sorts on
+    600M+ rows per partition-pair is a real win.  Completes the engine's
+    join-strategy hint family (broadcast: ``join_broadcast_chain``;
+    merge: ``layout_bucketed_colocated_join``); results are
+    strategy-invariant, which is what the oracle pins, and the
+    ShuffledHashJoin node is plan-asserted in tests/test_plan_shapes.py."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    joined = orders.hint("shuffle_hash").join(
+        lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("long")).alias("qty_sum"),
+    )

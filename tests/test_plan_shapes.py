@@ -491,3 +491,20 @@ def test_sql_cache_table_plans_in_memory_scan(spark):
     df = QUERIES["sql_cache_table"](spark, SF_DIR)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "InMemoryRelation" in plan
+
+
+def test_shuffle_hash_hint_changes_strategy(spark):
+    """The SHUFFLE_HASH hint must actually flip the physical strategy:
+    the hinted plan runs ShuffledHashJoin (no sort on either side); the
+    unhinted twin of the same join never picks it on its own (it
+    broadcasts at fixture scale, sort-merges beyond the threshold)."""
+    plan = _plan(QUERIES["join_hint_shuffle_hash"](spark, SF_DIR))
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+    from hunger_games_glue_streaming_etl_spark.sources.batch import load_table
+
+    o = load_table(spark, SF_DIR, "orders")
+    l = load_table(spark, SF_DIR, "lineitem")
+    unhinted = _plan(o.join(l, o["o_orderkey"] == l["l_orderkey"]))
+    assert "ShuffledHashJoin" not in unhinted
