@@ -69,13 +69,15 @@ class JsonRowForeachWriter:
         self.n_rows += 1
 
     def close(self, error: BaseException | None) -> None:
+        # PySpark's foreach wrapper re-raises `error` itself after close
+        # returns, so re-raising here would be redundant.  The attempt
+        # number in the marker filename keeps failed attempts auditable
+        # instead of letting the retry overwrite the failure marker.
         self._mark(
             "close",
             err="" if error is None else repr(error),
             n_rows=self.n_rows,
         )
-        if error is not None:
-            raise error
 
     # -- internals -----------------------------------------------------------
 
@@ -86,10 +88,23 @@ class JsonRowForeachWriter:
         os.replace(tmp, path)
 
     def _mark(self, kind: str, **extra: Any) -> None:
+        try:
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            attempt = 0 if ctx is None else ctx.attemptNumber()
+        except Exception:
+            attempt = 0
         self._atomic_json(
             os.path.join(
                 self._marker_dir,
-                f"epoch={self.epoch_id}_part={self.partition_id}.{kind}",
+                f"epoch={self.epoch_id}_part={self.partition_id}"
+                f"_attempt={attempt}.{kind}",
             ),
-            {"epoch": self.epoch_id, "partition": self.partition_id, **extra},
+            {
+                "epoch": self.epoch_id,
+                "partition": self.partition_id,
+                "attempt": attempt,
+                **extra,
+            },
         )

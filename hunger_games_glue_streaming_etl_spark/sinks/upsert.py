@@ -398,6 +398,11 @@ class ParquetLatestSink:
                     r[0] for r in doomed.select(_BUCKET_COL).distinct().collect()
                 ]
                 if not touched:
+                    # Commit the epoch even on the empty-keys path so a
+                    # redelivered delete batch is gated instead of re-running
+                    # the layout probe + collect (mirrors n_deleted == 0).
+                    if epoch_id is not None:
+                        self._commit_epoch(epoch_id)
                     return 0
                 current = self.spark.read.parquet(self.path).filter(
                     F.col(_BUCKET_COL).isin(touched)
@@ -419,6 +424,14 @@ class ParquetLatestSink:
                         .parquet(epoch_dir)
                     )
             remaining = current.join(victims_keys, self.keys, "left_anti")
+            if layout != "legacy":
+                # The bucketed path overwrites the very bucket dirs that
+                # `remaining`'s lineage reads.  A persisted frame is NOT
+                # safe against executor loss mid-write (the recompute would
+                # re-scan already-rewritten files), so truncate lineage by
+                # materializing the small survivor frame before touching
+                # self.path.  The legacy branch is already safe (tmp+swap).
+                remaining = remaining.localCheckpoint(eager=True)
             if layout == "legacy":
                 tmp, old = self.path + ".tmp", self.path + ".old"
                 self._write_bucketed(remaining, tmp)

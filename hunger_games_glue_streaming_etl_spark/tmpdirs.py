@@ -93,7 +93,23 @@ def _sweep_orphans(uroot: str) -> None:
     legacy = os.path.join(tempfile.gettempdir(), "hg_spark_scratch")
     try:
         if not os.path.islink(legacy) and os.lstat(legacy).st_uid == os.getuid():
-            shutil.rmtree(legacy, ignore_errors=True)
+            # A pre-r8 process of the same user may still be USING the
+            # shared root: only reclaim it when no pid-named child maps
+            # to a live process (same liveness probe as the per-pid
+            # sweep above — never delete live scratch out from under a
+            # running sibling).
+            def _live(name: str) -> bool:
+                if not name.startswith("pid"):
+                    return False
+                try:
+                    os.kill(int(name[3:]), 0)
+                    return True
+                except (ValueError, ProcessLookupError):
+                    return False
+                except OSError:
+                    return True  # exists but not ours to signal
+            if not any(_live(n) for n in os.listdir(legacy)):
+                shutil.rmtree(legacy, ignore_errors=True)
     except OSError:
         pass
 
