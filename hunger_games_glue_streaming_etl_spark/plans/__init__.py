@@ -45,77 +45,29 @@ from . import (  # noqa: E402,F401
 # already have green rows in CORRECTNESS_r01-r03 follow in import order.
 # ---------------------------------------------------------------------------
 _SAMPLE_FIRST = [
-    # ---- round-9 rotation (VERDICT r8 "Next round #1"): the first ~50
+    # ---- round-10 rotation (VERDICT r9 "Next round #1"): the first ~50
     # must ALL be oracled — the rows-only-by-design entries
     # (sim_pq_ann_topk, agg_approx_distinct, sim_embedding_pairs_blas,
     # sim_ivf_ann_topk) stay OUT of this window permanently so every
     # driver-recorded row is hash-checkable.  Order: (1) this round's new
-    # entries (first recorded row), (2) entries whose CODE changed this
-    # round (the pair-screen checkpoint restructure + the stratified-
-    # sample left join) so their newest green row postdates the change,
-    # (3) the 27 oracled entries stale since r3, (4) the oldest slice of
-    # the r4 cohort.  The r5-r8 cohorts rotate to the back in import
+    # entries (first recorded row), (2) the entry whose sink code changed
+    # this round (delete_keys epoch gate + survivor checkpoint) so its
+    # newest green row postdates the change, (3) the 35 oracled entries
+    # whose newest green row is r4, (4) the oldest slice of the r5 cohort
+    # to fill the window.  The r6-r9 cohorts rotate to the back in import
     # order. ----
-    # round-9 new entries
-    "scalar_decimal_exact",
-    "streaming_right_outer_join",
-    "streaming_full_outer_join",
-    "streaming_state_store_read",
-    "pandas_api_on_spark",
-    "curation_url_canonicalize",
+    # round-10 new entries
+    "stats_catalog_analyze",
+    "udf_cogrouped_apply_in_arrow",
+    # code changed in round 10 (re-record post-change)
     "merge_delete_forgotten",
-    "join_hint_shuffle_hash",
-    # code changed in round 9 (re-record post-change)
-    "dedup_image_dhash_pairs",
-    "dedup_audio_fingerprint_pairs",
-    "dedup_video_fingerprint_pairs",
-    "multimodal_image_dedup_pipeline",
-    "sample_stratified_by_key",
-    # latest recorded row is r3
-    "dedup_simhash_fingerprints",
-    "dedup_simhash_pairs",
-    "filter_project",
-    "flagship_user_status",
-    "join_anti",
-    "join_broadcast_chain",
-    "join_inner",
-    "join_left_outer",
-    "join_semi",
-    "latest_event_per_user",
-    "pack_sequences_concat",
-    "pack_sequences_stats",
-    "q1_pricing_summary",
-    "salted_join_result_parity",
-    "sessionize_batch",
-    "sliding_window_agg",
-    "split_train_holdout",
-    "text_bpe_token_estimate",
-    "text_lang_id",
-    "text_quality_filter",
-    "text_quality_score",
-    "text_repetition_stats",
-    "text_tfidf_top_terms",
-    "text_token_stats",
-    "text_winnowing_fingerprints",
-    "tumbling_window_agg",
-    "wordcount_top20",
-    # oldest slice of the r4 cohort (fills the window to ~50)
-    "anomaly_hourly_event_rate",
-    "asof_latest_purchase_before_click",
-    "corpus_token_budget_select",
-    "dedup_cluster_canonical_keep",
-    "dq_referential_orphans",
-    "funnel_conversion_steps",
-    "layout_compaction_plan",
-    "layout_compaction_ratio",
-    "layout_zorder_file_stats",
-    "layout_zorder_pruning_ratio",
+    # latest recorded row is r4
     "mix_temperature_sample",
     "mix_weighted_sample",
     "multimodal_real_codec_features",
     "pii_scrub_planted",
     "profile_join_key_skew",
-    # rest of the r4 cohort (recorded if the window runs long)
+    "profile_table_columns",
     "retention_cohort_weekly",
     "scd2_asof_snapshot",
     "semantic_dedup_cells",
@@ -145,6 +97,40 @@ _SAMPLE_FIRST = [
     "window_rank_dense",
     "window_running_frame",
     "window_topk_per_group",
+    # oldest slice of the r5 cohort (fills the window to ~50; the rest of
+    # the r5 cohort already satisfies the "no entry older than r5" bar)
+    "sketch_bloom_membership",
+    "sketch_cms_heavy_hitters",
+    "sketch_hll_estimate",
+    "sketch_hll_registers",
+    "sim_sq8_ann_topk",
+    "sim_sq8_recall_check",
+    "set_ops_bag_semantics",
+    "join_full_outer",
+    "join_lateral_topk",
+    "join_null_safe_eq",
+    "chat_format_audit",
+    "chat_sft_corpus_totals",
+    # recorded if the window runs long
+    "profile_table_columns_approx",
+    "profile_histogram_numeric",
+    "q5_local_supplier_volume",
+    "quality_classifier_linear",
+    "range_join_value_bands",
+    "relational_unpivot",
+    "scalar_variant_shred",
+    "scan_csv_explicit_schema",
+    "scan_json_explicit_schema",
+    "scan_orc_roundtrip",
+    "scan_python_datasource",
+    "scan_python_datasource_pushdown",
+    "scan_schema_evolution",
+    "sql_api_shipping_priority",
+    "streaming_python_datasource",
+    "timeseries_gap_fill_hourly",
+    "timeseries_interpolate_linear",
+    "tribute_status_reference_corpus",
+    "window_time_range_frame",
 ]
 
 

@@ -358,6 +358,81 @@ def udf_grouped_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "udf_cogrouped_apply_in_arrow",
+    oracle="""
+    SELECT c.c_custkey,
+           CAST(c.c_nationkey AS BIGINT) AS nationkey,
+           CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(COALESCE(o.max_key, 0) AS BIGINT) AS max_orderkey
+    FROM customer c
+    LEFT JOIN (
+        SELECT o_custkey, COUNT(*) AS n_orders, MAX(o_orderkey) AS max_key
+        FROM orders GROUP BY o_custkey
+    ) o ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey % 10 = 7
+    """,
+)
+def udf_cogrouped_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped ``applyInArrow`` — the last cell of the raw-Arrow UDF
+    matrix (VERDICT r9 missing #3): two co-partitioned inputs arrive as
+    ``pyarrow.Table`` pairs per key, no pandas conversion.  Kernel logic
+    is integer-only (count + MAX — no accumulation-order hazard), and a
+    customer with no orders still emits (the LEFT-JOIN oracle pins the
+    empty-right case; an order key with no customer emits nothing, which
+    the kernel's empty-left early-out pins).
+
+    The key predicate is mirrored to BOTH cogroup inputs (the round-6
+    rule: a cogroup fires the kernel for every key present in EITHER
+    side, so a one-sided filter still ships the other side's full key
+    domain through the exchange and pays the per-GROUP Arrow boundary
+    for each empty-partner group).  Scale shape: one co-partitioned
+    shuffle, constant per-group output."""
+    import pyarrow as pa
+
+    def reconcile(key, cust: "pa.Table", orders: "pa.Table") -> "pa.Table":
+        if cust.num_rows == 0:
+            return pa.table(
+                {
+                    "c_custkey": pa.array([], pa.int64()),
+                    "nationkey": pa.array([], pa.int64()),
+                    "n_orders": pa.array([], pa.int64()),
+                    "max_orderkey": pa.array([], pa.int64()),
+                }
+            )
+        okeys = orders.column("o_orderkey") if orders.num_rows else None
+        max_key = max(okeys.to_pylist()) if okeys is not None else 0
+        return pa.table(
+            {
+                "c_custkey": pa.array([key[0].as_py()], pa.int64()),
+                "nationkey": pa.array(
+                    [cust.column("c_nationkey")[0].as_py()], pa.int64()
+                ),
+                "n_orders": pa.array([orders.num_rows], pa.int64()),
+                "max_orderkey": pa.array([max_key], pa.int64()),
+            }
+        )
+
+    customer = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 10 == 7)
+        .select("c_custkey", "c_nationkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 10 == 7)
+        .select("o_custkey", "o_orderkey")
+    )
+    return (
+        customer.groupBy("c_custkey")
+        .cogroup(orders.groupBy("o_custkey"))
+        .applyInArrow(
+            reconcile,
+            "c_custkey long, nationkey long, n_orders long, max_orderkey long",
+        )
+    )
+
+
 @udtf(useArrow=True)
 class _SplitFixed:
     """POLYMORPHIC UDTF (no static returnType): ``analyze`` computes the

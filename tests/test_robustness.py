@@ -167,3 +167,81 @@ def test_avro_env_gate(spark):
         _pytest.skip("spark-avro jar absent — avro entry env-blocked here")
     rows = QUERIES["scan_avro_roundtrip"](spark, "/root/testdata/sf0.001").collect()
     assert len(rows) > 0
+
+
+def test_protobuf_env_gate_and_descriptor_wire_format(spark):
+    """``scan_protobuf_messagebus`` registers ONLY where the external
+    spark-protobuf jar is on the classpath (same honest env-gate as Avro;
+    the jar — not a module import — is the gate, the r9 rule).  The
+    hand-encoded FileDescriptorSet is structurally verified here with a
+    dependency-free wire-format parser, so the descriptor the gated entry
+    will hand to ``from_protobuf`` is known-well-formed even while the
+    jar is absent."""
+    from hunger_games_glue_streaming_etl_spark.plans import QUERIES
+    from hunger_games_glue_streaming_etl_spark.plans.sources_sql import (
+        _protobuf_runtime_available,
+        build_order_descriptor_set,
+    )
+
+    blob = build_order_descriptor_set()
+
+    def parse_fields(buf: bytes) -> list[tuple[int, int, object]]:
+        """Minimal protobuf wire-format reader: [(field_no, wire_type,
+        value)] where value is an int (varint) or bytes (length-delim)."""
+        out, i = [], 0
+        while i < len(buf):
+            def varint():
+                nonlocal i
+                shift = n = 0
+                while True:
+                    b = buf[i]
+                    i += 1
+                    n |= (b & 0x7F) << shift
+                    if not b & 0x80:
+                        return n
+                    shift += 7
+            tag = varint()
+            fno, wt = tag >> 3, tag & 7
+            if wt == 0:
+                out.append((fno, wt, varint()))
+            elif wt == 2:
+                ln = varint()
+                out.append((fno, wt, buf[i : i + ln]))
+                i += ln
+            else:  # no other wire types are emitted by the encoder
+                raise AssertionError(f"unexpected wire type {wt}")
+        return out
+
+    # FileDescriptorSet { file=1 } → FileDescriptorProto
+    (fset,) = parse_fields(blob)
+    assert fset[0] == 1 and fset[1] == 2
+    file_fields = parse_fields(fset[2])
+    by_no = {}
+    for fno, _, val in file_fields:
+        by_no.setdefault(fno, []).append(val)
+    assert by_no[1] == [b"orders.proto"]
+    assert by_no[12] == [b"proto3"]
+    (msg,) = by_no[4]
+    msg_fields = parse_fields(msg)
+    names = [v for fno, _, v in msg_fields if fno == 1]
+    assert names == [b"OrderMsg"]
+    fields = [v for fno, _, v in msg_fields if fno == 2]
+    parsed = []
+    for fb in fields:
+        d = {fno: val for fno, _, val in parse_fields(fb)}
+        parsed.append((d[1], d[3], d[4], d[5]))
+    assert parsed == [
+        (b"o_custkey", 1, 1, 3),        # number=1, optional, TYPE_INT64
+        (b"o_orderpriority", 2, 1, 9),  # number=2, optional, TYPE_STRING
+    ]
+
+    avail = _protobuf_runtime_available()
+    assert ("scan_protobuf_messagebus" in QUERIES) == avail
+    if not avail:
+        import pytest as _pytest
+
+        _pytest.skip("spark-protobuf jar absent — entry env-blocked here")
+    rows = QUERIES["scan_protobuf_messagebus"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) > 0

@@ -19,11 +19,18 @@ for mod in ("google.protobuf.descriptor", "delta"):
         print(f"PROBE: {mod} absent (env-gated entries stay gated)")
 from hunger_games_glue_streaming_etl_spark.plans.sources_sql import (
     _avro_runtime_available,
+    _protobuf_runtime_available,
 )
 print(
     "PROBE: spark-avro jar "
     + ("AVAILABLE — scan_avro_roundtrip should be live"
        if _avro_runtime_available() else "absent (scan_avro_roundtrip stays gated)")
+)
+print(
+    "PROBE: spark-protobuf jar "
+    + ("AVAILABLE — scan_protobuf_messagebus should be live"
+       if _protobuf_runtime_available()
+       else "absent (scan_protobuf_messagebus stays gated)")
 )
 
 import __spark_entry__ as E

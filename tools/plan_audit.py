@@ -79,6 +79,8 @@ SKIP_EXECUTING = {
     "sql_insert_overwrite_dynamic",
     # bucketed saveAsTable writes both catalog tables at build time
     "layout_bucketed_colocated_join",
+    # saveAsTable + ANALYZE TABLE run at build time
+    "stats_catalog_analyze",
     "scan_schema_evolution",
     # sink-backed entries replay upserts/deletes at build time
     "merge_upsert_customer",

@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Scale spot-bench (VERDICT r9 next #5): run the heaviest registry
+entries at sf0.1 AND at a k×-scaled synthetic fixture
+(tools/scale_fixture.py), and report per-entry wall-clock scaling
+ratios.  Confirms (a) no ANSI-overflow class above bench scale (the r6
+``dq_table_fingerprint`` lesson: sf0.01-green does not bound sf0.5
+arithmetic) and (b) no super-linear blowup in the pair/cluster tiers as
+the CORPUS grows (the duplicate-count axis was measured separately by
+the round-9 viral-duplicate sweep).
+
+Usage:
+  python tools/scale_fixture.py 5 /tmp/hg_scale_sf05
+  python tools/scale_bench.py /tmp/hg_scale_sf05 [entry ...]
+
+Prints one JSON line per entry: base median, scaled median, ratio; a
+ratio ≤ ~k·log(k) (≈ 11.6 for k=5) is at-worst O(n log n).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from hunger_games_glue_streaming_etl_spark.plans import QUERIES
+from hunger_games_glue_streaming_etl_spark.session import get_spark
+
+BASE = "/root/testdata/sf0.1"
+
+# default: the top-10 heaviest non-streaming entries of BENCH_r09
+# (streaming entries are multi-trigger state-machine fixed cost, not a
+# data-path scale question)
+DEFAULT_ENTRIES = [
+    "pipeline_pretrain_corpus",
+    "dedup_cluster_components_star",
+    "dedup_cluster_canonical_keep",
+    "graph_pagerank_trade",
+    "curation_clean_corpus",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_cluster_components",
+    "pipeline_near_dedup",
+    "udf_cogrouped_orders_profile",
+    "profile_table_columns_approx",
+]
+
+
+def execute_fully(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    scaled_dir = sys.argv[1]
+    entries = sys.argv[2:] or DEFAULT_ENTRIES
+    repeats = int(os.environ.get("SCALE_REPEATS", "3"))
+    spark = get_spark(app_name="hg-scale-bench")
+    # the bench.py warmup set: JVM/codegen/Arrow-pool startup must not
+    # bill the first measured query
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.range(1_000).selectExpr(
+        "aggregate(sequence(1, 16), 0L, (acc, x) -> acc + x) AS s"
+    ).collect()
+    spark.range(1_000).selectExpr("id", "cast(id AS double) AS v").mapInPandas(
+        lambda it: it, schema="id long, v double"
+    ).write.mode("overwrite").format("noop").save()
+
+    def median(xs):
+        xs = sorted(xs)
+        mid = len(xs) // 2
+        return xs[mid] if len(xs) % 2 else (xs[mid - 1] + xs[mid]) / 2
+
+    results = {}
+    # interleave A/B/A/B (the r3 rule: isolated timings lie) and suites
+    # (the r5 rule: neighbors poison) — alternate dirs inside each repeat
+    samples = {(e, d): [] for e in entries for d in (BASE, scaled_dir)}
+    for _ in range(repeats):
+        for e in entries:
+            for d in (BASE, scaled_dir):
+                t0 = time.perf_counter()
+                execute_fully(QUERIES[e](spark, d))
+                samples[(e, d)].append(time.perf_counter() - t0)
+    for e in entries:
+        b = median(samples[(e, BASE)])
+        s = median(samples[(e, scaled_dir)])
+        results[e] = {
+            "base_s": round(b, 2),
+            "scaled_s": round(s, 2),
+            "ratio": round(s / b, 2),
+        }
+        print(json.dumps({"entry": e, **results[e]}), flush=True)
+    print(json.dumps({"metric": "scale_spot_bench", "scaled_dir": scaled_dir,
+                      "repeats": repeats, "results": results}))
+
+
+if __name__ == "__main__":
+    main()
