@@ -59,6 +59,8 @@ _SAMPLE_FIRST = [
     # round-10 new entries
     "stats_catalog_analyze",
     "udf_cogrouped_apply_in_arrow",
+    "sql_script_transform",
+    "sql_distribute_cluster_by",
     # code changed in round 10 (re-record post-change)
     "merge_delete_forgotten",
     # latest recorded row is r4

@@ -500,3 +500,74 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
 
+
+
+@register(
+    "sql_script_transform",
+    oracle="""
+    SELECT o_orderpriority AS prio,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders GROUP BY 1
+    """,
+)
+def sql_script_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style script transform (``SELECT TRANSFORM ... USING 'cat'``)
+    — the legacy streaming-ETL surface where rows pipe through an external
+    process per partition.  Spark runs the no-serde form (explicit ``ROW
+    FORMAT DELIMITED``) natively, no Hive needed; ``cat`` is POSIX so the
+    identity mapping is portable.  Values round-trip as tab-delimited
+    text, so the BIGINT key survives exactly (string↔int is lossless) and
+    the downstream aggregate hash-checks against the source of truth.
+
+    Scale shape: the script launches once per PARTITION (not per row) and
+    streams stdin→stdout; cost is the text serialization boundary, the
+    same class as a row-wise Python UDF — the entry exists to cover the
+    surface, and its docstring is the warning to prefer Arrow kernels."""
+    _canonical_views(spark, sf_dir, "orders")
+    return spark.sql(
+        r"""
+        SELECT prio,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(k AS BIGINT)) AS BIGINT) AS key_sum
+        FROM (
+            SELECT TRANSFORM(o_orderkey, o_orderpriority)
+              ROW FORMAT DELIMITED FIELDS TERMINATED BY '\t'
+              USING 'cat' AS (k STRING, prio STRING)
+              ROW FORMAT DELIMITED FIELDS TERMINATED BY '\t'
+            FROM orders
+        )
+        GROUP BY prio
+        """
+    )
+
+
+@register(
+    "sql_distribute_cluster_by",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING COUNT(*) >= 4
+    """,
+)
+def sql_distribute_cluster_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``CLUSTER BY`` (= DISTRIBUTE BY + SORT BY) — manual control of the
+    shuffle distribution from SQL.  The point at 100 TB: a downstream
+    aggregate on the SAME key reuses the clustering instead of adding its
+    own exchange — the plan carries exactly ONE shuffle (asserted in
+    ``tests/test_plan_shapes.py``), the write-side analogue of bucketing
+    for a single query.  HAVING keeps the entry non-vacuous at sf0.001."""
+    _canonical_views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_orderkey,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM (SELECT * FROM lineitem CLUSTER BY l_orderkey)
+        GROUP BY l_orderkey
+        HAVING COUNT(*) >= 4
+        """
+    )

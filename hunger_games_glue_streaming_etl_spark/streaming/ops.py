@@ -296,6 +296,73 @@ def funnel_user_state(stream: DataFrame) -> DataFrame:
     )
 
 
+# ---- idle-session finalization (EventTimeTimeout) --------------------------
+
+SESSION_FINAL_SCHEMA = "user_id long, n_events long, first_us long, last_us long"
+_SESSION_FINAL_STATE = "n long, first long, last long"
+SESSION_IDLE_GAP_US = 30 * 60 * 1_000_000
+
+
+def _finalize_idle_session(
+    key: tuple[Any, ...],
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Append-mode session close: nothing is emitted while a user is
+    active; when the event-time timeout fires (watermark passed
+    last-event + gap), the FINAL session summary is emitted exactly once
+    and the state removed.  State is three longs — bounded forever."""
+    if state.hasTimedOut:
+        n, first, last = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "first_us": [first],
+                "last_us": [last],
+            }
+        )
+        return
+    n, first, last = state.get if state.exists else (0, 0, 0)
+    for pdf in pdf_iter:
+        for ts in pdf["ts"]:
+            us = int(pd.Timestamp(ts).value) // 1000
+            n += 1
+            first = us if (first == 0 or us < first) else first
+            last = us if us > last else last
+    state.update((n, first, last))
+    # event-time timeout takes MILLISECONDS since epoch; it must be set
+    # anew every invocation (processing data clears the previous timer)
+    state.setTimeoutTimestamp(last // 1000 + SESSION_IDLE_GAP_US // 1000)
+
+
+def idle_session_finalize(
+    stream: DataFrame, ts_col: str = "ts", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Per-user idle-session finalizer via ``applyInPandasWithState`` with
+    ``GroupStateTimeout.EventTimeTimeout`` — the timeout face of arbitrary
+    state the other stateful ops (NoTimeout) don't exercise: emission
+    happens on state EXPIRY, not on data, which is how real sessionization
+    / abandoned-cart / TTL-cleanup operators are built.  Timeouts fire as
+    soon as the watermark passes the idle deadline: MicroBatchExecution
+    schedules a no-data micro-batch after a watermark advance purely to
+    process state expiry, so finalization does NOT wait for further data
+    (unlike join-state eviction's one-batch lag — both pinned in
+    ``tests/test_streaming_depth.py``)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _finalize_idle_session,
+            outputStructType=SESSION_FINAL_SCHEMA,
+            stateStructType=_SESSION_FINAL_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 # ---- arbitrary state v2: transformWithStateInPandas ------------------------
 
 TWS_OUTPUT_SCHEMA = "user_id long, n_events long, value_sum_fp long"

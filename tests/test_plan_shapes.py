@@ -585,3 +585,18 @@ def test_cogrouped_apply_in_arrow_plan_shape(spark):
     assert "FlatMapCoGroupsInArrow" in plan
     assert plan.count("Exchange hashpartitioning") >= 2
     assert "BatchEvalPython" not in plan
+
+
+def test_cluster_by_feeds_aggregate_single_exchange(spark):
+    """CLUSTER BY's hash distribution must satisfy the downstream
+    same-key aggregate's requirement: exactly one shuffle in the whole
+    plan (EnsureRequirements adds none on top of the explicit one)."""
+    plan = _plan(QUERIES["sql_distribute_cluster_by"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_script_transform_runs_external_process(spark):
+    """The script-transform entry must actually plan the external-process
+    operator (not collapse to a plain projection)."""
+    plan = _plan(QUERIES["sql_script_transform"](spark, SF_DIR))
+    assert "ScriptTransformation" in plan

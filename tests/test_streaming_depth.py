@@ -982,3 +982,67 @@ def test_statestore_reads_stream_stream_join_state(spark, tmp_path):
             for r in st.collect()
         }
         assert got == expect, store
+
+
+def test_event_time_timeout_finalizes_idle_sessions(spark, tmp_path):
+    """GroupStateTimeout.EventTimeTimeout e2e: append-mode emission on
+    state EXPIRY (idle-session close), the timeout surface the NoTimeout
+    stateful ops don't cover.  Pins (a) nothing emits while users are
+    active, (b) sessions close as soon as the watermark passes
+    last-event + gap — NO one-batch lag here, unlike join-state
+    eviction: MicroBatchExecution schedules a no-data micro-batch after
+    the watermark advances purely to process state expiry, (c) the final
+    summary is exact and emitted once, state removed."""
+    from hunger_games_glue_streaming_etl_spark.streaming.ops import (
+        idle_session_finalize,
+    )
+
+    src = str(tmp_path / "src")
+    feeder = BatchFeeder(src)
+    stream = spark.readStream.schema(STREAM_SCHEMA).json(src)
+    q = (
+        idle_session_finalize(stream)
+        .writeStream.format("memory")
+        .queryName("idle_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+
+    def rows():
+        return {
+            (r["user_id"], r["n_events"], r["first_us"], r["last_us"])
+            for r in spark.sql("SELECT * FROM idle_sessions").collect()
+        }
+
+    try:
+        feeder.feed(
+            q,
+            ev(1, "2024-01-01 10:00:00", uid=1),
+            ev(2, "2024-01-01 10:10:00", uid=1),
+            ev(3, "2024-01-01 10:05:00", uid=2),
+        )
+        assert rows() == set()  # active sessions: nothing emitted
+        # this batch advances the watermark to 12:50 (past both idle
+        # deadlines 10:40 / 10:35); the follow-up no-data micro-batch
+        # fires the timeouts before processAllAvailable returns
+        feeder.feed(q, ev(4, "2024-01-01 13:00:00", uid=3))
+        import pandas as pd
+
+        base = int(pd.Timestamp("2024-01-01 10:00:00").value) // 1000
+
+        def us(minutes):
+            return base + minutes * 60 * 1_000_000
+
+        assert rows() == {
+            (1, 2, us(0), us(10)),
+            (2, 1, us(5), us(5)),
+        }
+        # user 3 is still open: another batch emits nothing new for it
+        feeder.feed(q, ev(5, "2024-01-01 13:01:00", uid=3))
+        assert rows() == {
+            (1, 2, us(0), us(10)),
+            (2, 1, us(5), us(5)),
+        }
+    finally:
+        q.stop()
