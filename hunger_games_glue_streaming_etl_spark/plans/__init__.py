@@ -45,77 +45,37 @@ from . import (  # noqa: E402,F401
 # already have green rows in CORRECTNESS_r01-r03 follow in import order.
 # ---------------------------------------------------------------------------
 _SAMPLE_FIRST = [
-    # ---- round-10 rotation (VERDICT r9 "Next round #1"): the first ~50
+    # ---- round-11 rotation (VERDICT r10 "Next round #2"): the first ~50
     # must ALL be oracled — the rows-only-by-design entries
     # (sim_pq_ann_topk, agg_approx_distinct, sim_embedding_pairs_blas,
     # sim_ivf_ann_topk) stay OUT of this window permanently so every
-    # driver-recorded row is hash-checkable.  Order: (1) this round's new
-    # entries (first recorded row), (2) the entry whose sink code changed
-    # this round (delete_keys epoch gate + survivor checkpoint) so its
-    # newest green row postdates the change, (3) the 35 oracled entries
-    # whose newest green row is r4, (4) the oldest slice of the r5 cohort
-    # to fill the window.  The r6-r9 cohorts rotate to the back in import
+    # driver-recorded row is hash-checkable.  Order: (1) any entry added
+    # or materially changed this round (first/refreshed recorded row),
+    # (2) the 39 oracled entries whose newest green row is r5 — after
+    # this round every oracled entry's newest green row is ≥ r6 — then
+    # (3) the oldest (alphabetical-head) slice of the r6 cohort to fill
+    # the window.  The r8-r10 cohorts rotate to the back in import
     # order. ----
-    # round-10 new entries
-    "stats_catalog_analyze",
-    "udf_cogrouped_apply_in_arrow",
-    "sql_script_transform",
-    "sql_distribute_cluster_by",
-    # code changed in round 10 (re-record post-change)
-    "merge_delete_forgotten",
-    # latest recorded row is r4
-    "mix_temperature_sample",
-    "mix_weighted_sample",
-    "multimodal_real_codec_features",
-    "pii_scrub_planted",
-    "profile_join_key_skew",
-    "profile_table_columns",
-    "retention_cohort_weekly",
-    "scd2_asof_snapshot",
-    "semantic_dedup_cells",
-    "shuffle_training_order",
-    "streaming_corpus_ingest",
-    "streaming_funnel_state",
-    "streaming_keyed_dedup",
-    "streaming_left_outer_join",
-    "streaming_running_state",
-    "streaming_session_window",
-    "streaming_stream_stream_join",
-    "streaming_tumbling_agg",
-    "subquery_correlated_avg",
-    "subquery_in_having",
-    "subquery_not_exists_agg",
-    "text_bigram_coherence",
-    "text_bm25_search",
-    "text_duplicate_segments",
-    "text_segment_dedup_stats",
-    "text_vocab_oov",
-    "udaf_grouped_agg_median",
-    "udf_grouped_map_normalize",
-    "udf_pandas_zscore",
-    "udtf_token_positions",
-    "window_distribution_funcs",
-    "window_lag_lead",
-    "window_rank_dense",
-    "window_running_frame",
-    "window_topk_per_group",
-    # oldest slice of the r5 cohort (fills the window to ~50; the rest of
-    # the r5 cohort already satisfies the "no entry older than r5" bar)
-    "sketch_bloom_membership",
-    "sketch_cms_heavy_hitters",
-    "sketch_hll_estimate",
-    "sketch_hll_registers",
-    "sim_sq8_ann_topk",
-    "sim_sq8_recall_check",
-    "set_ops_bag_semantics",
-    "join_full_outer",
-    "join_lateral_topk",
-    "join_null_safe_eq",
+    # changed this round (cogroup boundary restructure)
+    "udf_cogrouped_orders_profile",
+    # the 39-entry r5-stale cohort
+    "affinity_copurchase_pairs",
+    "agg_boolean_filter_funcs",
+    "agg_grouping_sets",
+    "agg_listagg_ordered",
+    "agg_mode_median",
     "chat_format_audit",
     "chat_sft_corpus_totals",
-    # recorded if the window runs long
-    "profile_table_columns_approx",
+    "dedup_cluster_components",
+    "dedup_cluster_components_star",
+    "dedup_incremental_new_vs_base",
+    "dq_expectations_summary",
+    "dq_table_diff_summary",
+    "graph_pagerank_trade",
+    "pipeline_near_dedup",
+    "pipeline_pretrain_corpus",
     "profile_histogram_numeric",
+    "profile_table_columns_approx",
     "q5_local_supplier_volume",
     "quality_classifier_linear",
     "range_join_value_bands",
@@ -127,12 +87,29 @@ _SAMPLE_FIRST = [
     "scan_python_datasource",
     "scan_python_datasource_pushdown",
     "scan_schema_evolution",
+    "sim_ivf_ann_topk_fullprobe",
+    "sim_ivf_recall_check",
+    "sim_lsh_ann_topk_fullprobe",
+    "sim_lsh_bucket_stats",
+    "sim_pq_recall_check",
     "sql_api_shipping_priority",
     "streaming_python_datasource",
     "timeseries_gap_fill_hourly",
     "timeseries_interpolate_linear",
     "tribute_status_reference_corpus",
     "window_time_range_frame",
+    # oldest slice of the r6 cohort (fills the window to ~50)
+    "agg_bitmap_exact_distinct",
+    "agg_regression_funcs",
+    "curation_winsorize_quantiles",
+    "curriculum_length_buckets",
+    "distinct_projection",
+    "dq_table_fingerprint",
+    "event_session_window_fn",
+    "graph_triangles_copurchase",
+    "incremental_agg_merge",
+    "layout_bucketed_colocated_join",
+    "layout_partitioned_write_prune",
 ]
 
 

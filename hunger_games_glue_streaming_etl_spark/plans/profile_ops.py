@@ -374,7 +374,11 @@ def stats_catalog_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # exact NDV (one scan, stacked to long form) for the tolerance band
+    # exact NDV (one scan, stacked to long form) for the tolerance band.
+    # N countDistinct aggs in one projection ride an N-way Expand (rows × N
+    # pre-shuffle, the round-5 lesson) — fine at 2 columns on metadata-scale
+    # orders; if this column list grows past ~3, switch to separate
+    # single-agg scans cross-joined (1×1 rows each).
     wide = spark.table(t).agg(
         *[F.countDistinct(c).alias(f"__nd_{c}") for c in cols]
     )

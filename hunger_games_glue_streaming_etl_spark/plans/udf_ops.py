@@ -271,37 +271,70 @@ def udf_cogrouped_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exchange and paid the per-group Arrow boundary for the ~90% of
     groups whose customer frame was empty — measured 38.3 s at sf0.1 vs
     3.4 s with the predicate mirrored (the boundary cost is per GROUP,
-    not per row — the round-4 small-groups lesson applied to cogroup;
-    the remaining 3.4 s is the irreducible 1500-group Arrow boundary)."""
+    not per row — the round-4 small-groups lesson applied to cogroup).
+
+    The cogroup key is COARSENED to batch ~32 customers per Arrow group
+    (``c_custkey DIV 320``; filtered keys are 10 apart), and the kernel
+    splits by the fine key with a vectorized pandas groupby+merge.  The
+    per-GROUP boundary is the dominant cost when groups are tiny —
+    1500 single-key groups paid 1500 boundary crossings for microseconds
+    of work each (r10 5× scale-bench: wall grew 4.29× with group count).
+    Batching divides the boundary count by the batch factor while the
+    in-kernel work stays vectorized, so wall tracks ROWS, not keys —
+    the scale-safe shape for per-entity kernels over high-cardinality
+    keys.  The batch factor (320 raw-key units) is corpus-independent:
+    at any SF each Arrow call carries the same ~32-key slab."""
     import pandas as pd
 
-    def profile(key, cust: pd.DataFrame, orders: pd.DataFrame) -> pd.DataFrame:
+    def profile(cust: pd.DataFrame, orders: pd.DataFrame) -> pd.DataFrame:
         if cust.empty:
+            # order-only coarse groups (none after the mirrored predicate,
+            # but the contract requires handling either side empty)
             return pd.DataFrame(
-                columns=["c_custkey", "nationkey", "n_orders", "order_key_sum"]
+                {
+                    "c_custkey": pd.Series([], dtype="int64"),
+                    "nationkey": pd.Series([], dtype="int64"),
+                    "n_orders": pd.Series([], dtype="int64"),
+                    "order_key_sum": pd.Series([], dtype="int64"),
+                }
             )
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
-                "c_custkey": [int(key[0])],
-                "nationkey": [int(cust["c_nationkey"].iloc[0])],
-                "n_orders": [int(len(orders))],
-                "order_key_sum": [int(orders["o_orderkey"].sum()) if len(orders) else 0],
+                "c_custkey": cust["c_custkey"].astype("int64"),
+                "nationkey": cust["c_nationkey"].astype("int64"),
             }
         )
+        if len(orders):
+            per_key = (
+                orders.groupby("o_custkey")["o_orderkey"]
+                .agg(n_orders="count", order_key_sum="sum")
+                .reset_index()
+            )
+            out = out.merge(
+                per_key, left_on="c_custkey", right_on="o_custkey", how="left"
+            ).drop(columns="o_custkey")
+            out["n_orders"] = out["n_orders"].fillna(0).astype("int64")
+            out["order_key_sum"] = out["order_key_sum"].fillna(0).astype("int64")
+        else:
+            out["n_orders"] = pd.Series(0, index=out.index, dtype="int64")
+            out["order_key_sum"] = pd.Series(0, index=out.index, dtype="int64")
+        return out
 
     customer = (
         load_table(spark, sf_dir, "customer")
         .filter(F.col("c_custkey") % 10 == 3)
         .select("c_custkey", "c_nationkey")
+        .withColumn("batch_key", F.floor(F.col("c_custkey") / 320))
     )
     orders = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_custkey") % 10 == 3)
         .select("o_custkey", "o_orderkey")
+        .withColumn("batch_key", F.floor(F.col("o_custkey") / 320))
     )
     return (
-        customer.groupBy("c_custkey")
-        .cogroup(orders.groupBy("o_custkey"))
+        customer.groupBy("batch_key")
+        .cogroup(orders.groupBy("batch_key"))
         .applyInPandas(
             profile,
             "c_custkey long, nationkey long, n_orders long, order_key_sum long",

@@ -426,11 +426,12 @@ class ParquetLatestSink:
             remaining = current.join(victims_keys, self.keys, "left_anti")
             if layout != "legacy":
                 # The bucketed path overwrites the very bucket dirs that
-                # `remaining`'s lineage reads.  A persisted frame is NOT
-                # safe against executor loss mid-write (the recompute would
-                # re-scan already-rewritten files), so truncate lineage by
-                # materializing the small survivor frame before touching
-                # self.path.  The legacy branch is already safe (tmp+swap).
+                # `remaining`'s lineage reads.  A persisted frame would
+                # silently RECOMPUTE over the rewritten files on executor
+                # loss mid-write; localCheckpoint blocks are not
+                # recomputable, so the same loss instead fails the job
+                # deterministically (fail fast, not corrupt).  True crash
+                # atomicity needs the legacy branch's tmp-dir + swap.
                 remaining = remaining.localCheckpoint(eager=True)
             if layout == "legacy":
                 tmp, old = self.path + ".tmp", self.path + ".old"

@@ -347,10 +347,16 @@ def test_foreach_row_writer_contract_and_parity(spark, tmp_path):
                 glob.glob(os.path.join(out_dir, "markers", "*.open")),
             )
         }
+        # Markers are attempt-suffixed so a failed task attempt's close
+        # survives alongside the retry's — key by (epoch, partition) and
+        # keep only the max-attempt marker, which is the one whose outcome
+        # the query's success actually reflects.
         closes = {}
         for p in glob.glob(os.path.join(out_dir, "markers", "*.close")):
             m = json.load(open(p))
-            closes[(m["epoch"], m["partition"])] = m
+            k = (m["epoch"], m["partition"])
+            if k not in closes or m["attempt"] > closes[k]["attempt"]:
+                closes[k] = m
         assert opens == set(closes)
         assert {pt for _, pt in opens} == {0, 1}
         assert len({e for e, _ in opens}) >= 2

@@ -11,6 +11,8 @@ by k-fold replication with consistent key shifting (DuckDB, no Spark):
   doc_id, vec_id, event_id, user_id) shifts by ``i * (max(key)+1)`` for
   replica i, applied to BOTH sides of each FK edge, so referential
   structure (join fan-outs, group sizes per key) is preserved exactly;
+  user_id shifts by the CUSTKEY stride (its domain is a subset of
+  custkey) so replica-i events join replica-i customers, not replica-0;
 - dimension tables (region, nation) and dim FKs (c_nationkey …) are NOT
   shifted — dims stay dims, exactly like a bigger TPC-H SF;
 - replica i>0 documents get a replica token prefixed to ``text`` (and
@@ -59,7 +61,11 @@ STRIDE_SOURCE = {
     "partkey": ("part", "p_partkey"),
     "orderkey": ("orders", "o_orderkey"),
     "eventid": ("events", "event_id"),
-    "userid": ("events", "user_id"),
+    # user_id's domain is a SUBSET of custkey (verified: every user_id is a
+    # c_custkey at sf0.01 and sf0.1), so it must shift by the custkey stride
+    # — shifting by its own max+1 would join replica-i events back to
+    # replica-0's customer slice (ADVICE r10).
+    "userid": ("customer", "c_custkey"),
     "docid": ("documents", "doc_id"),
     "vecid": ("embeddings", "vec_id"),
 }
