@@ -32,11 +32,13 @@ from hunger_games_glue_streaming_etl_spark.session import get_spark
 from hunger_games_glue_streaming_etl_spark.streaming import start_tribute_stream
 
 
-def generate_events(path: str, n_events: int, n_files: int) -> None:
-    rng = random.Random(42)
+def generate_events(
+    path: str, n_events: int, n_files: int, start_file: int = 0, start_seq: int = 0
+) -> None:
+    rng = random.Random(42 + start_seq)
     per_file = n_events // n_files
-    seq = 0
-    for f in range(n_files):
+    seq = start_seq
+    for f in range(start_file, start_file + n_files):
         with open(os.path.join(path, f"gen_{f:04d}.json"), "w") as out:
             for _ in range(per_file):
                 e = {
@@ -129,6 +131,93 @@ def run_funnel_state_throughput(spark, base: str) -> dict:
     }
 
 
+def run_soak_with_deletes(spark, base: str) -> dict:
+    """Streaming soak with the compliance path active (VERDICT r10 next #7):
+    the reference's A8 last-writer-wins keyed sink composed with targeted
+    GDPR-style ``delete_keys`` epochs, interleaved into the LIVE tribute
+    pipeline.  Events arrive in waves against one running query/checkpoint;
+    between waves (query live, micro-batches drained) a delete epoch
+    removes a rotating pair of tributeIds and the store is immediately
+    re-read to assert the keys are gone.  Reports events/sec over the
+    wave-processing time (deletes excluded — they're the separately-timed
+    metric) plus per-delete latency.
+
+    Deletes run between micro-batch groups, not concurrently with one:
+    upsert and delete on one keyed store are serialized by contract (the
+    store's exactly-once epoch gate assumes a single writer at a time) —
+    the soak exercises interleaving at epoch granularity, which is the
+    real deployment shape (a compliance job running beside a live stream
+    targets batch boundaries, never mid-write)."""
+    from pyspark.sql import functions as F
+
+    n_events = int(os.environ.get("N_SOAK_EVENTS", "100000"))
+    n_waves = int(os.environ.get("N_SOAK_WAVES", "4"))
+    files_per_wave = int(os.environ.get("N_SOAK_FILES_PER_WAVE", "3"))
+    per_wave = n_events // n_waves
+
+    events_dir = os.path.join(base, "soak_events")
+    os.makedirs(events_dir)
+    generate_events(events_dir, per_wave, files_per_wave)
+
+    query, latest = start_tribute_stream(
+        spark,
+        events_dir,
+        load_tribute_dim(spark),
+        load_game_config(spark),
+        os.path.join(base, "soak_latest"),
+        os.path.join(base, "soak_archive"),
+        os.path.join(base, "soak_checkpoint"),
+        max_files_per_trigger=1,
+    )
+    stream_elapsed = 0.0
+    delete_lat = []
+    deleted_each_wave_gone = True
+    for wave in range(n_waves):
+        if wave > 0:
+            generate_events(
+                events_dir,
+                per_wave,
+                files_per_wave,
+                start_file=wave * files_per_wave,
+                start_seq=wave * per_wave,
+            )
+        t0 = time.perf_counter()
+        query.processAllAvailable()
+        stream_elapsed += time.perf_counter() - t0
+
+        # compliance epoch: erase a rotating pair of tribute keys from the
+        # keyed store while the query stays live
+        doomed = [str(1 + (2 * wave) % 16), str(2 + (2 * wave) % 16)]
+        keys_df = spark.createDataFrame(
+            [(k,) for k in doomed], "tributeId string"
+        )
+        t0 = time.perf_counter()
+        latest.delete_keys(keys_df)
+        delete_lat.append(time.perf_counter() - t0)
+        still_there = (
+            latest.read().filter(F.col("tributeId").isin(doomed)).count()
+        )
+        if still_there:
+            deleted_each_wave_gone = False
+    query.stop()
+
+    total = n_waves * per_wave
+    keyed = latest.read().count()
+    delete_lat.sort()
+    return {
+        "metric": "tribute_soak_with_deletes_events_per_sec",
+        "value": round(total / stream_elapsed, 1),
+        "unit": "events/sec",
+        "events": total,
+        "waves": n_waves,
+        "delete_epochs": n_waves,
+        "delete_latency_median_sec": round(delete_lat[len(delete_lat) // 2], 3),
+        "delete_latency_max_sec": round(delete_lat[-1], 3),
+        "deleted_keys_absent_after_each_epoch": deleted_each_wave_gone,
+        "final_keyed_rows": keyed,
+    }
+
+
 def main() -> None:
     n_events = int(os.environ.get("N_EVENTS", "100000"))
     n_files = int(os.environ.get("N_FILES", "10"))
@@ -173,6 +262,7 @@ def main() -> None:
         )
     )
     print(json.dumps(run_funnel_state_throughput(spark, base)))
+    print(json.dumps(run_soak_with_deletes(spark, base)))
     spark.stop()
     shutil.rmtree(base)
 
