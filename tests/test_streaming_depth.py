@@ -1052,3 +1052,64 @@ def test_event_time_timeout_finalizes_idle_sessions(spark, tmp_path):
         }
     finally:
         q.stop()
+
+
+def test_delete_epochs_interleave_with_live_upsert_stream(spark, tmp_path):
+    """Compliance deletes against a LIVE keyed-upsert stream (the soak in
+    tools/stream_throughput.py, pinned at test scale): delete_keys epochs
+    issued between micro-batch groups of one running query must (a) erase
+    the keys immediately, (b) lose to a LATER upsert of the same key
+    (last-writer-wins resumes the moment new data arrives), and (c) keep
+    keys with no subsequent events erased at stream end."""
+    from hunger_games_glue_streaming_etl_spark.sinks import ParquetLatestSink
+
+    src = str(tmp_path / "src")
+    feeder = BatchFeeder(src)
+    sink = ParquetLatestSink(
+        spark,
+        str(tmp_path / "latest"),
+        keys="user_id",
+        seq_cols="event_id",
+        lineage_id=str(tmp_path / "ckpt"),
+    )
+    stream = spark.readStream.schema(STREAM_SCHEMA).json(src)
+    q = (
+        stream.select("user_id", "event_id", "value")
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda df, eid: sink.upsert(df, epoch_id=eid))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+
+    def state():
+        return {r["user_id"]: r["value"] for r in sink.read().collect()}
+
+    def delete(uid):
+        sink.delete_keys(spark.createDataFrame([(uid,)], "user_id long"))
+
+    try:
+        # wave 1: three users land
+        feeder.feed(
+            q,
+            ev(1, "2024-01-01 10:00:00", uid=1, value=1.0),
+            ev(2, "2024-01-01 10:01:00", uid=2, value=2.0),
+            ev(3, "2024-01-01 10:02:00", uid=3, value=3.0),
+        )
+        delete(2)  # query still live
+        assert state() == {1: 1.0, 3: 3.0}
+
+        # wave 2: user 2 re-appears (post-delete data wins), user 3 updates
+        feeder.feed(
+            q,
+            ev(4, "2024-01-01 10:03:00", uid=2, value=22.0),
+            ev(5, "2024-01-01 10:04:00", uid=3, value=33.0),
+        )
+        assert state() == {1: 1.0, 2: 22.0, 3: 33.0}
+        delete(3)  # no subsequent events for user 3 -> stays erased
+        assert state() == {1: 1.0, 2: 22.0}
+
+        # wave 3: unrelated traffic must not resurrect user 3
+        feeder.feed(q, ev(6, "2024-01-01 10:05:00", uid=1, value=11.0))
+        assert state() == {1: 11.0, 2: 22.0}
+    finally:
+        q.stop()
