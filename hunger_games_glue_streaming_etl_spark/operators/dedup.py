@@ -201,7 +201,15 @@ def ngram_jaccard_pairs(
     Jaccard is recomputed exactly over ALL its shingles — so reported
     values are identical to the exact form; the only possible difference
     is a missed pair whose every shared shingle is hotter than the cap,
-    which at any useful threshold is a pair dominated by boilerplate.
+    which at any useful threshold is a pair dominated by boilerplate —
+    OR a duplicate group whose multiplicity exceeds the cap (all its
+    shared shingles have DF = group size).  Size the cap above the
+    duplication profile's group sizes; the cliff and its recovery are
+    pinned in ``test_ngram_jaccard_df_cap_recall_cliff_at_group_
+    multiplicity`` and measured at 20× replication in BASELINE.md's
+    round-11 sweep (candidate volume is non-monotone in replication k:
+    surviving shingles need base-DF ≤ cap/k).  Mega-groups beyond any
+    affordable cap belong to the exact-hash and MinHash-LSH tiers.
     """
     # pin: the exploded shingles feed both self-join sides + the sizes agg
     sh = pin(shingle_sets(docs, text_col, id_col, k))

@@ -432,6 +432,53 @@ def test_ngram_jaccard_df_cap_adversarial_stopword_corpus(spark):
     assert capped == exact  # same pairs, bit-identical jaccard values
 
 
+def test_ngram_jaccard_df_cap_recall_cliff_at_group_multiplicity(spark):
+    """The cap's ONE loss mode, pinned: a duplicate group of multiplicity
+    m > df_cap shares ONLY shingles of DF = m, so every shared shingle is
+    excluded from candidate generation and the whole group is silently
+    missed.  Sizing the cap above the expected duplicate multiplicity
+    recovers it exactly (the 20×-corpus measurement in BASELINE.md's
+    round-11 sweep: survivors need base-DF ≤ cap/k, so at replication
+    k > cap recall cliffs).  Operationally: df_cap bounds per-shingle join
+    work at cap² and must sit ABOVE the duplication profile's group sizes;
+    mega-groups beyond any affordable cap belong to the exact-hash and
+    MinHash-LSH tiers (``pipeline_near_dedup`` composes them)."""
+    from hunger_games_glue_streaming_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    common = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    m = 14  # group multiplicity, above the cap under test
+    docs = [(i, f"{common} suffix{i}") for i in range(m)]
+    # filler docs with no overlap so the corpus isn't one giant group
+    docs += [
+        (200 + i, " ".join(f"fill{i}w{j}" for j in range(12))) for i in range(10)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, jaccard_threshold=0.5).collect()
+    }
+    group_pairs = {(a, b) for a in range(m) for b in range(a + 1, m)}
+    assert group_pairs <= set(exact)  # replicas clear the 0.5 threshold
+
+    # cap BELOW the multiplicity: every shared shingle has DF = m > cap,
+    # none generates candidates — the whole group vanishes (the cliff)
+    cliffed = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(df, jaccard_threshold=0.5, df_cap=10).collect()
+    }
+    assert cliffed.isdisjoint(group_pairs)
+
+    # cap ABOVE the multiplicity: bit-identical to the exact form
+    recovered = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, jaccard_threshold=0.5, df_cap=16).collect()
+    }
+    assert recovered == exact
+
+
 def test_fuzzy_levenshtein_pairs_golden_and_blocking(spark):
     from hunger_games_glue_streaming_etl_spark.operators.dedup import (
         fuzzy_levenshtein_pairs,
