@@ -155,6 +155,7 @@ def minhash_lsh_pairs(
     bands: int = DEFAULT_BANDS,
     jaccard_threshold: float = 0.5,
     k: int = 3,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs: LSH candidates → exact Jaccard verify.
 
@@ -162,10 +163,33 @@ def minhash_lsh_pairs(
     The exact-Jaccard join runs only on LSH candidates — at 100 TB the band
     join is the only quadratic-risk step and its bucket sizes are tuned by
     the bands/rows split.
+
+    ``bucket_cap=c`` is the scale guard for that step, symmetric to
+    ``ngram_jaccard_pairs``'s ``df_cap``: band buckets larger than c are
+    excluded from candidate generation, bounding any bucket's join
+    contribution at c² rows.  A near-dup group of multiplicity m fills
+    its buckets to size ~m, so the loss mode is the same documented
+    cliff — groups with m > c vanish (pinned in
+    ``test_minhash_lsh_bucket_cap_recall_cliff``).  Unlike ``df_cap``
+    there is no correction arm (a dropped bucket's candidates are never
+    seen), so size c above the duplication profile's group sizes;
+    identical-text mega-groups are the exact-hash tier's job upstream
+    (``pipeline_near_dedup`` runs it first).
     """
     # persist: both sides of the self-join (and nothing upstream) read the
     # computed buckets — without it the signature aggregation runs twice
     buckets = pin(minhash_band_buckets(docs, text_col, id_col, num_hashes, bands, k))
+    if bucket_cap is not None:
+        from pyspark.sql import Window
+
+        # bucket size via a window over the SAME (band, band_hash)
+        # partitioning the self-join shuffles on — ReuseExchange shares it
+        w_b = Window.partitionBy("band", "band_hash")
+        buckets = (
+            buckets.withColumn("__bsz", F.count("*").over(w_b))
+            .filter(F.col("__bsz") <= bucket_cap)
+            .drop("__bsz")
+        )
     a = buckets.select(F.col(id_col).alias("id_a"), "band", "band_hash")
     b = buckets.select(F.col(id_col).alias("id_b"), "band", "band_hash")
     candidates = (

@@ -479,6 +479,63 @@ def test_ngram_jaccard_df_cap_recall_cliff_at_group_multiplicity(spark):
     assert recovered == exact
 
 
+def test_minhash_lsh_bucket_cap_recall_cliff(spark):
+    """The LSH band join's scale guard, symmetric to df_cap: a duplicate
+    group of multiplicity m with IDENTICAL signatures fills every band
+    bucket to exactly m members, so ``bucket_cap`` below m drops the
+    whole group (hard cliff — no correction arm exists), while a cap
+    above m is bit-identical to uncapped.  A merely NEAR-identical group
+    degrades gradually instead: divergent shingles scatter some bands
+    into sub-buckets that stay under the cap, so a subset of the group's
+    pairs survives — the cap's loss mode is probabilistic for near-dups
+    and total only at signature-identical multiplicity > cap."""
+    from hunger_games_glue_streaming_etl_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    common = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    m = 14
+    # identical-text group: every minhash signature identical → every band
+    # bucket holds all m members
+    docs = [(i, common) for i in range(m)]
+    # near-identical group (textually disjoint from the identical group so
+    # their band buckets never merge): unique suffix diverges some slots
+    common2 = "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    docs += [(100 + i, f"{common2} suffix{i}") for i in range(m)]
+    docs += [
+        (200 + i, " ".join(f"fill{i}w{j}" for j in range(12))) for i in range(10)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    uncapped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(df, jaccard_threshold=0.5).collect()
+    }
+    ident_pairs = {(a, b) for a in range(m) for b in range(a + 1, m)}
+    near_pairs = {(100 + a, 100 + b) for a in range(m) for b in range(a + 1, m)}
+    assert ident_pairs <= set(uncapped)  # jaccard = 1.0 group fully recalled
+    assert near_pairs & set(uncapped)
+
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(df, jaccard_threshold=0.5, bucket_cap=10).collect()
+    }
+    # hard cliff: the identical group's buckets all have size 14 > 10
+    assert capped.isdisjoint(ident_pairs)
+    # gradual degradation: the near-dup group keeps only a strict subset
+    assert capped & near_pairs
+    assert not near_pairs <= capped
+
+    # cap above the multiplicity: bit-identical to uncapped
+    recovered = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(
+            df, jaccard_threshold=0.5, bucket_cap=2 * m
+        ).collect()
+    }
+    assert recovered == uncapped
+
+
 def test_fuzzy_levenshtein_pairs_golden_and_blocking(spark):
     from hunger_games_glue_streaming_etl_spark.operators.dedup import (
         fuzzy_levenshtein_pairs,
