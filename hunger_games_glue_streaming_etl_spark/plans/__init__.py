@@ -22,6 +22,7 @@ from . import (  # noqa: E402,F401
     segment_ops,
     setops_sort,
     similarity_ops,
+    sketch_native,
     sketch_ops,
     sources_sql,
     sql_surface,
@@ -58,6 +59,10 @@ _SAMPLE_FIRST = [
     # order. ----
     # changed this round (cogroup boundary restructure)
     "udf_cogrouped_orders_profile",
+    # new this round (native DataSketches surface — first recorded rows)
+    "sketch_native_hll_ndv",
+    "sketch_native_kll_rank_bands",
+    "sketch_native_theta_audience",
     # the 39-entry r5-stale cohort
     "affinity_copurchase_pairs",
     "agg_boolean_filter_funcs",
@@ -107,9 +112,10 @@ _SAMPLE_FIRST = [
     "dq_table_fingerprint",
     "event_session_window_fn",
     "graph_triangles_copurchase",
-    "incremental_agg_merge",
-    "layout_bucketed_colocated_join",
-    "layout_partitioned_write_prune",
+    # (incremental_agg_merge / layout_bucketed_colocated_join /
+    # layout_partitioned_write_prune keep their r6 rows and rotate to the
+    # r12 window — displaced by the three new sketch_native entries so
+    # the ~50-row sample still covers every first-row candidate)
 ]
 
 
