@@ -10,6 +10,12 @@ within a band; these two are *reimplemented from their definitions* on both
 engines, which is exactly what makes a sketch useful at 100 TB — the
 counter/bit arrays are tiny fixed-size states that partial-aggregate
 map-side and merge associatively across any number of executors or days.
+The third tier is the native Apache DataSketches surface
+(`sketch_native.py`): Spark 4's built-in `hll_sketch_agg` /
+`kll_sketch_agg_*` / `theta_sketch_agg` families — JVM-side binary
+sketch states with explicit merge functions (`hll_union_agg`,
+`theta_union`/`theta_intersection`/`theta_difference`), band-oracled
+because their binary states are engine-internal.
 
 Design notes (reference has no sketch surface; this is engine extension):
   - CMS: depth×width counter grid, ``est(x) = min_j C[j][h_j(x)]`` —
