@@ -212,3 +212,65 @@ def test_jpeg_flat_even_exact_property(w, h, v):
     val = v * 2
     d = decode_jpeg(encode_jpeg(w, h, bytes([val]) * (w * h)))
     assert d["pixel_sum"] == val * w * h
+
+
+# --- cap-guard subset invariants (round 11): a candidate cap may only
+# LOSE pairs, never gain one, and every surviving pair's value is
+# bit-identical to the uncapped form (df_cap recomputes over ALL
+# shingles; bucket_cap never touches verification). ---
+
+_VOCAB = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+
+_CORPUS = st.lists(
+    st.lists(st.integers(0, len(_VOCAB) - 1), min_size=3, max_size=8),
+    min_size=2,
+    max_size=10,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(corpus=_CORPUS, cap=st.integers(min_value=1, max_value=6))
+def test_ngram_df_cap_only_loses_pairs_never_changes_values(
+    spark_prop, corpus, cap
+):
+    from hunger_games_glue_streaming_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = [(i, " ".join(_VOCAB[w] for w in words)) for i, words in enumerate(corpus)]
+    df = spark_prop.createDataFrame(docs, "doc_id long, text string")
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, jaccard_threshold=0.5).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, jaccard_threshold=0.5, df_cap=cap).collect()
+    }
+    assert set(capped) <= set(exact)
+    assert all(capped[k] == exact[k] for k in capped)  # bitwise, no tolerance
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(corpus=_CORPUS, cap=st.integers(min_value=1, max_value=6))
+def test_lsh_bucket_cap_only_loses_pairs_never_changes_values(
+    spark_prop, corpus, cap
+):
+    from hunger_games_glue_streaming_etl_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    docs = [(i, " ".join(_VOCAB[w] for w in words)) for i, words in enumerate(corpus)]
+    df = spark_prop.createDataFrame(docs, "doc_id long, text string")
+    uncapped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(df, jaccard_threshold=0.5).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(
+            df, jaccard_threshold=0.5, bucket_cap=cap
+        ).collect()
+    }
+    assert set(capped) <= set(uncapped)
+    assert all(capped[k] == uncapped[k] for k in capped)
