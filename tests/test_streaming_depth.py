@@ -1113,3 +1113,70 @@ def test_delete_epochs_interleave_with_live_upsert_stream(spark, tmp_path):
         assert state() == {1: 11.0, 2: 22.0}
     finally:
         q.stop()
+
+
+def test_streaming_window_ndv_via_native_hll_sketch_state(spark, tmp_path):
+    """Continuous distinct-user counting per window with the native
+    DataSketches HLL aggregate: exact ``COUNT(DISTINCT)`` is unsupported
+    over streams (pinned below), so the mergeable sketch IS the streaming
+    NDV path — its binary state buffer merges across micro-batches, which
+    this drives directly by splitting one window's users over two batches
+    (with duplicates) before the watermark finalizes it.  At test
+    cardinality the sketch is exact, so the assertion is equality."""
+    from pyspark.errors import AnalysisException
+    import pytest as _pytest
+
+    src = str(tmp_path / "src")
+    feeder = BatchFeeder(src)
+    stream = spark.readStream.schema(STREAM_SCHEMA).json(src)
+
+    # the motivation, pinned: exact distinct aggregation over a stream is
+    # rejected at analysis time
+    with _pytest.raises(AnalysisException):
+        _start(
+            spark,
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.countDistinct("user_id").alias("ndv")),
+            "ndv_exact_rejected",
+            "append",
+        )
+
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("ndv"),
+            F.count("*").alias("n_events"),
+        )
+        .select(F.col("window.start").alias("window_start"), "ndv", "n_events")
+    )
+    q = _start(spark, agg, "ndv_hll", "append")
+    try:
+        # window 10:00 split across two micro-batches: users {1,2,3} then
+        # {3,4} (3 repeats across batches; 1 repeats within the first) —
+        # the second batch MERGES into the first's sketch state buffer
+        feeder.feed(
+            q,
+            ev(1, "2024-01-01 10:05:00", uid=1),
+            ev(2, "2024-01-01 10:10:00", uid=2),
+            ev(3, "2024-01-01 10:15:00", uid=3),
+            ev(4, "2024-01-01 10:20:00", uid=1),
+        )
+        feeder.feed(
+            q,
+            ev(5, "2024-01-01 10:25:00", uid=3),
+            ev(6, "2024-01-01 10:30:00", uid=4),
+        )
+        # advance the watermark past 11:10 -> the 10:00 window finalizes
+        feeder.feed(q, ev(7, "2024-01-01 12:00:00", uid=9))
+        feeder.feed(q, ev(8, "2024-01-01 14:00:00", uid=9))  # flush 12:00
+        out = {
+            r["window_start"].isoformat(): (r["ndv"], r["n_events"])
+            for r in spark.sql("SELECT * FROM ndv_hll").collect()
+        }
+        # 4 distinct users from 6 events, counted once despite the split
+        assert out["2024-01-01T10:00:00"] == (4, 6)
+        assert out["2024-01-01T12:00:00"] == (1, 1)
+    finally:
+        q.stop()
