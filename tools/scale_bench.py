@@ -89,6 +89,27 @@ def main() -> None:
             "scaled_s": round(s, 2),
             "ratio": round(s / b, 2),
         }
+        # band-at-scale check (the round-11 theta lesson: a tolerance-band
+        # entry green at oracle scale can still fail at target scale —
+        # estimator error profiles change in estimation mode).  Any
+        # small-result entry with boolean columns gets its booleans
+        # asserted on the SCALED fixture; a False is a defect, not drift.
+        df = QUERIES[e](spark, scaled_dir)
+        if any(t == "boolean" for _, t in df.dtypes):
+            rows = df.limit(101).collect()
+            if len(rows) <= 100:
+                bad = [
+                    (i, k)
+                    for i, r in enumerate(rows)
+                    for k, v in r.asDict().items()
+                    if isinstance(v, bool) and not v
+                ]
+                results[e]["bands_green_at_scale"] = not bad
+                if bad:
+                    print(
+                        json.dumps({"entry": e, "BAND_FAILURES_AT_SCALE": bad}),
+                        flush=True,
+                    )
         print(json.dumps({"entry": e, **results[e]}), flush=True)
     print(json.dumps({"metric": "scale_spot_bench", "scaled_dir": scaled_dir,
                       "repeats": repeats, "results": results}))
