@@ -1180,3 +1180,54 @@ def test_streaming_window_ndv_via_native_hll_sketch_state(spark, tmp_path):
         assert out["2024-01-01T12:00:00"] == (1, 1)
     finally:
         q.stop()
+
+
+def test_streaming_window_quantile_via_kll_sketch_state(spark, tmp_path):
+    """The KLL twin of the HLL NDV e2e.  Unlike COUNT(DISTINCT), exact
+    ``percentile`` IS permitted over streams (its buffer is mergeable) —
+    but that buffer retains EVERY value per window, i.e. unbounded state;
+    the KLL sketch is the bounded-state (k=200 retained) streaming
+    quantile path.  One window's values arrive across two micro-batches;
+    below k retained values the sketch is lossless, so the merged-state
+    median is exact and deterministic."""
+    src = str(tmp_path / "src")
+    feeder = BatchFeeder(src)
+    stream = spark.readStream.schema(STREAM_SCHEMA).json(src)
+
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(
+            F.expr(
+                "kll_sketch_get_quantile_bigint("
+                "  kll_sketch_agg_bigint(CAST(value AS BIGINT)), 0.5)"
+            ).alias("p50"),
+            F.count("*").alias("n_events"),
+        )
+        .select(F.col("window.start").alias("window_start"), "p50", "n_events")
+    )
+    q = _start(spark, agg, "p50_kll", "append")
+    try:
+        # window 10:00 values split over two batches: {10, 20, 30} + {40, 50}
+        feeder.feed(
+            q,
+            ev(1, "2024-01-01 10:05:00", value=10.0),
+            ev(2, "2024-01-01 10:10:00", value=20.0),
+            ev(3, "2024-01-01 10:15:00", value=30.0),
+        )
+        feeder.feed(
+            q,
+            ev(4, "2024-01-01 10:25:00", value=40.0),
+            ev(5, "2024-01-01 10:30:00", value=50.0),
+        )
+        feeder.feed(q, ev(6, "2024-01-01 12:00:00", value=7.0))  # finalize 10:00
+        feeder.feed(q, ev(7, "2024-01-01 14:00:00", value=7.0))  # flush 12:00
+        out = {
+            r["window_start"].isoformat(): (r["p50"], r["n_events"])
+            for r in spark.sql("SELECT * FROM p50_kll").collect()
+        }
+        # lossless below k=200: median of {10..50} across the batch split
+        assert out["2024-01-01T10:00:00"] == (30, 5)
+        assert out["2024-01-01T12:00:00"] == (7, 1)
+    finally:
+        q.stop()
