@@ -46,76 +46,74 @@ from . import (  # noqa: E402,F401
 # already have green rows in CORRECTNESS_r01-r03 follow in import order.
 # ---------------------------------------------------------------------------
 _SAMPLE_FIRST = [
-    # ---- round-11 rotation (VERDICT r10 "Next round #2"): the first ~50
+    # ---- round-12 rotation (VERDICT r11 "Next round #1"): the first ~50
     # must ALL be oracled — the rows-only-by-design entries
     # (sim_pq_ann_topk, agg_approx_distinct, sim_embedding_pairs_blas,
     # sim_ivf_ann_topk) stay OUT of this window permanently so every
-    # driver-recorded row is hash-checkable.  Order: (1) any entry added
-    # or materially changed this round (first/refreshed recorded row),
-    # (2) the 39 oracled entries whose newest green row is r5 — after
-    # this round every oracled entry's newest green row is ≥ r6 — then
-    # (3) the oldest (alphabetical-head) slice of the r6 cohort to fill
-    # the window.  The r8-r10 cohorts rotate to the back in import
-    # order. ----
-    # changed this round (cogroup boundary restructure)
-    "udf_cogrouped_orders_profile",
-    # new this round (native DataSketches surface — first recorded rows)
-    "sketch_native_hll_ndv",
-    "sketch_native_kll_rank_bands",
-    "sketch_native_theta_audience",
-    # the 39-entry r5-stale cohort
-    "affinity_copurchase_pairs",
-    "agg_boolean_filter_funcs",
-    "agg_grouping_sets",
-    "agg_listagg_ordered",
-    "agg_mode_median",
-    "chat_format_audit",
-    "chat_sft_corpus_totals",
-    "dedup_cluster_components",
-    "dedup_cluster_components_star",
-    "dedup_incremental_new_vs_base",
-    "dq_expectations_summary",
-    "dq_table_diff_summary",
-    "graph_pagerank_trade",
-    "pipeline_near_dedup",
-    "pipeline_pretrain_corpus",
-    "profile_histogram_numeric",
-    "profile_table_columns_approx",
-    "q5_local_supplier_volume",
-    "quality_classifier_linear",
-    "range_join_value_bands",
-    "relational_unpivot",
-    "scalar_variant_shred",
-    "scan_csv_explicit_schema",
-    "scan_json_explicit_schema",
-    "scan_orc_roundtrip",
-    "scan_python_datasource",
-    "scan_python_datasource_pushdown",
-    "scan_schema_evolution",
-    "sim_ivf_ann_topk_fullprobe",
-    "sim_ivf_recall_check",
-    "sim_lsh_ann_topk_fullprobe",
-    "sim_lsh_bucket_stats",
-    "sim_pq_recall_check",
-    "sql_api_shipping_priority",
-    "streaming_python_datasource",
-    "timeseries_gap_fill_hourly",
-    "timeseries_interpolate_linear",
-    "tribute_status_reference_corpus",
-    "window_time_range_frame",
-    # oldest slice of the r6 cohort (fills the window to ~50)
-    "agg_bitmap_exact_distinct",
-    "agg_regression_funcs",
-    "curation_winsorize_quantiles",
-    "curriculum_length_buckets",
-    "distinct_projection",
-    "dq_table_fingerprint",
-    "event_session_window_fn",
+    # driver-recorded row is hash-checkable.  Order: (1) entries added or
+    # materially changed this round (first/refreshed recorded row), then
+    # (2) the 42-entry cohort whose newest green row is round 6 — after
+    # this round every oracled entry's newest evidence is ≥ r8.  The
+    # r8-r11 cohorts rotate to the back in import order. ----
+    # new this round (ANN scale mitigations; derived dedup cap)
+    "sim_ivf_ann_topk_scaled_probe",
+    "sim_sq8_ann_topk_clipped",
+    "dedup_ngram_jaccard_derived_cap",
+    # changed this round (crash-atomic bucketed delete; derived caps)
+    "merge_delete_forgotten",
+    # the 42-entry r6-stale cohort (newest green row = CORRECTNESS_r06)
     "graph_triangles_copurchase",
-    # (incremental_agg_merge / layout_bucketed_colocated_join /
-    # layout_partitioned_write_prune keep their r6 rows and rotate to the
-    # r12 window — displaced by the three new sketch_native entries so
-    # the ~50-row sample still covers every first-row candidate)
+    "incremental_agg_merge",
+    "layout_bucketed_colocated_join",
+    "layout_partitioned_write_prune",
+    "multimodal_video_y4m_frames",
+    "pipeline_rag_retrieval",
+    "q12_late_lines_priority",
+    "q18_large_orders",
+    "q21_waiting_supplier",
+    "relational_transpose",
+    "scalar_collation_casefold",
+    "scalar_map_funcs",
+    "scalar_try_arithmetic",
+    "scan_binary_file_assets",
+    "scan_csv_malformed_quarantine",
+    "scan_file_metadata_lineage",
+    "scan_nested_parquet_pruning",
+    "scan_xml_roundtrip",
+    "set_except",
+    "set_intersect",
+    "set_union_by_name_evolution",
+    "sim_cosine_topk",
+    "sim_lsh_ann_topk",
+    "sink_python_datasource_write",
+    "sort_limit_offset",
+    "sql_cache_table",
+    "sql_insert_default_columns",
+    "sql_insert_into_select",
+    "sql_insert_overwrite_dynamic",
+    "sql_parameterized_identifier",
+    "sql_recursive_reachability",
+    "sql_session_variable_dial",
+    "sql_udf_quality_score",
+    "streaming_chained_windows",
+    "streaming_python_datasource_sink",
+    "text_bpe_encode",
+    "text_chunk_sliding",
+    "timeseries_ohlc_hourly",
+    "udf_grouped_apply_in_arrow",
+    "udf_map_in_arrow",
+    "udtf_dynamic_schema_split",
+    "udtf_table_partition_args",
+    # head of the (now-oldest) r8 cohort — pads the window past 50 so the
+    # rows-only entries in import order never enter the recorded sample
+    "agg_approx_distinct_error",
+    "agg_approx_percentile_error",
+    "agg_cube",
+    "agg_having",
+    "agg_minmax_distinct",
+    "agg_percentiles_exact",
+    "agg_pivot",
+    "agg_rollup",
 ]
 
 

@@ -58,7 +58,12 @@ def sketch_native_hll_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
     THE WAY A CLUSTER WOULD: per-shard partial sketches (8 shards by
     ``pmod(l_orderkey, 8)``) merged with ``hll_union_agg`` and estimated
     — the mergeability path is exercised inside the query, not assumed.
-    Probed error at sf0.01: 1991 vs 2000 exact (~0.45%); band is ±5%."""
+    Probed error at sf0.01: 1991 vs 2000 exact (~0.45%).  The band is the
+    6σ statistical-guarantee form (the theta lesson, r11): HLL RSE at the
+    default lgConfigK=12 is 1.04/sqrt(4096) ≈ 1.63%, so ±5% is only ~3σ —
+    a rescaled fixture re-rolls every hash and a ~3σ excursion would
+    spuriously fail the value-hash gate.  Band = max(5%, 6·RSE ≈ 9.75%)
+    of exact (ADVICE r11)."""
     li = load_table(spark, sf_dir, "lineitem")
     shards = (
         li.withColumn("__shard", F.pmod(F.col("l_orderkey"), F.lit(8)))
@@ -76,7 +81,8 @@ def sketch_native_hll_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_parts",
         (
             F.abs(F.col("__est") - F.col("exact_parts"))
-            <= F.col("exact_parts") * F.lit(0.05)
+            <= F.col("exact_parts")
+            * F.greatest(F.lit(0.05), F.lit(6.0 * 1.04) / F.sqrt(F.lit(4096.0)))
         ).alias("within_tolerance"),
     )
 

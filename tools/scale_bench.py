@@ -113,24 +113,27 @@ def main() -> None:
         #    adversarial geometry for fixed-probe IVF / max-scaled SQ8,
         #    so a False there is reported as degradation, not failure.
         df = QUERIES[e](spark, scaled_dir)
-        if any(t == "boolean" for _, t in df.dtypes):
-            rows = df.limit(101).collect()
-            if len(rows) <= 100:
-                bad = [
-                    (i, k)
-                    for i, r in enumerate(rows)
-                    for k, v in r.asDict().items()
-                    if isinstance(v, bool) and not v
-                ]
-                if e in CALIBRATED_BANDS:
-                    results[e]["calibrated_band_degraded_at_scale"] = bool(bad)
-                else:
-                    results[e]["bands_green_at_scale"] = not bad
-                    if bad:
-                        print(
-                            json.dumps({"entry": e, "BAND_FAILURES_AT_SCALE": bad}),
-                            flush=True,
-                        )
+        bool_cols = [c for c, t in df.dtypes if t == "boolean"]
+        if bool_cols:
+            # Aggregate Spark-side (one bool_and per boolean column) so ANY
+            # result cardinality is checkable — the old limit(101) guard
+            # silently skipped entries with >100 rows (ADVICE r11 #1),
+            # which contradicted the no-silent-caps convention.
+            import pyspark.sql.functions as _F
+
+            agg = df.agg(
+                *[_F.bool_and(_F.col(c)).alias(c) for c in bool_cols]
+            ).collect()[0]
+            bad = [c for c in bool_cols if agg[c] is False]
+            if e in CALIBRATED_BANDS:
+                results[e]["calibrated_band_degraded_at_scale"] = bool(bad)
+            else:
+                results[e]["bands_green_at_scale"] = not bad
+                if bad:
+                    print(
+                        json.dumps({"entry": e, "BAND_FAILURES_AT_SCALE": bad}),
+                        flush=True,
+                    )
         print(json.dumps({"entry": e, **results[e]}), flush=True)
     print(json.dumps({"metric": "scale_spot_bench", "scaled_dir": scaled_dir,
                       "repeats": repeats, "results": results}))

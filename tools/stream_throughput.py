@@ -34,12 +34,22 @@ from hunger_games_glue_streaming_etl_spark.streaming import start_tribute_stream
 
 def generate_events(
     path: str, n_events: int, n_files: int, start_file: int = 0, start_seq: int = 0
-) -> None:
+) -> int:
+    """Write events as JSONL files and return the count ACTUALLY written
+    (n_files * (n_events // n_files) — integer division drops a remainder,
+    so callers must not assume n_events; ADVICE r11 #3).  Each file is
+    written to a dot-prefixed temp name and os.rename'd into place: a live
+    file-source query polling this directory can otherwise list and read a
+    partially-written file once and never re-read it, silently dropping
+    events (dot-prefixed files are hidden to Spark's file source; rename
+    within one dir is atomic)."""
     rng = random.Random(42 + start_seq)
     per_file = n_events // n_files
     seq = start_seq
     for f in range(start_file, start_file + n_files):
-        with open(os.path.join(path, f"gen_{f:04d}.json"), "w") as out:
+        final = os.path.join(path, f"gen_{f:04d}.json")
+        tmp = os.path.join(path, f".gen_{f:04d}.json.tmp")
+        with open(tmp, "w") as out:
             for _ in range(per_file):
                 e = {
                     "streamingeventid": f"gen{seq}",
@@ -55,6 +65,8 @@ def generate_events(
                 }
                 out.write(json.dumps(e) + "\n")
                 seq += 1
+        os.rename(tmp, final)
+    return n_files * per_file
 
 
 def generate_funnel_events(path: str, n_events: int, n_files: int, n_users: int) -> None:
@@ -157,7 +169,7 @@ def run_soak_with_deletes(spark, base: str) -> dict:
 
     events_dir = os.path.join(base, "soak_events")
     os.makedirs(events_dir)
-    generate_events(events_dir, per_wave, files_per_wave)
+    total_written = generate_events(events_dir, per_wave, files_per_wave)
 
     query, latest = start_tribute_stream(
         spark,
@@ -172,9 +184,10 @@ def run_soak_with_deletes(spark, base: str) -> dict:
     stream_elapsed = 0.0
     delete_lat = []
     deleted_each_wave_gone = True
+    doomed_present_before_each_epoch = True
     for wave in range(n_waves):
         if wave > 0:
-            generate_events(
+            total_written += generate_events(
                 events_dir,
                 per_wave,
                 files_per_wave,
@@ -191,6 +204,12 @@ def run_soak_with_deletes(spark, base: str) -> dict:
         keys_df = spark.createDataFrame(
             [(k,) for k in doomed], "tributeId string"
         )
+        # presence-before-delete (ADVICE r11 #4): the absence assertion is
+        # vacuous if the doomed keys were never upserted — near-certain
+        # present with 25k events over 16 ids per wave, so a 0 here is a
+        # real soak defect, not noise.
+        if latest.read().filter(F.col("tributeId").isin(doomed)).count() == 0:
+            doomed_present_before_each_epoch = False
         t0 = time.perf_counter()
         latest.delete_keys(keys_df)
         delete_lat.append(time.perf_counter() - t0)
@@ -201,7 +220,7 @@ def run_soak_with_deletes(spark, base: str) -> dict:
             deleted_each_wave_gone = False
     query.stop()
 
-    total = n_waves * per_wave
+    total = total_written
     keyed = latest.read().count()
     delete_lat.sort()
     return {
@@ -213,6 +232,7 @@ def run_soak_with_deletes(spark, base: str) -> dict:
         "delete_epochs": n_waves,
         "delete_latency_median_sec": round(delete_lat[len(delete_lat) // 2], 3),
         "delete_latency_max_sec": round(delete_lat[-1], 3),
+        "doomed_keys_present_before_each_epoch": doomed_present_before_each_epoch,
         "deleted_keys_absent_after_each_epoch": deleted_each_wave_gone,
         "final_keyed_rows": keyed,
     }
