@@ -58,6 +58,7 @@ _SAMPLE_FIRST = [
     # new this round (ANN scale mitigations; derived dedup cap)
     "sim_ivf_ann_topk_scaled_probe",
     "sim_sq8_ann_topk_clipped",
+    "sim_sq8_clipped_recall_check",
     "dedup_ngram_jaccard_derived_cap",
     # changed this round (crash-atomic bucketed delete; derived caps)
     "merge_delete_forgotten",

@@ -328,6 +328,120 @@ def sim_sq8_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_check(spark, sf_dir, approx, floor_hits=8)
 
 
+# ---- ANN scale mitigations (VERDICT r11 next #2) ----------------------------
+# The 20× sweep measured the FIXED dials degrading on scaled corpora:
+# fixed-probe IVF (2 of 8 cells) misses replica-family members in unprobed
+# cells, and the MAX(|x|) SQ8 scale is inflated ~3.5× by the fixture's dim-0
+# spread.  These entries are the documented mitigations AS CODE, registered
+# as parameterized variants — the original entries keep their frozen dials
+# (their oracles and calibration history stay untouched).
+
+_ivf_scaled_cache: dict[str, tuple[int, int, list[list[float]]]] = {}
+
+
+def _scaled_ivf_index(spark: SparkSession, sf_dir: str):
+    from ..operators.similarity import ivf_build_centroids, ivf_scaled_dials
+
+    if sf_dir not in _ivf_scaled_cache:
+        emb = load_table(spark, sf_dir, "embeddings")
+        n_cells, n_probe = ivf_scaled_dials(emb.count())
+        cents = ivf_build_centroids(emb, n_centroids=n_cells, iterations=1)
+        _ivf_scaled_cache[sf_dir] = (n_cells, n_probe, cents)
+    return _ivf_scaled_cache[sf_dir]
+
+
+@register("sim_ivf_ann_topk_scaled_probe", oracle=_RECALL_ORACLE)
+def sim_ivf_ann_topk_scaled_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with CORPUS-DERIVED dials (``ivf_scaled_dials``):
+    n_cells grows with the table (64 vectors/cell, clamped 4..64) and
+    n_probe tracks it at ~25%, so the probed fraction — and therefore
+    recall — no longer decays as the corpus scales, where the fixed
+    2-of-8 probe of ``sim_ivf_recall_check`` measurably did on the 20×
+    replica fixture.  Recall-band oracle (Lloyd centroids are
+    summation-order jittery, so the approximate rows can't hash): the
+    exact top-10 is hash-checked and the scaled-probe index must recall
+    ≥8 of it — a HIGHER floor than the fixed-dial entry's ≥5, held at
+    sf0.001/0.01/0.1 AND at 20× where the fixed dial fell below its
+    floor (measured hits recorded in BASELINE.md round-12)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_cells, n_probe, cents = _scaled_ivf_index(spark, sf_dir)
+    approx = ivf_ann_topk(
+        emb,
+        _query_vec(spark, sf_dir),
+        k=_K,
+        n_centroids=n_cells,
+        n_probe=n_probe,
+        centroids=cents,
+    )
+    return _recall_check(spark, sf_dir, approx, floor_hits=8)
+
+
+_SQ8_CLIPPED_ORACLE = f"""
+    WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    e AS (SELECT vec_id, generate_subscripts(v, 1) AS dim, unnest(v) AS val
+          FROM x),
+    cnt AS (SELECT CAST(CEIL(ABS(val) * 4096.0) AS BIGINT) AS g,
+                   COUNT(*) AS c
+            FROM e GROUP BY 1),
+    cum AS (SELECT g,
+                   SUM(c) OVER (ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS running,
+                   SUM(c) OVER () AS total
+            FROM cnt),
+    a AS (SELECT MIN(CASE WHEN running >= (999 * total + 999) // 1000
+                          THEN g END) / 4096.0 AS a
+          FROM cum),
+    c AS (SELECT e.vec_id, e.dim,
+                 CASE WHEN a.a = 0 THEN CAST(0 AS BIGINT)
+                      ELSE GREATEST(CAST(-127 AS BIGINT),
+                                    LEAST(CAST(127 AS BIGINT),
+                                          CAST(FLOOR((e.val * 127.0) / a.a)
+                                               AS BIGINT)))
+                 END AS code
+          FROM e CROSS JOIN a),
+    q AS (SELECT dim, code AS qq FROM c WHERE vec_id = {_QUERY_VEC_ID})
+    SELECT c.vec_id, CAST(SUM(c.code * q.qq) AS BIGINT) AS sq8_score
+    FROM c JOIN q USING (dim)
+    GROUP BY c.vec_id
+    ORDER BY sq8_score DESC, c.vec_id
+    LIMIT {_K}
+    """
+
+
+@register("sim_sq8_ann_topk_clipped", oracle=_SQ8_CLIPPED_ORACLE)
+def sim_sq8_ann_topk_clipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 ANN with the QUANTILE-CLIPPED scale (``sq8_clipped_dials``):
+    the scale is the p99.9 order statistic of |component| instead of the
+    max, so one outlier tail can no longer coarsen every vector's codes
+    (the 20× fixture's dim-0 spread inflated the MAX scale ~3.5×).
+    Values beyond the clip saturate to ±127 — FAISS's trained-SQ8
+    behavior.  The quantile is a rank selection on a dyadic grid
+    (CEIL(|x|·2^12), exact ops only), so the dial — and therefore every
+    code and score — stays bit-deterministic: the APPROXIMATE top-k is
+    hash-checked against an oracle replaying the identical grid, rank,
+    clamp, and integer dot."""
+    from ..operators.similarity import sq8_ann_topk_clipped
+
+    return sq8_ann_topk_clipped(
+        load_table(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=_K
+    )
+
+
+@register("sim_sq8_clipped_recall_check", oracle=_RECALL_ORACLE)
+def sim_sq8_clipped_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall companion for the clipped-scale SQ8: the quantized top-10
+    must recall ≥8 of the exact float top-10 — same floor as the
+    MAX-scale entry at fixture scale, but HELD at 20× where the MAX
+    scale's recall fell below 8 (the mitigation's measurable claim;
+    BASELINE.md round-12)."""
+    from ..operators.similarity import sq8_ann_topk_clipped
+
+    approx = sq8_ann_topk_clipped(
+        load_table(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=_K
+    )
+    return _recall_check(spark, sf_dir, approx, floor_hits=8)
+
+
 # ---- incremental ANN index maintenance (VERDICT r6 "Next round" #6) --------
 
 

@@ -35,6 +35,7 @@ buckets only, so changelog cost is O(batch) like the merge itself.
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import shutil
 from collections.abc import Sequence
@@ -142,6 +143,74 @@ class ParquetLatestSink:
         for leftover in (tmp, old):
             if os.path.isdir(self.path) and os.path.isdir(leftover):
                 shutil.rmtree(leftover)
+
+    def _delete_staging_path(self) -> str:
+        return self.path + ".delstage"
+
+    def _delete_intent_path(self) -> str:
+        return os.path.join(self.path, "_delete_intent")
+
+    def _recover_interrupted_delete(self) -> None:
+        """Complete or roll back a bucketed ``delete_keys`` that crashed
+        mid-swap (VERDICT r11 next #3 — the bucketed path now has the
+        legacy branch's crash-atomic tmp-dir + swap shape).
+
+        Protocol: survivors of the touched buckets are first written to a
+        SIBLING staging dir (``path.delstage`` — the live view is never
+        read-over-written, so no lineage checkpoint is needed), whose
+        ``_n_buckets`` marker is written last and marks it complete.  An
+        intent journal (``path/_delete_intent``, written via tmp +
+        ``os.replace``) listing the touched buckets is the COMMIT POINT:
+
+        - intent present → roll FORWARD: re-run the per-bucket swap from
+          the journal.  The swap is idempotent — a ``staged`` bucket still
+          in staging gets (re)installed, one already consumed was fully
+          swapped; an ``emptied`` bucket's live dir is removed (rmtree is
+          idempotent).  The journal records staged vs emptied EXPLICITLY —
+          inferring "emptied" from staging absence would be ambiguous with
+          "already consumed" and a replay could destroy an installed
+          bucket.
+        - staging present without intent → roll BACK: the live dirs were
+          never touched (swaps start only after the intent lands), so
+          removing the staging dir restores the exact pre-delete state.
+
+        Either way the store is fully pre- or fully post-delete after
+        recovery; mixed states cannot survive a crash."""
+        intent = self._delete_intent_path()
+        if os.path.isfile(intent):
+            with open(intent) as f:
+                j = json.load(f)
+            self._swap_touched_buckets(j["staged"], j["emptied"])
+            return
+        stage = self._delete_staging_path()
+        if os.path.isdir(stage):
+            shutil.rmtree(stage)
+
+    def _swap_touched_buckets(self, staged: list[int], emptied: list[int]) -> None:
+        """Install staged survivor buckets over the live touched buckets
+        (one rename each) and remove emptied buckets' live dirs,
+        idempotently — re-runnable after a crash at any point — then
+        commit by dropping the intent journal and clearing staging."""
+        stage = self._delete_staging_path()
+        for b in staged:
+            src = os.path.join(stage, f"{_BUCKET_COL}={b}")
+            dst = os.path.join(self.path, f"{_BUCKET_COL}={b}")
+            if os.path.isdir(src):
+                if os.path.isdir(dst):
+                    shutil.rmtree(dst)
+                os.rename(src, dst)
+            # else: already consumed by a pre-crash pass — dst is post-state
+        for b in emptied:
+            shutil.rmtree(
+                os.path.join(self.path, f"{_BUCKET_COL}={b}"), ignore_errors=True
+            )
+        # commit: intent gone ⇒ the delete is complete; a crash between
+        # these two leaves an intent-less staging dir holding only Spark
+        # marker files, which the rollback branch clears harmlessly
+        if os.path.isfile(self._delete_intent_path()):
+            os.remove(self._delete_intent_path())
+        if os.path.isdir(stage):
+            shutil.rmtree(stage)
 
     def _epoch_marker_path(self) -> str:
         return os.path.join(self.path, "_last_epoch")
@@ -280,6 +349,7 @@ class ParquetLatestSink:
 
     def upsert(self, batch_df: DataFrame, epoch_id: int | None = None) -> None:
         self._recover_interrupted_migration()
+        self._recover_interrupted_delete()
         # exactly-once epoch gate: foreachBatch redelivers a failed epoch;
         # if the commit marker says this epoch already fully applied
         # (merge + changelog), skip the whole batch.  A crash BEFORE the
@@ -357,9 +427,13 @@ class ParquetLatestSink:
         rows whose key appears in ``keys_df``, rewriting ONLY the hash
         buckets those keys land in (O(touched buckets), never O(table) —
         the same incremental contract as ``upsert``).  A bucket whose
-        every row is deleted is removed explicitly: dynamic partition
-        overwrite only replaces partitions PRESENT in the new data, so an
-        emptied bucket would otherwise silently keep its stale files.
+        every row is deleted is removed explicitly (recorded in the
+        intent journal — dynamic partition overwrite could never empty
+        it), and the whole bucketed rewrite is CRASH-ATOMIC: survivors
+        are staged in a sibling dir, an intent journal marks the commit
+        point, and the per-bucket swap is idempotent + replayed on
+        recovery, so a crash at any instant leaves the store fully pre-
+        or fully post-delete (see ``_recover_interrupted_delete``).
 
         With ``track_changes`` and an ``epoch_id``, the doomed rows are
         appended to the CDC changelog as ``__change_op = 'delete'``
@@ -372,6 +446,7 @@ class ParquetLatestSink:
         view is migrated to the bucketed layout by the full rewrite this
         delete already pays for."""
         self._recover_interrupted_migration()
+        self._recover_interrupted_delete()
         if epoch_id is not None:
             committed = self._committed_epoch()
             if committed is not None and epoch_id <= committed:
@@ -424,15 +499,6 @@ class ParquetLatestSink:
                         .parquet(epoch_dir)
                     )
             remaining = current.join(victims_keys, self.keys, "left_anti")
-            if layout != "legacy":
-                # The bucketed path overwrites the very bucket dirs that
-                # `remaining`'s lineage reads.  A persisted frame would
-                # silently RECOMPUTE over the rewritten files on executor
-                # loss mid-write; localCheckpoint blocks are not
-                # recomputable, so the same loss instead fails the job
-                # deterministically (fail fast, not corrupt).  True crash
-                # atomicity needs the legacy branch's tmp-dir + swap.
-                remaining = remaining.localCheckpoint(eager=True)
             if layout == "legacy":
                 tmp, old = self.path + ".tmp", self.path + ".old"
                 self._write_bucketed(remaining, tmp)
@@ -442,16 +508,33 @@ class ParquetLatestSink:
                 os.rename(tmp, self.path)
                 shutil.rmtree(old)
             else:
-                kept = {
-                    r[0] for r in remaining.select(_BUCKET_COL).distinct().collect()
-                }
-                self._write_bucketed(remaining, self.path)
-                for b in touched:
-                    if b not in kept:
-                        shutil.rmtree(
-                            os.path.join(self.path, f"{_BUCKET_COL}={b}"),
-                            ignore_errors=True,
-                        )
+                # Crash-atomic bucketed rewrite (VERDICT r11 next #3):
+                # survivors are staged in a SIBLING dir — the live bucket
+                # files are never read-over-written, so no lineage
+                # checkpoint is needed and an executor loss mid-stage just
+                # recomputes from the untouched originals.  The intent
+                # journal (written atomically AFTER staging completes) is
+                # the commit point; the per-bucket swap after it is
+                # idempotent and replayed by _recover_interrupted_delete,
+                # so a crash at any instant leaves the store recoverable
+                # to fully-pre (no intent yet) or fully-post (intent
+                # present) state — never a mix of rewritten and stale
+                # bucket dirs.
+                stage = self._delete_staging_path()
+                if os.path.isdir(stage):
+                    shutil.rmtree(stage)
+                self._write_bucketed(remaining, stage)
+                staged = sorted(
+                    int(d.split("=", 1)[1])
+                    for d in os.listdir(stage)
+                    if d.startswith(f"{_BUCKET_COL}=")
+                )
+                emptied = sorted(set(touched) - set(staged))
+                intent_tmp = self._delete_intent_path() + ".tmp"
+                with open(intent_tmp, "w") as f:
+                    json.dump({"staged": staged, "emptied": emptied}, f)
+                os.replace(intent_tmp, self._delete_intent_path())
+                self._swap_touched_buckets(staged, emptied)
             if epoch_id is not None:
                 self._commit_epoch(epoch_id)
             return n_deleted
@@ -463,4 +546,7 @@ class ParquetLatestSink:
                 pass
 
     def read(self) -> DataFrame:
+        # readers complete a crashed delete too (two stat probes when
+        # clean) — a post-crash read must never see a half-swapped store
+        self._recover_interrupted_delete()
         return self.spark.read.parquet(self.path).drop(_BUCKET_COL)

@@ -433,3 +433,117 @@ def test_delete_keys_touched_buckets_only(spark, tmp_path):
         spark.createDataFrame([(survivor,)], "k string"), epoch_id=1
     ) == 0
     assert survivor in {r["k"] for r in sink.read().collect()}
+
+
+def _spread_store(spark, path, n=24):
+    """Build a bucketed store with keys spread over many buckets and
+    return (sink, {bucket: [keys]})."""
+    sink = ParquetLatestSink(
+        spark, path, keys="k", seq_cols="seq", lineage_id="crash-test"
+    )
+    rows = [(f"k{i}", 1, f"v{i}") for i in range(n)]
+    sink.upsert(
+        spark.createDataFrame(rows, "k string, seq long, v string"), epoch_id=0
+    )
+    by_bucket: dict[int, list[str]] = {}
+    for i in range(n):
+        by_bucket.setdefault(_bucket(f"k{i}"), []).append(f"k{i}")
+    return sink, by_bucket
+
+
+def test_delete_keys_crash_during_staging_leaves_pre_state(
+    spark, tmp_path, monkeypatch
+):
+    """A crash BEFORE the intent journal lands (mid-staging-write) must
+    leave the store fully PRE-delete after recovery: the live bucket dirs
+    were never touched, and recovery rolls the orphan staging dir back."""
+    import pytest
+
+    path = str(tmp_path / "latest")
+    sink, by_bucket = _spread_store(spark, path)
+    doomed = [ks[0] for ks in by_bucket.values()][:3]
+    pre = {r["k"] for r in sink.read().collect()}
+
+    real_wb = ParquetLatestSink._write_bucketed
+
+    def dying_wb(self, df, target):
+        if target == self._delete_staging_path():
+            os.makedirs(target, exist_ok=True)
+            with open(os.path.join(target, "partial.parquet"), "w") as f:
+                f.write("junk")  # half-written staging, no completeness marker
+            raise RuntimeError("injected crash during staging write")
+        return real_wb(self, df, target)
+
+    monkeypatch.setattr(ParquetLatestSink, "_write_bucketed", dying_wb)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        sink.delete_keys(
+            spark.createDataFrame([(k,) for k in doomed], "k string"), epoch_id=1
+        )
+    monkeypatch.undo()
+
+    # no intent was journaled -> rollback: store must be exactly pre-delete
+    fresh = ParquetLatestSink(
+        spark, path, keys="k", seq_cols="seq", lineage_id="crash-test"
+    )
+    assert {r["k"] for r in fresh.read().collect()} == pre
+    assert not os.path.isdir(fresh._delete_staging_path())
+    assert not os.path.isfile(fresh._delete_intent_path())
+
+
+def test_delete_keys_crash_between_bucket_swaps_recovers_post_state(
+    spark, tmp_path, monkeypatch
+):
+    """The VERDICT r11 #3 contract: kill the delete BETWEEN bucket-dir
+    swaps (after the intent journal committed) and prove recovery rolls
+    FORWARD to the fully post-delete state — including removing a bucket
+    the delete emptied — with staging and intent cleaned up."""
+    import pytest
+
+    import hunger_games_glue_streaming_etl_spark.sinks.upsert as upsert_mod
+
+    path = str(tmp_path / "latest")
+    sink, by_bucket = _spread_store(spark, path)
+    shared = [ks for ks in by_bucket.values() if len(ks) >= 2]
+    lones = [ks[0] for ks in by_bucket.values() if len(ks) == 1]
+    assert len(shared) >= 2 and lones, "fixture must span shared+lone buckets"
+    # two buckets that SURVIVE with fewer rows (two swap renames) plus one
+    # bucket that empties entirely (journaled removal)
+    doomed = [shared[0][0], shared[1][0], lones[0]]
+    expect = {f"k{i}" for i in range(24)} - set(doomed)
+
+    real_rename = os.rename
+    swap_renames = {"n": 0}
+
+    def dying_rename(src, dst):
+        if os.path.basename(str(dst)).startswith("__bucket="):
+            swap_renames["n"] += 1
+            if swap_renames["n"] == 2:
+                raise RuntimeError("injected crash between bucket swaps")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(upsert_mod.os, "rename", dying_rename)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        sink.delete_keys(
+            spark.createDataFrame([(k,) for k in doomed], "k string"), epoch_id=1
+        )
+    monkeypatch.undo()
+
+    # mid-crash: intent journal is on disk (commit point passed), exactly
+    # one of the two surviving buckets was swapped -> mixed state
+    assert os.path.isfile(sink._delete_intent_path())
+
+    # recovery (any entry point: read/upsert/delete) must complete the swap
+    fresh = ParquetLatestSink(
+        spark, path, keys="k", seq_cols="seq", lineage_id="crash-test"
+    )
+    assert {r["k"] for r in fresh.read().collect()} == expect
+    assert f"__bucket={_bucket(lones[0])}" not in os.listdir(path)
+    assert not os.path.isdir(fresh._delete_staging_path())
+    assert not os.path.isfile(fresh._delete_intent_path())
+
+    # the crashed epoch never committed -> redelivery is safe (idempotent:
+    # the keys are already gone, so it gates forward with n_deleted=0)
+    assert fresh.delete_keys(
+        spark.createDataFrame([(k,) for k in doomed], "k string"), epoch_id=1
+    ) == 0
+    assert {r["k"] for r in fresh.read().collect()} == expect

@@ -101,6 +101,9 @@ SKIP_EXECUTING = {
     "sim_cosine_topk",
     "sim_sq8_ann_topk",
     "sim_sq8_recall_check",
+    "sim_sq8_ann_topk_clipped",
+    "sim_sq8_clipped_recall_check",
+    "sim_ivf_ann_topk_scaled_probe",
     "sim_incremental_index_assign",
     "pipeline_pretrain_corpus",
     "curation_clean_corpus",
