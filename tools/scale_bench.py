@@ -53,6 +53,12 @@ CALIBRATED_BANDS = {
     "sim_ivf_recall_check",
     "sim_pq_recall_check",
     "sim_sq8_recall_check",
+    # the round-12 mitigation entries carry measured floors too — they
+    # HELD at 20× (10/10 both; BASELINE.md round-12), but a floor pinned
+    # by measurement on a distribution is calibrated by nature, so a
+    # future fixture geometry may legitimately degrade them
+    "sim_ivf_ann_topk_scaled_probe",
+    "sim_sq8_clipped_recall_check",
 }
 
 
