@@ -156,6 +156,7 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.5,
     k: int = 3,
     bucket_cap: int | None = None,
+    bucket_cap_dial: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs: LSH candidates → exact Jaccard verify.
 
@@ -175,20 +176,30 @@ def minhash_lsh_pairs(
     seen), so size c above the duplication profile's group sizes;
     identical-text mega-groups are the exact-hash tier's job upstream
     (``pipeline_near_dedup`` runs it first).
+
+    ``bucket_cap_dial`` (mutually exclusive with ``bucket_cap``) rides the
+    cap in as a 1-row corpus-derived broadcast — ``derived_df_cap`` works
+    here too, because a band bucket's size IS duplicate-group
+    multiplicity (a group of m near-identical docs fills its buckets to
+    ~m), the same quantity the DF-histogram quantile tracks.
     """
     # persist: both sides of the self-join (and nothing upstream) read the
     # computed buckets — without it the signature aggregation runs twice
     buckets = pin(minhash_band_buckets(docs, text_col, id_col, num_hashes, bands, k))
-    if bucket_cap is not None:
+    if bucket_cap is not None or bucket_cap_dial is not None:
         from pyspark.sql import Window
 
         # bucket size via a window over the SAME (band, band_hash)
         # partitioning the self-join shuffles on — ReuseExchange shares it
         w_b = Window.partitionBy("band", "band_hash")
-        buckets = (
-            buckets.withColumn("__bsz", F.count("*").over(w_b))
-            .filter(F.col("__bsz") <= bucket_cap)
-            .drop("__bsz")
+        buckets = buckets.withColumn("__bsz", F.count("*").over(w_b))
+        if bucket_cap_dial is not None:
+            buckets = buckets.crossJoin(F.broadcast(bucket_cap_dial))
+            cap_pred = F.col("__cap")
+        else:
+            cap_pred = F.lit(bucket_cap)
+        buckets = buckets.filter(F.col("__bsz") <= cap_pred).drop(
+            "__bsz", "__cap"
         )
     a = buckets.select(F.col(id_col).alias("id_a"), "band", "band_hash")
     b = buckets.select(F.col(id_col).alias("id_b"), "band", "band_hash")
@@ -203,6 +214,72 @@ def minhash_lsh_pairs(
     )
 
 
+def derived_df_cap(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    floor: int = 64,
+    quantile_permille: int = 990,
+    mult: int = 4,
+) -> DataFrame:
+    """Corpus-derived hot-shingle cap as ONE broadcastable row (VERDICT
+    r11 next #4 — "size df_cap from the DF histogram, not a fixed
+    constant", now code):
+
+        cap = GREATEST(floor, mult · k̂),   k̂ = p99 of the shingle-DF
+                                             histogram (discrete rank)
+
+    Why this fixes the fixed cap's recall cliff: a duplicate group of
+    multiplicity m shares every shingle at DF ≥ m, so a cap below the
+    corpus's duplication level hides whole groups (the pinned
+    ``test_ngram_jaccard_df_cap_recall_cliff``).  Replicating a corpus
+    k× multiplies the bulk of the DF distribution by k, so a
+    DF-histogram quantile TRACKS the duplication profile — the cap
+    scales with the corpus's actual duplication where a constant
+    cannot, while ``mult`` keeps headroom above k̂ for groups hotter
+    than the quantile.  The floor preserves the fixed cap's behavior on
+    low-duplication corpora (at fixture scale the dial evaluates to the
+    old 64 exactly, so parity with the fixed-cap entry is by
+    construction).
+
+    Cost/scale shape: the DF aggregate rides the same shuffle-by-shingle
+    the Jaccard self-join needs anyway; the HISTOGRAM (DF value →
+    shingle count) is bounded by the distinct DF values — ≤ max-DF rows
+    regardless of corpus size — so the rank-selection window is
+    metadata-scale, and the result is a 1-row broadcast dial (the
+    shuffle-shard-dial pattern).  Exact integer arithmetic end to end:
+    both engines rebuild the identical cap, so entries exposing it stay
+    hash-checked."""
+    from pyspark.sql import Window
+
+    hist = (
+        shingle_sets(docs, text_col, id_col, k)
+        .groupBy("shingle")
+        .agg(F.count("*").alias("__df"))
+        .groupBy("__df")
+        .agg(F.count("*").alias("__n"))
+    )
+    w_run = (
+        Window.partitionBy()
+        .orderBy("__df")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "__df",
+        F.sum("__n").over(w_run).alias("__running"),
+        F.sum("__n").over(Window.partitionBy()).alias("__total"),
+    )
+    rank = F.expr(f"({quantile_permille} * __total + 999) div 1000")
+    return cum.agg(
+        F.greatest(
+            F.lit(floor).cast("long"),
+            F.lit(mult)
+            * F.min(F.when(F.col("__running") >= rank, F.col("__df"))),
+        ).alias("__cap")
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -210,6 +287,7 @@ def ngram_jaccard_pairs(
     jaccard_threshold: float = 0.5,
     k: int = 3,
     df_cap: int | None = None,
+    df_cap_dial: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via the shared-shingle join.
     Correctness baseline for ``minhash_lsh_pairs``.
@@ -234,11 +312,16 @@ def ngram_jaccard_pairs(
     round-11 sweep (candidate volume is non-monotone in replication k:
     surviving shingles need base-DF ≤ cap/k).  Mega-groups beyond any
     affordable cap belong to the exact-hash and MinHash-LSH tiers.
+
+    ``df_cap_dial`` (mutually exclusive with ``df_cap``) takes the cap as
+    a 1-row corpus-derived DataFrame (``derived_df_cap``) riding in on a
+    broadcast — the cap then tracks the corpus duplication profile
+    instead of being frozen at deploy time (the r11 20× finding).
     """
     # pin: the exploded shingles feed both self-join sides + the sizes agg
     sh = pin(shingle_sets(docs, text_col, id_col, k))
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
-    if df_cap is not None:
+    if df_cap is not None or df_cap_dial is not None:
         from pyspark.sql import Window
 
         # per-shingle document frequency via a window over the SAME
@@ -247,7 +330,17 @@ def ngram_jaccard_pairs(
         # Spark's ReuseExchange shares the shuffle between the join sides
         w_sh = Window.partitionBy("shingle")
         sh_df = sh.withColumn("__df", F.count("*").over(w_sh))
-        sh_rare = sh_df.filter(F.col("__df") <= df_cap).drop("__df")
+        if df_cap_dial is not None:
+            # corpus-derived cap: ride the 1-row dial in as a broadcast
+            # (`derived_df_cap`) — the lazy crossJoin keeps the whole
+            # plan one DAG, like the shuffle-shard dials
+            sh_df = sh_df.crossJoin(F.broadcast(df_cap_dial))
+            cap_pred = F.col("__cap")
+        else:
+            cap_pred = F.lit(df_cap)
+        # (drop is lenient about absent columns — __cap exists only on
+        # the dial path)
+        sh_rare = sh_df.filter(F.col("__df") <= cap_pred).drop("__df", "__cap")
         # same single-pass join→count as the exact form, minus hot
         # shingles: per-shingle contribution is bounded at df_cap²
         shared_rare = (
@@ -262,7 +355,7 @@ def ngram_jaccard_pairs(
         # exact correction: add each candidate pair's hot-shingle overlap
         # (hot shingles per doc are few, candidates are few — tiny joins;
         # with no hot shingles this arm is an empty-relation no-op)
-        sh_hot = sh_df.filter(F.col("__df") > df_cap).drop("__df")
+        sh_hot = sh_df.filter(F.col("__df") > cap_pred).drop("__df", "__cap")
         shared_hot = (
             shared_rare.select("id_a", "id_b")
             .join(sh_hot.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")

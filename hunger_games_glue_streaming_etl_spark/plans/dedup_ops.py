@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from ..operators.dedup import (
     DEFAULT_BANDS,
     DEFAULT_NUM_HASHES,
+    derived_df_cap,
     embedding_near_dup_pairs,
     exact_dedup_groups,
     minhash_band_buckets,
@@ -180,6 +181,47 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus (max shingle DF = 25) the result is provably identical to the
     uncapped form, which the plain-SQL oracle computes."""
     return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), df_cap=64)
+
+
+@register(
+    "dedup_ngram_jaccard_derived_cap",
+    oracle=f"""
+    WITH {_SHINGLES},
+    shh0 AS (SELECT doc_id, {_PORTABLE_HASH} AS hsh FROM sh),
+    dfh AS (SELECT hsh, COUNT(*) AS dfv FROM shh0 GROUP BY hsh),
+    hist AS (SELECT dfv, COUNT(*) AS n FROM dfh GROUP BY dfv),
+    cum AS (SELECT dfv,
+                   SUM(n) OVER (ORDER BY dfv ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS running,
+                   SUM(n) OVER () AS total
+            FROM hist),
+    cap AS (SELECT CAST(GREATEST(64, 4 * MIN(CASE WHEN running >=
+                            (990 * total + 999) // 1000 THEN dfv END))
+                   AS BIGINT) AS df_cap
+            FROM cum),
+    {_JACCARD}
+    SELECT j.id_a, j.id_b, j.jaccard, cap.df_cap
+    FROM jac j CROSS JOIN cap WHERE j.jaccard >= 0.5
+    """,
+)
+def dedup_ngram_jaccard_derived_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard pairs with the CORPUS-DERIVED hot-shingle cap
+    (``derived_df_cap``: GREATEST(64, 4·p99 of the shingle-DF histogram),
+    a 1-row broadcast dial — VERDICT r11 next #4).  Where the fixed
+    df_cap=64 loses whole duplicate groups once replication pushes their
+    shingle DFs past it, the derived cap scales with the corpus's
+    measured duplication profile (recovery pinned at 80× multiplicity in
+    ``test_ngram_jaccard_derived_cap_survives_replication``).  The dial
+    itself is EXPOSED as the ``df_cap`` output column and the oracle
+    recomputes it from the same histogram-rank definition, so the
+    data-dependent cap — not just the pair set — is hash-checked (the
+    round-4 data-derived-dial rule)."""
+    docs = load_table(spark, sf_dir, "documents")
+    dial = derived_df_cap(docs)
+    pairs = ngram_jaccard_pairs(docs, df_cap_dial=dial)
+    return pairs.crossJoin(
+        F.broadcast(dial.select(F.col("__cap").alias("df_cap")))
+    )
 
 
 def _simhash_sql() -> str:
