@@ -245,3 +245,53 @@ def test_protobuf_env_gate_and_descriptor_wire_format(spark):
         spark, "/root/testdata/sf0.001"
     ).collect()
     assert len(rows) > 0
+
+
+def test_env_gate_flip_registers_gated_entries(monkeypatch):
+    """VERDICT r11 next #8: when an env gate probes TRUE, the gated entry
+    must actually land in the registry (with its oracle) — the
+    import-time contract.  The real deps can't be installed here, so the
+    flip is exercised by re-running each gate DECORATOR with its probe
+    mocked: that decorator+registry interaction is the part that can rot
+    while the gate stays honestly false."""
+    from hunger_games_glue_streaming_etl_spark.plans import (
+        registry,
+        sources_sql,
+        streaming_queries,
+    )
+
+    # Avro: jar-glob gate -> scan_avro_roundtrip
+    if sources_sql._avro_runtime_available():
+        assert "scan_avro_roundtrip" in registry.QUERIES
+        assert "scan_avro_roundtrip" in registry.ORACLE
+    else:
+        assert "scan_avro_roundtrip" not in registry.QUERIES
+        monkeypatch.setattr(
+            sources_sql, "_avro_runtime_available", lambda: True
+        )
+        try:
+            sources_sql._register_avro(sources_sql.scan_avro_roundtrip)
+            assert "scan_avro_roundtrip" in registry.QUERIES
+            assert "scan_avro_roundtrip" in registry.ORACLE
+            assert callable(registry.QUERIES["scan_avro_roundtrip"])
+        finally:
+            registry.QUERIES.pop("scan_avro_roundtrip", None)
+            registry.ORACLE.pop("scan_avro_roundtrip", None)
+
+    # transformWithStateInPandas: python-module gate
+    if streaming_queries._tws_runtime_available():
+        assert "streaming_transform_with_state" in registry.QUERIES
+    else:
+        assert "streaming_transform_with_state" not in registry.QUERIES
+        monkeypatch.setattr(
+            streaming_queries, "_tws_runtime_available", lambda: True
+        )
+        try:
+            streaming_queries._register_tws(
+                streaming_queries.streaming_transform_with_state
+            )
+            assert "streaming_transform_with_state" in registry.QUERIES
+            assert "streaming_transform_with_state" in registry.ORACLE
+        finally:
+            registry.QUERIES.pop("streaming_transform_with_state", None)
+            registry.ORACLE.pop("streaming_transform_with_state", None)
