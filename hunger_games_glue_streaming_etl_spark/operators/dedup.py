@@ -538,6 +538,15 @@ def simhash_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = 
     bits = SIMHASH_BITS
     n_words = (bits + 31) // 32
 
+    # Bound the per-slice vote matrix: the fold materializes a
+    # (total_tokens × bits) int64 transient, which at a 50×-corpus Arrow
+    # batch (~8k docs × ~200 tokens) is ~1 GB — allocation/GC pressure
+    # made the entry SUPER-linear (0.65 s → 180 s at 50×, ratio 278).
+    # Slicing the batch so each fold sees ≤ 2^18 tokens caps the
+    # transient at ~134 MB; per-row results are bit-identical (votes are
+    # per-row integer sums — slice boundaries can't change them).
+    _MAX_FOLD_TOKENS = 1 << 18
+
     def _fold_batch(hashed: pd.Series) -> pd.Series:
         if len(hashed) == 0:
             return pd.Series(np.empty(0, dtype=np.int64))
@@ -557,6 +566,17 @@ def simhash_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = 
         total = int(counts.sum())
         if total == 0:
             return pd.Series(np.zeros(len(hashed), dtype=np.int64))
+        if total > _MAX_FOLD_TOKENS and len(hashed) > 1:
+            parts, start, run = [], 0, 0
+            for i, c in enumerate(counts):
+                if run + int(c) > _MAX_FOLD_TOKENS and i > start:
+                    parts.append(_fold_batch(hashed.iloc[start:i]))
+                    start, run = i, 0
+                run += int(c)
+            parts.append(_fold_batch(hashed.iloc[start:]))
+            return pd.Series(
+                np.concatenate([p.values for p in parts]).astype(np.int64)
+            )
         flat = np.concatenate(
             [
                 np.asarray(list(h), dtype=np.int64).reshape(-1, n_words)

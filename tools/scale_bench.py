@@ -61,6 +61,28 @@ CALIBRATED_BANDS = {
     "sim_sq8_clipped_recall_check",
 }
 
+# entries whose boolean columns are STATISTICAL-GUARANTEE bands (estimator
+# error bounds / sampling contracts — a False at any scale is a defect).
+# Booleans on entries in NEITHER set are DATA, not bands: e.g.
+# sketch_bloom_membership's `actually_present` is ground truth that is
+# legitimately False on false-positive probe rows (the 50× sweep caught
+# the old any-boolean heuristic misfiring on exactly that), and
+# chat_format_audit's per-conversation audit flags report fixture
+# content.  Only listed entries get band-asserted at scale.
+STATISTICAL_BANDS = {
+    "agg_approx_distinct_error",
+    "agg_approx_percentile_error",
+    "sketch_hll_estimate",
+    "sketch_native_hll_ndv",
+    "sketch_native_kll_rank_bands",
+    "sketch_native_theta_audience",
+    "profile_table_columns_approx",
+    "stats_catalog_analyze",
+    "sample_tablesample_percent",
+    "sample_stratified_by_key",
+    "sample_freqitems_contract",
+}
+
 
 def execute_fully(df) -> None:
     df.write.mode("overwrite").format("noop").save()
@@ -118,15 +140,17 @@ def main() -> None:
         #    replica fixture's collinear dim-0 embedding shifts are
         #    adversarial geometry for fixed-probe IVF / max-scaled SQ8,
         #    so a False there is reported as degradation, not failure.
-        df = QUERIES[e](spark, scaled_dir)
-        bool_cols = [c for c, t in df.dtypes if t == "boolean"]
-        if bool_cols:
+        if e in CALIBRATED_BANDS or e in STATISTICAL_BANDS:
             # Aggregate Spark-side (one bool_and per boolean column) so ANY
             # result cardinality is checkable — the old limit(101) guard
             # silently skipped entries with >100 rows (ADVICE r11 #1),
-            # which contradicted the no-silent-caps convention.
+            # which contradicted the no-silent-caps convention.  Band
+            # entries only: data booleans are excluded by design (see
+            # STATISTICAL_BANDS).
             import pyspark.sql.functions as _F
 
+            df = QUERIES[e](spark, scaled_dir)
+            bool_cols = [c for c, t in df.dtypes if t == "boolean"]
             agg = df.agg(
                 *[_F.bool_and(_F.col(c)).alias(c) for c in bool_cols]
             ).collect()[0]
