@@ -251,11 +251,24 @@ def derived_df_cap(
     shuffle-shard-dial pattern).  Exact integer arithmetic end to end:
     both engines rebuild the identical cap, so entries exposing it stay
     hash-checked."""
+    return _derived_cap_from_shingles(
+        shingle_sets(docs, text_col, id_col, k), floor, quantile_permille, mult
+    )
+
+
+def _derived_cap_from_shingles(
+    sh: DataFrame,
+    floor: int = 64,
+    quantile_permille: int = 990,
+    mult: int = 4,
+) -> DataFrame:
+    """``derived_df_cap`` over an existing (id, shingle) frame — lets a
+    caller that already pinned its shingles (``ngram_jaccard_pairs``)
+    build the dial from the cache instead of re-exploding the corpus."""
     from pyspark.sql import Window
 
     hist = (
-        shingle_sets(docs, text_col, id_col, k)
-        .groupBy("shingle")
+        sh.groupBy("shingle")
         .agg(F.count("*").alias("__df"))
         .groupBy("__df")
         .agg(F.count("*").alias("__n"))
@@ -287,7 +300,8 @@ def ngram_jaccard_pairs(
     jaccard_threshold: float = 0.5,
     k: int = 3,
     df_cap: int | None = None,
-    df_cap_dial: DataFrame | None = None,
+    df_cap_dial: DataFrame | str | None = None,
+    expose_cap: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via the shared-shingle join.
     Correctness baseline for ``minhash_lsh_pairs``.
@@ -316,10 +330,17 @@ def ngram_jaccard_pairs(
     ``df_cap_dial`` (mutually exclusive with ``df_cap``) takes the cap as
     a 1-row corpus-derived DataFrame (``derived_df_cap``) riding in on a
     broadcast — the cap then tracks the corpus duplication profile
-    instead of being frozen at deploy time (the r11 20× finding).
+    instead of being frozen at deploy time (the r11 20× finding).  Pass
+    the string ``"derived"`` to build that dial from THIS call's pinned
+    shingle frame (one corpus explode total, not two); ``expose_cap``
+    appends the dial value as a ``df_cap`` column for hash-checking.
     """
     # pin: the exploded shingles feed both self-join sides + the sizes agg
     sh = pin(shingle_sets(docs, text_col, id_col, k))
+    if isinstance(df_cap_dial, str):
+        if df_cap_dial != "derived":
+            raise ValueError(f"unknown df_cap_dial: {df_cap_dial!r}")
+        df_cap_dial = _derived_cap_from_shingles(sh)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     if df_cap is not None or df_cap_dial is not None:
         from pyspark.sql import Window
@@ -381,9 +402,16 @@ def ngram_jaccard_pairs(
             .groupBy("id_a", "id_b")
             .agg(F.count("*").alias("shared"))
         )
-    return _jaccard_from_shared(shared, sizes).filter(
+    result = _jaccard_from_shared(shared, sizes).filter(
         F.col("jaccard") >= jaccard_threshold
     )
+    if expose_cap:
+        if df_cap_dial is None:
+            raise ValueError("expose_cap requires df_cap_dial")
+        result = result.crossJoin(
+            F.broadcast(df_cap_dial.select(F.col("__cap").alias("df_cap")))
+        )
+    return result
 
 
 def _jaccard_verify_candidates(

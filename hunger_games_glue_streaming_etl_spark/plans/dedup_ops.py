@@ -215,12 +215,16 @@ def dedup_ngram_jaccard_derived_cap(spark: SparkSession, sf_dir: str) -> DataFra
     itself is EXPOSED as the ``df_cap`` output column and the oracle
     recomputes it from the same histogram-rank definition, so the
     data-dependent cap — not just the pair set — is hash-checked (the
-    round-4 data-derived-dial rule)."""
-    docs = load_table(spark, sf_dir, "documents")
-    dial = derived_df_cap(docs)
-    pairs = ngram_jaccard_pairs(docs, df_cap_dial=dial)
-    return pairs.crossJoin(
-        F.broadcast(dial.select(F.col("__cap").alias("df_cap")))
+    round-4 data-derived-dial rule).  ``df_cap_dial="derived"`` builds
+    the dial from the screen's own pinned shingle frame — one lineage in
+    the plan (wall is unchanged at sf0.1, ~6.8 s either way: the capped
+    self-join dominates and the lazy pin means the dial broadcasts race
+    the cache fill — the r7 lesson — but the single-lineage form can't
+    drift out of sync with the screen's shingling)."""
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        df_cap_dial="derived",
+        expose_cap=True,
     )
 
 
