@@ -547,3 +547,88 @@ def test_delete_keys_crash_between_bucket_swaps_recovers_post_state(
         spark.createDataFrame([(k,) for k in doomed], "k string"), epoch_id=1
     ) == 0
     assert {r["k"] for r in fresh.read().collect()} == expect
+
+
+def test_delete_keys_crash_at_every_mutation_point(spark, tmp_path, monkeypatch):
+    """Systematic crash sweep: inject a failure at the N-th filesystem
+    mutation (rename/replace/rmtree) inside the bucketed delete's commit
+    region, for every N until a run completes — after each injected
+    crash, recovery must land the store at EXACTLY the pre-delete or the
+    post-delete key set (and at post whenever the intent journal was on
+    disk at crash time).  Covers every crash point the two targeted
+    tests hand-pick, plus the cleanup tail."""
+    import shutil as _shutil
+
+    import pytest
+
+    import hunger_games_glue_streaming_etl_spark.sinks.upsert as upsert_mod
+
+    real_rename, real_replace, real_rmtree = os.rename, os.replace, _shutil.rmtree
+
+    def build(n_path):
+        sink = ParquetLatestSink(
+            spark, n_path, keys="k", seq_cols="seq", lineage_id="sweep"
+        )
+        rows = [(f"k{i}", 1, f"v{i}") for i in range(24)]
+        sink.upsert(
+            spark.createDataFrame(rows, "k string, seq long, v string"),
+            epoch_id=0,
+        )
+        return sink
+
+    by_bucket: dict[int, list[str]] = {}
+    for i in range(24):
+        by_bucket.setdefault(_bucket(f"k{i}"), []).append(f"k{i}")
+    shared = [ks for ks in by_bucket.values() if len(ks) >= 2]
+    lones = [ks[0] for ks in by_bucket.values() if len(ks) == 1]
+    doomed = [shared[0][0], shared[1][0], lones[0]]
+    pre = {f"k{i}" for i in range(24)}
+    post = pre - set(doomed)
+
+    n = 0
+    completed_without_crash = False
+    while not completed_without_crash and n < 40:
+        n += 1
+        path = str(tmp_path / f"latest_{n}")
+        sink = build(path)
+        calls = {"n": 0}
+
+        def counting(fn):
+            def wrapper(*a, **kw):
+                # count only mutations under THIS store's tree (Spark's
+                # own temp-file renames during the staging write are the
+                # committer's business, not swap-protocol mutations)
+                target = str(a[0])
+                if path in target:
+                    calls["n"] += 1
+                    if calls["n"] == n:
+                        raise RuntimeError(f"injected crash at mutation {n}")
+                return fn(*a, **kw)
+
+            return wrapper
+
+        monkeypatch.setattr(upsert_mod.os, "rename", counting(real_rename))
+        monkeypatch.setattr(upsert_mod.os, "replace", counting(real_replace))
+        monkeypatch.setattr(upsert_mod.shutil, "rmtree", counting(real_rmtree))
+        keys_df = spark.createDataFrame([(k,) for k in doomed], "k string")
+        try:
+            sink.delete_keys(keys_df, epoch_id=1)
+            completed_without_crash = True
+        except RuntimeError as e:
+            assert "injected crash" in str(e)
+        intent_at_crash = os.path.isfile(sink._delete_intent_path())
+        monkeypatch.undo()
+
+        fresh = ParquetLatestSink(
+            spark, path, keys="k", seq_cols="seq", lineage_id="sweep"
+        )
+        state = {r["k"] for r in fresh.read().collect()}
+        assert state in (pre, post), (
+            f"mutation {n}: mixed state {sorted(pre ^ state)[:6]}..."
+        )
+        if intent_at_crash or completed_without_crash:
+            assert state == post, f"mutation {n}: intent present but pre-state"
+        assert not os.path.isfile(fresh._delete_intent_path())
+        assert not os.path.isdir(fresh._delete_staging_path())
+    assert completed_without_crash, "sweep never reached a clean run"
+    assert n >= 4, "expected several mutation points in the commit region"
