@@ -1175,3 +1175,25 @@ def test_minhash_lsh_derived_bucket_cap_recovers_group(spark):
     }
     assert group_pairs <= recovered
     assert recovered == uncapped
+
+
+def test_derived_dials_degenerate_inputs(spark):
+    """Degenerate corpora must produce well-defined dials: an empty corpus
+    yields the 64 floor (GREATEST skips the NULL min); an all-zero
+    embedding corpus yields scale 0 and the a==0 guard maps every code to
+    0 (no divide-by-zero, deterministic)."""
+    from hunger_games_glue_streaming_etl_spark.operators.dedup import derived_df_cap
+    from hunger_games_glue_streaming_etl_spark.operators.similarity import (
+        sq8_ann_topk_clipped,
+        sq8_clipped_dials,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert derived_df_cap(empty).head()[0] == 64
+
+    zeros = spark.createDataFrame(
+        [(i, [0.0] * 8) for i in range(4)], "vec_id long, embedding array<float>"
+    )
+    assert sq8_clipped_dials(zeros).head()[0] == 0.0
+    rows = sq8_ann_topk_clipped(zeros, [0.0] * 8, k=3).collect()
+    assert [r["sq8_score"] for r in rows] == [0, 0, 0]
