@@ -131,6 +131,55 @@ def dedup_cluster_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "split_by_near_dup_cluster",
+    oracle=f"""
+    {_COMPONENTS_SQL}
+    SELECT doc_id, component_id,
+           CASE WHEN CAST(('0x' || substr(md5('0:' ||
+                          CAST(component_id AS VARCHAR)), 1, 12))
+                     AS BIGINT) % 100 < 90
+                THEN 'train' ELSE 'holdout' END AS split
+    FROM lab
+    """,
+)
+def split_by_near_dup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/holdout split: hash the near-dup CLUSTER label,
+    not the document id, so a duplicate family can never straddle the
+    boundary.  The naive per-doc split (``split_train_holdout``) puts
+    ~10% of each near-dup family in holdout — the classic
+    train/test-contamination leak (a model evaluated on a holdout doc
+    whose near-twin it trained on scores inflated); splitting by
+    ``component_id`` moves whole families together while singletons
+    (component = own id) behave exactly like the per-doc split.
+
+    Same scale shape as ``dedup_cluster_components`` (the label
+    propagation dominates; the split itself is one hash on the already-
+    computed label) and the same nested-oracle discipline: the recursive
+    CTE replays the identical edge set, then applies the identical
+    portable hash to the label — doc membership AND split assignment are
+    hash-checked end to end."""
+    from ..functions.text import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs)
+    labels = connected_components(
+        docs.select("doc_id"),
+        pairs.select("id_a", "id_b"),
+        id_col="doc_id",
+        src_col="id_a",
+        dst_col="id_b",
+    )
+    bucket = F.pmod(
+        portable_hash64(F.col("component_id").cast("string")), F.lit(100)
+    )
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        "component_id",
+        F.when(bucket < 90, "train").otherwise("holdout").alias("split"),
+    )
+
+
+@register(
     "dedup_cluster_components_star",
     oracle=f"""
     {_COMPONENTS_SQL}

@@ -1197,3 +1197,67 @@ def test_derived_dials_degenerate_inputs(spark):
     assert sq8_clipped_dials(zeros).head()[0] == 0.0
     rows = sq8_ann_topk_clipped(zeros, [0.0] * 8, k=3).collect()
     assert [r["sq8_score"] for r in rows] == [0, 0, 0]
+
+
+def test_cluster_split_keeps_families_intact_where_doc_split_leaks(spark):
+    """The leak `split_by_near_dup_cluster` exists to prevent,
+    demonstrated: hash-splitting by doc_id straddles some near-dup
+    family across train/holdout (training on a holdout doc's near-twin),
+    while hash-splitting by the family's component label moves whole
+    families together — every component is single-split by construction,
+    and singletons keep per-doc behavior."""
+    from hunger_games_glue_streaming_etl_spark.functions.text import (
+        portable_hash64,
+    )
+    from hunger_games_glue_streaming_etl_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from hunger_games_glue_streaming_etl_spark.operators.graph import (
+        connected_components,
+    )
+    from pyspark.sql import functions as F
+
+    # 40 near-dup families of 4 (shared phrase + tiny suffix) — enough
+    # families that a 90/10 doc-hash split almost surely cuts one
+    docs = []
+    for fam in range(40):
+        base = " ".join(f"fam{fam}tok{j}" for j in range(12))
+        for m in range(4):
+            docs.append((fam * 10 + m, f"{base} suffix{m}"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    pairs = minhash_lsh_pairs(df)
+    labels = connected_components(
+        df.select("doc_id"), pairs.select("id_a", "id_b"),
+        id_col="doc_id", src_col="id_a", dst_col="id_b",
+    )
+    # families actually detected as one component (LSH recall < 1.0 on
+    # low-overlap suffixes is fine — the leak claim needs only the
+    # detected multi-member components)
+    doc_split = F.when(
+        F.pmod(portable_hash64(F.col("node").cast("string")), F.lit(100)) < 90,
+        "train",
+    ).otherwise("holdout")
+    cluster_split = F.when(
+        F.pmod(
+            portable_hash64(F.col("component_id").cast("string")), F.lit(100)
+        ) < 90,
+        "train",
+    ).otherwise("holdout")
+    per_component = (
+        labels.select("node", "component_id", doc_split.alias("by_doc"),
+                      cluster_split.alias("by_cluster"))
+        .groupBy("component_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("by_doc").alias("doc_sides"),
+            F.countDistinct("by_cluster").alias("cluster_sides"),
+        )
+        .filter(F.col("n") > 1)
+        .collect()
+    )
+    assert per_component, "fixture must yield multi-member components"
+    # cluster split: NO family straddles
+    assert all(r["cluster_sides"] == 1 for r in per_component)
+    # doc split: at least one family leaks across the boundary
+    assert any(r["doc_sides"] > 1 for r in per_component)

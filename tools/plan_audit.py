@@ -47,6 +47,7 @@ SKIP_EXECUTING = {
     "dedup_cluster_components",
     "dedup_cluster_components_star",
     "dedup_cluster_canonical_keep",
+    "split_by_near_dup_cluster",
     "pipeline_near_dedup",
     "graph_pagerank_trade",
     # round-trip scans write files at build time
