@@ -180,3 +180,162 @@ def oracle_sql() -> str:
            replace(trim(s), '  ', ' ') AS token_str
     FROM fin
     """
+
+
+# ---- distributed BPE merge-table TRAINING -----------------------------------
+
+_TRAIN_MAX_CHARS = 64
+_TRAIN_SAMPLE_MOD = 4
+
+
+def _train_clean(col):
+    """Spark twin of the training normalization (lowercase, [a-z ] only,
+    collapsed/trimmed whitespace, '_' word joints, first
+    ``_TRAIN_MAX_CHARS`` chars) — the oracle replays it with DuckDB's
+    'g'-flagged regexp_replace."""
+    from pyspark.sql import functions as F
+
+    c = F.regexp_replace(F.lower(col), "[^a-z ]", "")
+    c = F.trim(F.regexp_replace(c, " +", " "))
+    return F.substring(F.translate(c, " ", "_"), 1, _TRAIN_MAX_CHARS)
+
+
+def bpe_train_merges(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sample_mod: int = _TRAIN_SAMPLE_MOD,
+) -> DataFrame:
+    """Learn a BPE merge table FROM the corpus, distributed — the
+    learned-vocab counterpart this module's encode docstring promises
+    (production pipelines train the table on a corpus sample, then
+    encode with ``bpe_encode_frame``-style projection).
+
+    Canonical BPE training loop (Sennrich et al., public spec), with two
+    cross-engine determinism constraints:
+
+    * candidate pairs require ``left != right`` — occurrences of such a
+      pair are provably disjoint (overlap needs left == right), so
+      "merge all occurrences" is a set-oriented window expression with
+      NO sequential scan: flag rows where (tok, next) equals the merge,
+      drop rows whose PREDECESSOR was flagged (they were consumed),
+      rewrite flagged tokens to the concatenation.  Same rule as the
+      encode path's double-space replace.
+    * argmax tiebreak is total: highest count, then (left, right)
+      lexicographic binary ascending — identical in both engines.
+
+    Distribution shape: per round, pair counting is one lead-window +
+    hash aggregate over (doc, pos, tok) longs/short-strings; ONLY the
+    single argmax row reaches the driver (the IVF-seed dial pattern),
+    and each round ends in ``localCheckpoint(eager=True)`` — the r4
+    iterative-loop rule, and each round's argmax is an action so an
+    untruncated plan would re-execute every prior round per collect.
+    Training samples ``doc_id % sample_mod == 0`` prefixes
+    (tokenizer training on a corpus sample is standard practice); the
+    sample and the 64-char prefix bound the per-round cost at any
+    corpus size — at 100 TB you'd raise both knobs, not the algorithm.
+
+    Returns one row per learned merge: (merge_rank, merge_left,
+    merge_right, pair_count) — pair_count is the distributed aggregate
+    at learn time, so the gate checks the counting, not just the table.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    d0 = (
+        docs.filter(F.pmod(F.col(id_col), F.lit(sample_mod)) == 0)
+        .select(F.col(id_col).alias("doc_id"), _train_clean(F.col(text_col)).alias("s"))
+        .filter(F.length("s") >= 1)
+    )
+    seq = d0.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("s"))).alias("pos"),
+        F.expr("substr(s, pos, 1)").alias("tok"),
+    ).localCheckpoint(eager=True)
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        with_next = seq.withColumn("__next", F.lead("tok").over(w))
+        best_rows = (
+            with_next.filter(
+                F.col("__next").isNotNull() & (F.col("tok") != F.col("__next"))
+            )
+            .groupBy("tok", "__next")
+            .agg(F.count("*").alias("c"))
+            .orderBy(F.desc("c"), "tok", "__next")
+            .limit(1)
+            .collect()
+        )
+        if not best_rows:  # corpus exhausted (cannot happen on real text)
+            break
+        a, b, c = best_rows[0]["tok"], best_rows[0]["__next"], best_rows[0]["c"]
+        merges.append((rank, a, b, int(c)))
+        flag = F.coalesce(
+            (F.col("tok") == a) & (F.col("__next") == b), F.lit(False)
+        )
+        seq = (
+            with_next.withColumn("__flag", flag)
+            .withColumn("__consumed", F.coalesce(F.lag("__flag").over(w), F.lit(False)))
+            .filter(~F.col("__consumed"))
+            .select(
+                "doc_id",
+                "pos",
+                F.when(F.col("__flag"), F.lit(a + b)).otherwise(F.col("tok")).alias("tok"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        merges, "merge_rank int, merge_left string, merge_right string, pair_count long"
+    )
+
+
+def train_oracle_sql(n_merges: int = 8) -> str:
+    """DuckDB replay of ``bpe_train_merges``: the n rounds unrolled as
+    chained CTEs generated from the same constants, so the two engines'
+    normalization, pair counting, argmax tiebreak, and merge application
+    cannot diverge."""
+    parts = [
+        f"""r0 AS (
+        SELECT doc_id, gs.g AS pos, substr(s, gs.g, 1) AS tok
+        FROM (
+            SELECT doc_id,
+                   substr(replace(trim(regexp_replace(
+                       regexp_replace(lower(text), '[^a-z ]', '', 'g'),
+                       ' +', ' ', 'g')), ' ', '_'), 1, {_TRAIN_MAX_CHARS}) AS s
+            FROM documents WHERE doc_id % {_TRAIN_SAMPLE_MOD} = 0
+        ) d0
+        CROSS JOIN unnest(generate_series(1, length(s))) AS gs(g)
+    )"""
+    ]
+    for k in range(n_merges):
+        parts.append(f"""n{k} AS (
+        SELECT doc_id, pos, tok,
+               LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        FROM r{k}
+    )""")
+        parts.append(f"""m{k} AS (
+        SELECT tok AS a, nxt AS b, CAST(COUNT(*) AS BIGINT) AS c
+        FROM n{k} WHERE nxt IS NOT NULL AND tok <> nxt
+        GROUP BY 1, 2 ORDER BY c DESC, a, b LIMIT 1
+    )""")
+        parts.append(f"""r{k + 1} AS (
+        SELECT doc_id, pos,
+               CASE WHEN flg THEN a || b ELSE tok END AS tok
+        FROM (
+            SELECT n.doc_id, n.pos, n.tok, m.a, m.b,
+                   COALESCE(n.tok = m.a AND n.nxt = m.b, FALSE) AS flg,
+                   COALESCE(LAG(COALESCE(n.tok = m.a AND n.nxt = m.b, FALSE))
+                            OVER (PARTITION BY n.doc_id ORDER BY n.pos),
+                            FALSE) AS consumed
+            FROM n{k} n CROSS JOIN m{k} m
+        )
+        WHERE NOT consumed
+    )""")
+    final = "\nUNION ALL\n".join(
+        f"SELECT {k} AS merge_rank, a AS merge_left, b AS merge_right, c AS pair_count FROM m{k}"
+        for k in range(n_merges)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n" + final

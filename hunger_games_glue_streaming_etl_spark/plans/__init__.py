@@ -61,6 +61,7 @@ _SAMPLE_FIRST = [
     "sim_sq8_clipped_recall_check",
     "dedup_ngram_jaccard_derived_cap",
     "split_by_near_dup_cluster",
+    "text_bpe_train_merges",
     # changed this round (crash-atomic bucketed delete; derived caps)
     "merge_delete_forgotten",
     # the 42-entry r6-stale cohort (newest green row = CORRECTNESS_r06)

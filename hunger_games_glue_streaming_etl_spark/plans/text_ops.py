@@ -107,6 +107,30 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode_frame(docs)
 
 
+def _bpe_train_oracle() -> str:
+    from ..operators import bpe
+
+    return bpe.train_oracle_sql()
+
+
+@register("text_bpe_train_merges", oracle=_bpe_train_oracle())
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge-table TRAINING — the learned-vocab
+    counterpart ``text_bpe_encode``'s docstring promises: 8 canonical
+    merge-learning rounds over a deterministic corpus sample, each round
+    one lead-window pair count (distributed) + a 1-row argmax dial +
+    a set-oriented merge application (left != right makes occurrences
+    provably disjoint, so merge-all is a window expression, no
+    sequential scan; rounds are localCheckpoint-truncated per the r4
+    iterative rule).  The oracle unrolls the SAME 8 rounds as generated
+    chained CTEs (``operators/bpe.py:train_oracle_sql``) — normalization,
+    counting, tiebreak, and application replayed identically, so the
+    learned table AND its learn-time pair counts hash-check."""
+    from ..operators.bpe import bpe_train_merges
+
+    return bpe_train_merges(load_table(spark, sf_dir, "documents"))
+
+
 def _lang_score_sql(lang: str) -> str:
     markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
     return f"len(list_filter({_TOKS}, t -> t IN ({markers})))"

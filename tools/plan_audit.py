@@ -48,6 +48,8 @@ SKIP_EXECUTING = {
     "dedup_cluster_components_star",
     "dedup_cluster_canonical_keep",
     "split_by_near_dup_cluster",
+    # BPE training loop: per-round argmax dials execute at build
+    "text_bpe_train_merges",
     "pipeline_near_dedup",
     "graph_pagerank_trade",
     # round-trip scans write files at build time
