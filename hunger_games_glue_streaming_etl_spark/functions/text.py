@@ -286,6 +286,34 @@ def winnowing_window_minima(hashes_col: Column, window: int = 8) -> Column:
     )
 
 
+def winnowing_anchor_positions(hashes_col: Column, window: int = 8) -> Column:
+    """Stage 2 variant keeping POSITIONS, not just values: the distinct
+    1-based gram positions winnowing selects — for window j the position
+    of the window's minimum hash (leftmost on a hash tie, mirrored by
+    DuckDB's ``list_position`` first-occurrence rule).  Positions are what
+    the unaligned passage-dedup entries need for keep-first semantics:
+    the anchor's HASH finds the shared passage at any alignment, the
+    position says where in the document it sits.  ~2 anchors per window
+    survive the distinct (the winnowing density bound), so rows stay
+    O(n/window) per document.  Same O(n·window) cost discipline as
+    ``winnowing_window_minima`` — the caller must pin ``hashes_col``'s
+    frame first (see the barrier comment above)."""
+    n_windows = F.greatest(F.size(hashes_col) - window + 1, F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda j: (
+                j
+                - 1
+                + F.array_position(
+                    F.slice(hashes_col, j, window),
+                    F.array_min(F.slice(hashes_col, j, window)),
+                )
+            ).cast("long"),
+        )
+    )
+
+
 # ---- PII scrubbing ---------------------------------------------------------
 #
 # Regex-based detection/redaction of the classic PII shapes a pretraining

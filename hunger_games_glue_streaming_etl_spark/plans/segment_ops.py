@@ -149,3 +149,178 @@ def text_segment_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tokens_kept"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# UNALIGNED repeated-passage detection (VERDICT r12 next #1 — the ExactSubstr
+# shape).  The fixed-grid entries above hash segments at positions 0, 16,
+# 32, …, so a passage copied at an offset not ≡ 0 (mod 16) shares NO segment
+# with its source and is invisible — the planted test
+# ``test_unaligned_copy_invisible_to_aligned_segments`` proves it.  The fix is
+# the suffix-array family's practical reduction: hash EVERY stride-1 rolling
+# K-token window (so a copy at any offset shares all interior window hashes),
+# then winnow (per-W-window minimum, positions kept) so each document
+# contributes ~2 rows per W-window instead of one per token — the
+# Schleimer/Wilkerson/Aiken density bound.  Winnowing guarantee: any shared
+# run of ≥ K+W−1 tokens shares at least one selected ANCHOR HASH, regardless
+# of alignment.  Scale shape: grams are hashed map-side (48-bit portable
+# hash — passage text never crosses a shuffle); the anchor aggregate is ONE
+# shuffle on the compact hash; per-doc rollups shuffle doc_id longs.
+# ---------------------------------------------------------------------------
+
+ROLL_TOKENS = 16  # rolling window width (tokens) — matches SEGMENT_TOKENS
+WINNOW_W = 8  # winnowing window (grams): guarantee run length = 16+8-1 = 23
+
+_ROLL_GRAM = "concat_ws(' ', " + ", ".join(
+    f"w[i+{off}]" for off in range(ROLL_TOKENS)
+) + ")"
+
+# doc_id, pos (1-based gram position), gh for every winnowing-selected anchor
+_ANCHORS_SQL = f"""
+    words AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+    hsx AS (
+        SELECT doc_id,
+               list_transform(
+                   range(1, GREATEST(len(w) - {ROLL_TOKENS} + 1, 1) + 1),
+                   i -> {_phash_sql(_ROLL_GRAM)}) AS hs
+        FROM words
+    ),
+    sel AS (
+        SELECT doc_id, hs,
+               unnest(list_distinct(list_transform(
+                   range(1, GREATEST(len(hs) - {WINNOW_W} + 1, 1) + 1),
+                   j -> CAST(j - 1 + list_position(hs[j:j+{WINNOW_W - 1}],
+                                 list_min(hs[j:j+{WINNOW_W - 1}])) AS BIGINT))))
+                   AS pos
+        FROM hsx
+    ),
+    anch AS (SELECT doc_id, pos, hs[pos] AS gh FROM sel)
+"""
+
+
+def _anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, gh) winnowing anchors over stride-1 rolling
+    ROLL_TOKENS-grams.  Two pinned stages (the mandatory O(n²)-avoidance
+    barriers — see functions/text.py): tokens, then gram hashes; the
+    anchor-position selection reads the hash array as a plain attribute,
+    so each window costs O(W) slices, not re-hashing."""
+    from ..caching import pin
+    from ..functions.text import (
+        winnowing_anchor_positions,
+        winnowing_gram_hashes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = pin(docs.select("doc_id", tokens("text").alias("__w")))
+    hashed = pin(
+        toks.select(
+            "doc_id",
+            winnowing_gram_hashes(F.col("__w"), k=ROLL_TOKENS).alias("__hs"),
+        )
+    )
+    # map positions → (pos, hash) structs BEFORE the explode: exploded rows
+    # carry 16 bytes each instead of the whole per-doc hash array (the r12
+    # token-budget rule — generator output must not copy O(doc) payload per
+    # row).  __hs is a pinned plain attribute, so element_at inside the
+    # transform is an O(1) read, not a re-evaluated expression.
+    anchor_structs = F.transform(
+        winnowing_anchor_positions(F.col("__hs"), window=WINNOW_W),
+        lambda p: F.struct(
+            p.alias("pos"),
+            F.element_at(F.col("__hs"), p.cast("int")).alias("gh"),
+        ),
+    )
+    return hashed.select(
+        "doc_id", F.explode(anchor_structs).alias("__a")
+    ).select("doc_id", F.col("__a.pos").alias("pos"), F.col("__a.gh").alias("gh"))
+
+
+@register(
+    "text_duplicate_passages_unaligned",
+    oracle=f"""
+    WITH {_ANCHORS_SQL},
+    grp AS (
+        SELECT gh, doc_id, pos,
+               MIN(doc_id) OVER (PARTITION BY gh) AS fd
+        FROM anch
+    )
+    SELECT gh AS anchor_hash,
+           CAST(COUNT(*) AS BIGINT) AS n_anchors,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS first_doc,
+           CAST(MIN(CASE WHEN doc_id = fd THEN pos END) AS BIGINT) AS first_pos
+    FROM grp
+    GROUP BY gh
+    HAVING COUNT(*) > 1
+    """,
+)
+def text_duplicate_passages_unaligned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated passages at ANY alignment: every winnowing anchor hash
+    selected at more than one (doc, position) — the removal list an
+    ExactSubstr-style corpus scrub applies, with keep-first attribution
+    (the smallest (doc_id, pos) owner).  A passage copied at offset +7
+    tokens — invisible to ``text_duplicate_segments``'s fixed 16-token
+    grid — shares every interior rolling gram with its source, and
+    winnowing selects at least one common anchor per ≥23-token shared
+    run (guarantee pinned in tests/test_passage_unaligned.py)."""
+    anch = _anchors(spark, sf_dir)
+    w_first = Window.partitionBy("gh")
+    grp = anch.select(
+        "gh", "doc_id", "pos", F.min("doc_id").over(w_first).alias("fd")
+    )
+    return (
+        grp.groupBy(F.col("gh").alias("anchor_hash"))
+        .agg(
+            F.count("*").alias("n_anchors"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.min(F.when(F.col("doc_id") == F.col("fd"), F.col("pos")))
+            .cast("long")
+            .alias("first_pos"),
+        )
+        .filter(F.col("n_anchors") > 1)
+    )
+
+
+@register(
+    "text_passage_dedup_unaligned_stats",
+    oracle=f"""
+    WITH {_ANCHORS_SQL},
+    marked AS (
+        SELECT doc_id,
+               COUNT(*) OVER (PARTITION BY gh) AS n_occ,
+               ROW_NUMBER() OVER (
+                   PARTITION BY gh ORDER BY doc_id, pos
+               ) AS rn
+        FROM anch
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_anchors,
+           CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_anchors,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM marked
+    GROUP BY doc_id
+    """,
+)
+def text_passage_dedup_unaligned_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unaligned-passage outcome under keep-FIRST semantics
+    (first = smallest (doc_id, pos), same convention as the aligned
+    entry): how many of the doc's anchors are corpus-duplicated and how
+    many it owns as first occurrences — the per-doc score an ExactSubstr
+    scrub thresholds on (a doc whose anchors are mostly non-first is
+    mostly copied text).  Covers every document (singleton anchors count
+    as kept), so the entry can never be vacuous."""
+    anch = _anchors(spark, sf_dir)
+    w_cnt = Window.partitionBy("gh")
+    w_rn = Window.partitionBy("gh").orderBy("doc_id", "pos")
+    marked = anch.select(
+        "doc_id",
+        F.count("*").over(w_cnt).alias("n_occ"),
+        F.row_number().over(w_rn).alias("rn"),
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_anchors"),
+        F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0)).alias("n_dup_anchors"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+    )
