@@ -976,6 +976,32 @@ def ivf_scaled_dials(
     return n_cells, n_probe
 
 
+def pq_scaled_refine(
+    n_rows: int,
+    rows_per_refine: int = 125,
+    min_refine: int = 4,
+    max_refine: int = 64,
+) -> int:
+    """Corpus-derived PQ refine multiplier — the ``ivf_scaled_dials``
+    pattern applied to PQ's re-rank band (VERDICT r12 next #4: the fixed
+    dials cliffed when finally swept).  Measured recall@10 of the fixed
+    refine=4: 8/10 at sf0.01, **4/10 at sf0.1** (below the entry's ≥5
+    floor — the first notch where the 16-code LUT's first-pass order
+    degrades), **0/10 at 50×** (the offset-outlier geometry collapses
+    subspace-0 resolution exactly like un-refined SQ8).  The failure is
+    always the same shape: the LUT ORDER among near-ties is noise, so
+    the fix is a candidate band that grows with the corpus —
+
+        refine = clamp(min_refine, max_refine, n_rows // rows_per_refine)
+
+    i.e. the exact re-rank touches ~k·n/125 rows up to a 640-row cap:
+    measured 8/10 (sf0.01, refine=4), 9/10 (sf0.1, refine=16), 10/10
+    (20×, refine=64), 10/10 (50×, refine=64) — BASELINE.md round-13.
+    Cost stays metadata-scale: the cap bounds the exact-dot pass at
+    max_refine·k rows no matter the corpus."""
+    return max(min_refine, min(max_refine, n_rows // rows_per_refine))
+
+
 def sq8_clipped_dials(
     embeddings: DataFrame,
     vec_col: str = "embedding",
@@ -1091,6 +1117,53 @@ def sq8_ann_topk_clipped(
         ).alias("sq8_score"),
     )
     return scored.orderBy(F.desc("sq8_score"), F.col(id_col)).limit(k)
+
+
+def sq8_ann_topk_refined(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    refine: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    permille: int = 995,
+) -> DataFrame:
+    """SQ8 ANN with an exact-dot REFINE pass — the quantizer tier that
+    survives geometry 8-bit codes alone cannot rank (VERDICT r12 next #3).
+
+    The 50× offset-outlier finding (BASELINE.md round-12): once an outlier
+    dimension inflates even the CLIPPED scale ~6×, a collinear family's
+    0.173-step spacing falls below one int8 quantization step, so the
+    first-pass ORDER of family members is noise — no global scale fixes
+    that.  What quantization noise cannot destroy is the candidate SET:
+    the family's scores still separate from the rest of the corpus by
+    many steps.  So the fix is PQ's refine pattern applied to SQ8
+    (FAISS's ``IndexRefineFlat``): scan int8 codes for the top
+    ``refine·k`` candidates (all the IO/compute savings of the 4×-smaller
+    codes), then re-rank only those ~80 rows with the exact float dot.
+    Recall then depends on the candidate set containing the true top-k —
+    a band ~refine·k wide — instead of on int8 resolving sub-step order.
+
+    Fully bit-deterministic end to end: the clipped first pass is the
+    hash-exact ``sq8_ann_topk_clipped`` scan (deterministic (score, id)
+    candidate order), and the re-rank is the sequential double-double
+    dot both engines reproduce — so the REFINED top-k is hash-checked
+    directly, not band-checked.  Scale shape: code scan + k·refine-row
+    broadcast + exact dots on refine·k rows; nothing quadratic."""
+    cand = sq8_ann_topk_clipped(
+        embeddings, query_vec, k=k * refine, vec_col=vec_col, id_col=id_col,
+        permille=permille,
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        embeddings.join(F.broadcast(cand.select(id_col)), id_col)
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
 
 
 def frozen_index_assign(

@@ -59,6 +59,10 @@ CALIBRATED_BANDS = {
     # future fixture geometry may legitimately degrade them
     "sim_ivf_ann_topk_scaled_probe",
     "sim_sq8_clipped_recall_check",
+    # round-13 tier: exact-dot refine bands (measured 10/10 through 50×
+    # where the un-refined clipped scan and fixed-refine PQ measure 0/10)
+    "sim_sq8_refined_recall_check",
+    "sim_pq_scaled_refine_recall_check",
 }
 
 # entries whose boolean columns are STATISTICAL-GUARANTEE bands (estimator
@@ -151,14 +155,24 @@ def main() -> None:
 
             df = QUERIES[e](spark, scaled_dir)
             bool_cols = [c for c, t in df.dtypes if t == "boolean"]
+            # count rows in the SAME agg: bool_and over an empty result is
+            # NULL, so a band entry that degenerates to 0 rows at scale
+            # would otherwise read as green — a vacuous pass (ADVICE r12)
             agg = df.agg(
-                *[_F.bool_and(_F.col(c)).alias(c) for c in bool_cols]
+                _F.count(_F.lit(1)).alias("__n"),
+                *[_F.bool_and(_F.col(c)).alias(c) for c in bool_cols],
             ).collect()[0]
+            if agg["__n"] == 0:
+                results[e]["band_vacuous_at_scale"] = True
+                print(
+                    json.dumps({"entry": e, "BAND_VACUOUS_AT_SCALE": True}),
+                    flush=True,
+                )
             bad = [c for c in bool_cols if agg[c] is False]
             if e in CALIBRATED_BANDS:
                 results[e]["calibrated_band_degraded_at_scale"] = bool(bad)
             else:
-                results[e]["bands_green_at_scale"] = not bad
+                results[e]["bands_green_at_scale"] = not bad and agg["__n"] > 0
                 if bad:
                     print(
                         json.dumps({"entry": e, "BAND_FAILURES_AT_SCALE": bad}),
