@@ -179,6 +179,89 @@ def split_by_near_dup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DERIVED_PAIRS_SQL = ORACLE["dedup_ngram_jaccard_derived_cap"]
+
+_FAMILY_COMPONENTS_SQL = f"""
+    WITH RECURSIVE pairs AS (
+        {_DERIVED_PAIRS_SQL}
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.label
+        FROM reach r JOIN edges e ON r.node = e.src
+    ),
+    lab AS (
+        SELECT node AS doc_id, MIN(label) AS component_id
+        FROM reach GROUP BY node
+    ),
+    fam AS (
+        SELECT doc_id, component_id,
+               COUNT(*) OVER (PARTITION BY component_id) AS family_size
+        FROM lab
+    )
+"""
+
+
+@register(
+    "dedup_family_canonical_pairs",
+    oracle=f"""
+    {_FAMILY_COMPONENTS_SQL}
+    SELECT component_id AS anchor_id, doc_id AS member_id,
+           CAST(family_size AS BIGINT) AS family_size
+    FROM fam WHERE doc_id <> component_id
+    """,
+)
+def dedup_family_canonical_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUTPUT-BUDGETED form of the derived-cap screen (VERDICT r12 next
+    #7): a replica family of multiplicity m is m(m−1)/2 mutual pairs in
+    ``dedup_ngram_jaccard_derived_cap`` — genuinely quadratic output by
+    construction (1.05M pairs at 20×).  A 100 TB scrub doesn't need them:
+    the action taken per family is "keep the anchor, drop/link the
+    members", which needs exactly one (anchor, member) row per member.
+    This entry closes the pair set transitively (the existing
+    cluster-components machinery — min-label propagation, per-round
+    lineage truncation) and emits ONE canonical pair per non-anchor
+    member: output grows ~k·families under k× replication instead of k².
+    The family-recall contract is unchanged — every doc touched by any
+    derived-cap pair appears, and two docs share an anchor iff the pair
+    graph connects them (pinned in
+    ``test_family_canonical_pairs_cover_quadratic_screen``).  The oracle
+    nests the registered derived-cap pairs SQL inside a recursive CTE,
+    so edge definitions (including the corpus-derived cap dial) cannot
+    diverge between engines."""
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, df_cap_dial="derived")
+    labels = connected_components(
+        docs.select("doc_id"),
+        pairs.select("id_a", "id_b"),
+        id_col="doc_id",
+        src_col="id_a",
+        dst_col="id_b",
+    )
+    from pyspark.sql import Window
+
+    fam = labels.select(
+        F.col("node").alias("doc_id"),
+        "component_id",
+        F.count("*")
+        .over(Window.partitionBy("component_id"))
+        .alias("family_size"),
+    )
+    return fam.filter(F.col("doc_id") != F.col("component_id")).select(
+        F.col("component_id").alias("anchor_id"),
+        F.col("doc_id").alias("member_id"),
+        F.col("family_size").cast("long").alias("family_size"),
+    )
+
+
 @register(
     "dedup_cluster_components_star",
     oracle=f"""

@@ -1261,3 +1261,44 @@ def test_cluster_split_keeps_families_intact_where_doc_split_leaks(spark):
     assert all(r["cluster_sides"] == 1 for r in per_component)
     # doc split: at least one family leaks across the boundary
     assert any(r["doc_sides"] > 1 for r in per_component)
+
+
+def test_family_canonical_pairs_cover_quadratic_screen(spark, monkeypatch):
+    """The output-budgeted family entry must preserve the quadratic
+    screen's family-recall contract: same doc coverage, same partition
+    into families (two docs share an anchor iff the pair graph connects
+    them) — with ~k rows per family instead of k²."""
+    import hunger_games_glue_streaming_etl_spark.plans.graph_ops as go
+    from hunger_games_glue_streaming_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    base_a = " ".join(f"a{i:03d}" for i in range(60))
+    base_b = " ".join(f"b{i:03d}" for i in range(60))
+    rows = [(i, f"rep{i} " + base_a) for i in range(6)]          # family A, m=6
+    rows += [(10 + i, f"rep{i} " + base_b) for i in range(4)]    # family B, m=4
+    rows += [(100, " ".join(f"u{i:03d}" for i in range(60)))]    # singleton
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    monkeypatch.setattr(go, "load_table", lambda s_, d_, n_: docs)
+
+    quad = ngram_jaccard_pairs(docs, df_cap_dial="derived").collect()
+    quad_docs = {r["id_a"] for r in quad} | {r["id_b"] for r in quad}
+    # quadratic output: m(m-1)/2 per family
+    assert len(quad) == 6 * 5 // 2 + 4 * 3 // 2
+
+    out = go.dedup_family_canonical_pairs(spark, "unused").collect()
+    # budgeted output: m-1 rows per family
+    assert len(out) == 5 + 3
+    cov = {r["anchor_id"] for r in out} | {r["member_id"] for r in out}
+    assert cov == quad_docs  # every pair-touched doc appears, nothing else
+    fam = {}
+    for r in out:
+        fam[r["member_id"]] = r["anchor_id"]
+        fam[r["anchor_id"]] = r["anchor_id"]
+    # connectivity preserved: every quadratic pair lands in one family
+    assert all(fam[r["id_a"]] == fam[r["id_b"]] for r in quad)
+    # anchors are family minima; sizes include the anchor
+    assert {r["anchor_id"] for r in out} == {0, 10}
+    assert all(
+        r["family_size"] == (6 if r["anchor_id"] == 0 else 4) for r in out
+    )
