@@ -185,7 +185,27 @@ def oracle_sql() -> str:
 # ---- distributed BPE merge-table TRAINING -----------------------------------
 
 _TRAIN_MAX_CHARS = 64
-_TRAIN_SAMPLE_MOD = 4
+# training-sample budget: the sample targets ~_TRAIN_TARGET_DOCS documents
+# (each contributing ≤ _TRAIN_MAX_CHARS chars), so training cost is BOUNDED
+# at any corpus size — 125 docs × 64 chars ≈ 8k training tokens per round —
+# instead of scaling with the corpus the way the old fixed mod=4 did
+# (VERDICT r12 next #6: the round-4 corpus-derived-dial rule applied to the
+# trainer's own sample).  125 divides the 500-doc oracle fixtures to the
+# historical mod=4 exactly, so learned tables at sf0.001/0.01 are unchanged.
+_TRAIN_TARGET_DOCS = 125
+
+
+def derived_sample_mod(n_docs: int) -> int:
+    """Corpus-derived training-sample modulus: ``max(1, n_docs // 125)``.
+    Same integer expression both engines replay (the oracle computes it as
+    ``GREATEST(1, (SELECT COUNT(*) FROM documents) // 125)``), so the
+    sampled doc set — and therefore the learned merge table — stays
+    hash-checked while the sample SIZE stays ~constant as the corpus
+    grows."""
+    return max(1, n_docs // _TRAIN_TARGET_DOCS)
+
+
+_SAMPLE_MOD_SQL = f"GREATEST(1, (SELECT COUNT(*) FROM documents) // {_TRAIN_TARGET_DOCS})"
 
 
 def _train_clean(col):
@@ -205,7 +225,7 @@ def bpe_train_merges(
     n_merges: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
-    sample_mod: int = _TRAIN_SAMPLE_MOD,
+    sample_mod: int | None = None,
 ) -> DataFrame:
     """Learn a BPE merge table FROM the corpus, distributed — the
     learned-vocab counterpart this module's encode docstring promises
@@ -232,9 +252,14 @@ def bpe_train_merges(
     iterative-loop rule, and each round's argmax is an action so an
     untruncated plan would re-execute every prior round per collect.
     Training samples ``doc_id % sample_mod == 0`` prefixes
-    (tokenizer training on a corpus sample is standard practice); the
-    sample and the 64-char prefix bound the per-round cost at any
-    corpus size — at 100 TB you'd raise both knobs, not the algorithm.
+    (tokenizer training on a corpus sample is standard practice);
+    ``sample_mod=None`` derives the modulus from the corpus row count
+    (``derived_sample_mod``: ~125 sampled docs at any scale), so the
+    per-round cost is a CONSTANT training-token budget rather than a
+    corpus-proportional one — at 100 TB you'd raise the target, not
+    the algorithm.  The count() dial is one bounded action up front
+    (the IVF-dial pattern); the oracle recomputes the same modulus
+    from COUNT(*).
 
     Returns one row per learned merge: (merge_rank, merge_left,
     merge_right, pair_count) — pair_count is the distributed aggregate
@@ -243,6 +268,8 @@ def bpe_train_merges(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    if sample_mod is None:
+        sample_mod = derived_sample_mod(docs.count())
     d0 = (
         docs.filter(F.pmod(F.col(id_col), F.lit(sample_mod)) == 0)
         .select(F.col(id_col).alias("doc_id"), _train_clean(F.col(text_col)).alias("s"))
@@ -305,7 +332,7 @@ def train_oracle_sql(n_merges: int = 8) -> str:
                    substr(replace(trim(regexp_replace(
                        regexp_replace(lower(text), '[^a-z ]', '', 'g'),
                        ' +', ' ', 'g')), ' ', '_'), 1, {_TRAIN_MAX_CHARS}) AS s
-            FROM documents WHERE doc_id % {_TRAIN_SAMPLE_MOD} = 0
+            FROM documents WHERE doc_id % ({_SAMPLE_MOD_SQL}) = 0
         ) d0
         CROSS JOIN unnest(generate_series(1, length(s))) AS gs(g)
     )"""

@@ -32,14 +32,15 @@ def test_bpe_train_token_conservation(spark):
     from pyspark.sql import functions as F
 
     from hunger_games_glue_streaming_etl_spark.operators.bpe import (
-        _TRAIN_SAMPLE_MOD,
         _train_clean,
         bpe_train_merges,
     )
 
+    # 12 docs => derived_sample_mod = 1, every doc sampled (ids stay on the
+    # historical stride-4 grid so the planted corpus is unchanged)
     docs = spark.createDataFrame(
         [
-            (i * _TRAIN_SAMPLE_MOD, f"the table value fast data scan row part {i}")
+            (i * 4, f"the table value fast data scan row part {i}")
             for i in range(12)
         ],
         "doc_id long, text string",
@@ -63,3 +64,27 @@ def test_bpe_train_token_conservation(spark):
         ]
     final_len = sum(len(t) for t in corpus)
     assert final_len == initial_len - removed
+
+
+def test_bpe_derived_sample_mod_dial(spark):
+    """The trainer's sample modulus is corpus-derived (r12 next #6):
+    ~125 sampled docs at any corpus size, grid-compatible with the
+    historical fixed mod=4 at the 500-doc oracle fixtures, and the
+    derived path must equal the explicit-mod path exactly."""
+    from hunger_games_glue_streaming_etl_spark.operators.bpe import (
+        bpe_train_merges,
+        derived_sample_mod,
+    )
+
+    assert derived_sample_mod(500) == 4  # oracle fixtures: unchanged table
+    assert derived_sample_mod(5000) == 40  # sf0.1: ~125 docs, was 1250
+    assert derived_sample_mod(12) == 1  # tiny corpora sample everything
+    assert derived_sample_mod(100_000) == 800  # 50x: still ~125 docs
+
+    docs = spark.createDataFrame(
+        [(i, f"aa bb cc dd word{i % 7} mix part {i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    derived = bpe_train_merges(docs, n_merges=4).collect()
+    explicit = bpe_train_merges(docs, n_merges=4, sample_mod=1).collect()
+    assert sorted(map(tuple, derived)) == sorted(map(tuple, explicit))
