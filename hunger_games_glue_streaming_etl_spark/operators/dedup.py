@@ -183,6 +183,10 @@ def minhash_lsh_pairs(
     multiplicity (a group of m near-identical docs fills its buckets to
     ~m), the same quantity the DF-histogram quantile tracks.
     """
+    if bucket_cap is not None and bucket_cap_dial is not None:
+        raise ValueError(
+            "bucket_cap and bucket_cap_dial are mutually exclusive"
+        )
     # persist: both sides of the self-join (and nothing upstream) read the
     # computed buckets — without it the signature aggregation runs twice
     buckets = pin(minhash_band_buckets(docs, text_col, id_col, num_hashes, bands, k))
@@ -335,6 +339,8 @@ def ngram_jaccard_pairs(
     shingle frame (one corpus explode total, not two); ``expose_cap``
     appends the dial value as a ``df_cap`` column for hash-checking.
     """
+    if df_cap is not None and df_cap_dial is not None:
+        raise ValueError("df_cap and df_cap_dial are mutually exclusive")
     # pin: the exploded shingles feed both self-join sides + the sizes agg
     sh = pin(shingle_sets(docs, text_col, id_col, k))
     if isinstance(df_cap_dial, str):

@@ -46,70 +46,24 @@ from . import (  # noqa: E402,F401
 # already have green rows in CORRECTNESS_r01-r03 follow in import order.
 # ---------------------------------------------------------------------------
 _SAMPLE_FIRST = [
-    # ---- round-12 rotation (VERDICT r11 "Next round #1"): the first ~50
+    # ---- round-13 rotation (VERDICT r12 "Next round #2"): the first ~50
     # must ALL be oracled — the rows-only-by-design entries
     # (sim_pq_ann_topk, agg_approx_distinct, sim_embedding_pairs_blas,
     # sim_ivf_ann_topk) stay OUT of this window permanently so every
     # driver-recorded row is hash-checkable.  Order: (1) entries added or
     # materially changed this round (first/refreshed recorded row), then
-    # (2) the 42-entry cohort whose newest green row is round 6 — after
-    # this round every oracled entry's newest evidence is ≥ r8.  The
-    # r8-r11 cohorts rotate to the back in import order. ----
-    # new this round (ANN scale mitigations; derived dedup cap)
-    "sim_ivf_ann_topk_scaled_probe",
-    "sim_sq8_ann_topk_clipped",
-    "sim_sq8_clipped_recall_check",
-    "dedup_ngram_jaccard_derived_cap",
-    "split_by_near_dup_cluster",
+    # (2) the 44-entry cohort whose newest green row is round 8 — after
+    # this round every oracled entry's newest evidence is ≥ r10.  The
+    # r9-r12 cohorts rotate to the back in import order. ----
+    # new this round (unaligned passage dedup; exact-dot refine ANN tier;
+    # output-budgeted family pairs) and changed (BPE derived sample dial)
+    "text_duplicate_passages_unaligned",
+    "sim_sq8_ann_topk_refined",
+    "sim_sq8_refined_recall_check",
+    "sim_pq_scaled_refine_recall_check",
+    "dedup_family_canonical_pairs",
     "text_bpe_train_merges",
-    # changed this round (crash-atomic bucketed delete; derived caps)
-    "merge_delete_forgotten",
-    # the 42-entry r6-stale cohort (newest green row = CORRECTNESS_r06)
-    "graph_triangles_copurchase",
-    "incremental_agg_merge",
-    "layout_bucketed_colocated_join",
-    "layout_partitioned_write_prune",
-    "multimodal_video_y4m_frames",
-    "pipeline_rag_retrieval",
-    "q12_late_lines_priority",
-    "q18_large_orders",
-    "q21_waiting_supplier",
-    "relational_transpose",
-    "scalar_collation_casefold",
-    "scalar_map_funcs",
-    "scalar_try_arithmetic",
-    "scan_binary_file_assets",
-    "scan_csv_malformed_quarantine",
-    "scan_file_metadata_lineage",
-    "scan_nested_parquet_pruning",
-    "scan_xml_roundtrip",
-    "set_except",
-    "set_intersect",
-    "set_union_by_name_evolution",
-    "sim_cosine_topk",
-    "sim_lsh_ann_topk",
-    "sink_python_datasource_write",
-    "sort_limit_offset",
-    "sql_cache_table",
-    "sql_insert_default_columns",
-    "sql_insert_into_select",
-    "sql_insert_overwrite_dynamic",
-    "sql_parameterized_identifier",
-    "sql_recursive_reachability",
-    "sql_session_variable_dial",
-    "sql_udf_quality_score",
-    "streaming_chained_windows",
-    "streaming_python_datasource_sink",
-    "text_bpe_encode",
-    "text_chunk_sliding",
-    "timeseries_ohlc_hourly",
-    "udf_grouped_apply_in_arrow",
-    "udf_map_in_arrow",
-    "udtf_dynamic_schema_split",
-    "udtf_table_partition_args",
-    # head of the (now-oldest) r8 cohort — pads the window past 50 so the
-    # rows-only entries in import order never enter the recorded sample
-    "agg_approx_distinct_error",
+    # the 44-entry r8-stale cohort (newest green row = CORRECTNESS_r08)
     "agg_approx_percentile_error",
     "agg_cube",
     "agg_having",
@@ -117,6 +71,54 @@ _SAMPLE_FIRST = [
     "agg_percentiles_exact",
     "agg_pivot",
     "agg_rollup",
+    "agg_statistics",
+    "case_derived_status",
+    "curation_clean_corpus",
+    "curation_domain_caps",
+    "decontaminate_ngram_overlap",
+    "dedup_audio_fingerprints",
+    "dedup_embedding_cosine_pairs",
+    "dedup_embedding_lsh_pairs",
+    "dedup_exact_groups",
+    "dedup_first_event",
+    "dedup_fuzzy_levenshtein_pairs",
+    "dedup_image_dhash_fingerprints",
+    "dedup_minhash_bands",
+    "dedup_minhash_lsh_pairs",
+    "dedup_minhash_signatures",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_video_fingerprints",
+    "merge_upsert_customer",
+    "mix_upsample_epochs",
+    "multimodal_binary_features",
+    "sample_crosstab_exact",
+    "sample_freqitems_contract",
+    "sample_tablesample_percent",
+    "scalar_array_funcs",
+    "scalar_conditional_null",
+    "scalar_date_funcs",
+    "scalar_json_extract",
+    "scalar_math_funcs",
+    "scalar_regexp_funcs",
+    "scalar_string_funcs",
+    "scd2_customer_balance",
+    "set_union_all",
+    "sim_incremental_index_assign",
+    "sort_limit_topk",
+    "sql_pipe_syntax",
+    "streaming_available_now_drain",
+    "text_html_extract",
+    # the new sibling entry rides just past the 50-row window if the
+    # driver cuts exactly at 50 (its behavior is pinned by pytest +
+    # driver_sim every commit); it leads the r14 rotation if unrecorded
+    "text_passage_dedup_unaligned_stats",
+    # head of the (now-oldest) r9 cohort — pads the window so the
+    # rows-only entries in import order never enter the recorded sample
+    "agg_bitmap_exact_distinct",
+    "agg_boolean_filter_funcs",
+    "agg_grouping_sets",
+    "agg_listagg_ordered",
+    "agg_mode_median",
 ]
 
 

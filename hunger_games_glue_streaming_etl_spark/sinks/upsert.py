@@ -546,7 +546,16 @@ class ParquetLatestSink:
                 pass
 
     def read(self) -> DataFrame:
-        # readers complete a crashed delete too (two stat probes when
-        # clean) — a post-crash read must never see a half-swapped store
+        # Readers complete a crashed delete AND a crashed layout migration
+        # (symmetry with the upsert/delete_keys entry points — ADVICE r12;
+        # two stat probes each when clean): a post-crash read must never
+        # see a half-swapped store.  Because recovery MUTATES the store
+        # (replays bucket swaps / finishes the migration rename), read()
+        # is covered by the same single-writer epoch-granularity contract
+        # as the mutating entry points — one process owns the store; a
+        # reader in ANOTHER process racing a live delete_keys could
+        # double-run the same rmtree/rename.  Readers needing concurrent
+        # access snapshot the directory instead.
+        self._recover_interrupted_migration()
         self._recover_interrupted_delete()
         return self.spark.read.parquet(self.path).drop(_BUCKET_COL)
