@@ -108,10 +108,11 @@ _SAMPLE_FIRST = [
     "sql_pipe_syntax",
     "streaming_available_now_drain",
     "text_html_extract",
-    # the new sibling entry rides just past the 50-row window if the
-    # driver cuts exactly at 50 (its behavior is pinned by pytest +
-    # driver_sim every commit); it leads the r14 rotation if unrecorded
+    # the new sibling entries ride just past the 50-row window if the
+    # driver cuts exactly at 50 (their behavior is pinned by pytest +
+    # driver_sim every commit); they lead the r14 rotation if unrecorded
     "text_passage_dedup_unaligned_stats",
+    "text_passage_scrub_ranges",
     # head of the (now-oldest) r9 cohort — pads the window so the
     # rows-only entries in import order never enter the recorded sample
     "agg_bitmap_exact_distinct",

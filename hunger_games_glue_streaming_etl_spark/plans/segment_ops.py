@@ -324,3 +324,92 @@ def text_passage_dedup_unaligned_stats(spark: SparkSession, sf_dir: str) -> Data
         F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0)).alias("n_dup_anchors"),
         F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
     )
+
+
+@register(
+    "text_passage_scrub_ranges",
+    oracle=f"""
+    WITH {_ANCHORS_SQL},
+    marked AS (
+        SELECT doc_id, pos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY gh ORDER BY doc_id, pos
+               ) AS rn
+        FROM anch
+    ),
+    dup AS (
+        SELECT doc_id, pos, pos + {ROLL_TOKENS} - 1 AS e
+        FROM marked WHERE rn > 1
+    ),
+    flagged AS (
+        SELECT doc_id, pos, e,
+               CASE WHEN pos > COALESCE(MAX(e) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -1) + 1
+                    THEN 1 ELSE 0 END AS isl_start
+        FROM dup
+    ),
+    islands AS (
+        SELECT doc_id, pos, e,
+               SUM(isl_start) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS UNBOUNDED PRECEDING) AS isl
+        FROM flagged
+    )
+    SELECT doc_id, CAST(isl AS BIGINT) AS range_id,
+           MIN(pos) AS range_start, MAX(e) AS range_end,
+           MAX(e) - MIN(pos) + 1 AS range_len
+    FROM islands GROUP BY doc_id, isl
+    """,
+)
+def text_passage_scrub_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scrub PLAN the unaligned detector exists to produce: per
+    document, the merged token ranges to delete — every non-first
+    duplicated anchor claims its 16-token gram span, and overlapping or
+    adjacent spans coalesce into maximal ranges (gaps-and-islands: an
+    island starts where a span's start exceeds the running max end + 1).
+    One row per (doc, range) with start/end/length in token positions —
+    what a rewrite pass applies verbatim.  All-integer arithmetic over
+    the anchor rows, two same-key window passes (doc_id partitioning),
+    hash-exact cross-engine.  Keep-first means the first occurrence of
+    every passage survives scrubbing somewhere in the corpus."""
+    anch = _anchors(spark, sf_dir)
+    w_rn = Window.partitionBy("gh").orderBy("doc_id", "pos")
+    dup = (
+        anch.select(
+            "doc_id", "pos", F.row_number().over(w_rn).alias("rn")
+        )
+        .filter(F.col("rn") > 1)
+        .select("doc_id", "pos", (F.col("pos") + ROLL_TOKENS - 1).alias("e"))
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dup.select(
+        "doc_id",
+        "pos",
+        "e",
+        F.when(
+            F.col("pos")
+            > F.coalesce(F.max("e").over(w_prev), F.lit(-1)) + 1,
+            1,
+        )
+        .otherwise(0)
+        .alias("isl_start"),
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = flagged.select(
+        "doc_id", "pos", "e", F.sum("isl_start").over(w_run).alias("isl")
+    )
+    return islands.groupBy("doc_id", F.col("isl").cast("long").alias("range_id")).agg(
+        F.min("pos").alias("range_start"),
+        F.max("e").alias("range_end"),
+        (F.max("e") - F.min("pos") + 1).alias("range_len"),
+    )

@@ -115,3 +115,29 @@ def test_anchor_rows_bounded_by_windows(spark, monkeypatch):
     assert 1 <= n <= n_grams - so.WINNOW_W + 1
     # density sanity: ~2/W of gram positions get selected, not all of them
     assert n < n_grams / 2
+
+
+def test_scrub_ranges_merge_and_cover_the_copy(spark, monkeypatch):
+    """The scrub plan merges the copier's per-anchor spans into maximal
+    ranges that stay inside the copied region, and leaves the source doc
+    untouched (keep-first)."""
+    junk7 = " ".join(f"j{i:02d}" for i in range(7))
+    docs = _docs(
+        spark,
+        [
+            (1, PASSAGE + " " + " ".join(f"t{i:02d}" for i in range(20))),
+            (2, junk7 + " " + PASSAGE),
+        ],
+    )
+    _with_corpus(monkeypatch, docs)
+    ranges = so.text_passage_scrub_ranges(spark, "unused").collect()
+    assert ranges and all(r["doc_id"] == 2 for r in ranges)  # source untouched
+    # ranges are disjoint, ordered, inside the copied region (grams of the
+    # 40-token passage start at token 8 = 1-based gram pos 8)
+    spans = sorted((r["range_start"], r["range_end"]) for r in ranges)
+    for (s1, e1), (s2, _) in zip(spans, spans[1:]):
+        assert s2 > e1 + 1  # maximal: merged ranges can't touch
+    assert all(s >= 8 and e <= 7 + 40 for s, e in spans)
+    assert all(
+        r["range_len"] == r["range_end"] - r["range_start"] + 1 for r in ranges
+    )
