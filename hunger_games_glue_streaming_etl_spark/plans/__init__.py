@@ -113,6 +113,7 @@ _SAMPLE_FIRST = [
     # driver_sim every commit); they lead the r14 rotation if unrecorded
     "text_passage_dedup_unaligned_stats",
     "text_passage_scrub_ranges",
+    "text_passage_scrub_apply",
     # head of the (now-oldest) r9 cohort — pads the window so the
     # rows-only entries in import order never enter the recorded sample
     "agg_bitmap_exact_distinct",

@@ -326,10 +326,11 @@ def text_passage_dedup_unaligned_stats(spark: SparkSession, sf_dir: str) -> Data
     )
 
 
-@register(
-    "text_passage_scrub_ranges",
-    oracle=f"""
-    WITH {_ANCHORS_SQL},
+# Shared gaps-and-islands chain over the duplicated anchors (rn > 1 =
+# non-first occurrences, each claiming its ROLL_TOKENS-token gram span;
+# overlapping/adjacent spans coalesce).  Reused by the scrub-plan entry and
+# the scrub-APPLY entry so range definitions cannot diverge between them.
+_SCRUB_CTES = f"""
     marked AS (
         SELECT doc_id, pos,
                ROW_NUMBER() OVER (
@@ -357,23 +358,12 @@ def text_passage_dedup_unaligned_stats(spark: SparkSession, sf_dir: str) -> Data
                    ROWS UNBOUNDED PRECEDING) AS isl
         FROM flagged
     )
-    SELECT doc_id, CAST(isl AS BIGINT) AS range_id,
-           MIN(pos) AS range_start, MAX(e) AS range_end,
-           MAX(e) - MIN(pos) + 1 AS range_len
-    FROM islands GROUP BY doc_id, isl
-    """,
-)
-def text_passage_scrub_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The scrub PLAN the unaligned detector exists to produce: per
-    document, the merged token ranges to delete — every non-first
-    duplicated anchor claims its 16-token gram span, and overlapping or
-    adjacent spans coalesce into maximal ranges (gaps-and-islands: an
-    island starts where a span's start exceeds the running max end + 1).
-    One row per (doc, range) with start/end/length in token positions —
-    what a rewrite pass applies verbatim.  All-integer arithmetic over
-    the anchor rows, two same-key window passes (doc_id partitioning),
-    hash-exact cross-engine.  Keep-first means the first occurrence of
-    every passage survives scrubbing somewhere in the corpus."""
+"""
+
+
+def _scrub_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, range_id, range_start, range_end, range_len) — the merged
+    token-range removal intervals, Spark twin of ``_SCRUB_CTES``."""
     anch = _anchors(spark, sf_dir)
     w_rn = Window.partitionBy("gh").orderBy("doc_id", "pos")
     dup = (
@@ -408,8 +398,125 @@ def text_passage_scrub_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     islands = flagged.select(
         "doc_id", "pos", "e", F.sum("isl_start").over(w_run).alias("isl")
     )
-    return islands.groupBy("doc_id", F.col("isl").cast("long").alias("range_id")).agg(
+    return islands.groupBy(
+        "doc_id", F.col("isl").cast("long").alias("range_id")
+    ).agg(
         F.min("pos").alias("range_start"),
         F.max("e").alias("range_end"),
         (F.max("e") - F.min("pos") + 1).alias("range_len"),
+    )
+
+
+@register(
+    "text_passage_scrub_ranges",
+    oracle=f"""
+    WITH {_ANCHORS_SQL},
+    {_SCRUB_CTES}
+    SELECT doc_id, CAST(isl AS BIGINT) AS range_id,
+           MIN(pos) AS range_start, MAX(e) AS range_end,
+           MAX(e) - MIN(pos) + 1 AS range_len
+    FROM islands GROUP BY doc_id, isl
+    """,
+)
+def text_passage_scrub_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scrub PLAN the unaligned detector exists to produce: per
+    document, the merged token ranges to delete — every non-first
+    duplicated anchor claims its 16-token gram span, and overlapping or
+    adjacent spans coalesce into maximal ranges (gaps-and-islands: an
+    island starts where a span's start exceeds the running max end + 1).
+    One row per (doc, range) with start/end/length in token positions —
+    what a rewrite pass applies verbatim.  All-integer arithmetic over
+    the anchor rows, two same-key window passes (doc_id partitioning),
+    hash-exact cross-engine.  Keep-first means the first occurrence of
+    every passage survives scrubbing somewhere in the corpus."""
+    return _scrub_ranges(spark, sf_dir)
+
+
+@register(
+    "text_passage_scrub_apply",
+    oracle=f"""
+    WITH {_ANCHORS_SQL},
+    {_SCRUB_CTES},
+    ranges AS (
+        SELECT doc_id, MIN(pos) AS s, MAX(e) AS e
+        FROM islands GROUP BY doc_id, isl
+    ),
+    rlist AS (
+        SELECT doc_id, list({{'s': s, 'e': e}}) AS rs
+        FROM ranges GROUP BY doc_id
+    ),
+    appl AS (
+        SELECT w.doc_id, w.w,
+               COALESCE(r.rs, CAST([] AS STRUCT(s BIGINT, e BIGINT)[])) AS rs
+        FROM words w LEFT JOIN rlist r USING (doc_id)
+    ),
+    kept AS (
+        SELECT doc_id, w,
+               list_filter(range(1, len(w) + 1),
+                   i -> len(list_filter(rs,
+                            r -> i >= r.s AND i <= r.e)) = 0) AS ki
+        FROM appl
+    )
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(len(w) - len(ki) AS BIGINT) AS n_removed,
+           array_to_string(list_transform(ki, i -> w[i]), ' ')
+               AS scrubbed_text
+    FROM kept
+    """,
+)
+def text_passage_scrub_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the scrub plan: the REWRITTEN corpus after unaligned
+    passage removal — per document the tokens outside every removal
+    range, rejoined in order, plus the token accounting.  This is the
+    deliverable of the ExactSubstr family (the deduplicated corpus a
+    training run actually reads), hash-exact including the full scrubbed
+    text.
+
+    Scale shape: the ranges table is tiny (one row per merged removal
+    interval), so it aggregates to a per-doc struct array and joins back
+    on doc_id longs; the rewrite itself is MAP-SIDE array arithmetic —
+    token membership tests against the doc's few ranges via nested HOF
+    lambdas, document text never crossing a shuffle.  The token array is
+    pinned before the HOFs (the mandatory O(n²)-avoidance barrier), so
+    ``element_at`` reads are O(1) attribute lookups.  Every document
+    appears in the output (docs without removals pass through verbatim),
+    so the entry can never be vacuous; planted removals are pinned in
+    tests/test_passage_unaligned.py."""
+    from ..caching import pin
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = pin(docs.select("doc_id", tokens("text").alias("__w")))
+    rs = _scrub_ranges(spark, sf_dir).groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct(
+                F.col("range_start").cast("long").alias("s"),
+                F.col("range_end").cast("long").alias("e"),
+            )
+        ).alias("__rs")
+    )
+    joined = toks.join(rs, "doc_id", "left").select(
+        "doc_id",
+        "__w",
+        F.coalesce(
+            F.col("__rs"),
+            F.expr("CAST(array() AS array<struct<s:bigint,e:bigint>>)"),
+        ).alias("__rs"),
+    )
+    kept = F.filter(
+        F.sequence(F.lit(1).cast("long"), F.size("__w").cast("long")),
+        lambda i: ~F.exists(
+            F.col("__rs"), lambda r: (i >= r["s"]) & (i <= r["e"])
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("__w").cast("long").alias("n_tokens"),
+        (F.size("__w") - F.size(kept)).cast("long").alias("n_removed"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                kept, lambda i: F.element_at(F.col("__w"), i.cast("int"))
+            ),
+        ).alias("scrubbed_text"),
     )

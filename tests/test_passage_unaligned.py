@@ -141,3 +141,42 @@ def test_scrub_ranges_merge_and_cover_the_copy(spark, monkeypatch):
     assert all(
         r["range_len"] == r["range_end"] - r["range_start"] + 1 for r in ranges
     )
+
+
+def test_scrub_apply_removes_copy_keeps_source(spark, monkeypatch):
+    """Applying the scrub plan rewrites the copier: removed tokens are
+    exactly the plan's ranges, the source doc passes through verbatim
+    (keep-first), and token accounting is conserved."""
+    junk7 = " ".join(f"j{i:02d}" for i in range(7))
+    src_text = PASSAGE + " " + " ".join(f"t{i:02d}" for i in range(20))
+    docs = _docs(
+        spark,
+        [
+            (1, src_text),
+            (2, junk7 + " " + PASSAGE),
+        ],
+    )
+    _with_corpus(monkeypatch, docs)
+    out = {
+        r["doc_id"]: r
+        for r in so.text_passage_scrub_apply(spark, "unused").collect()
+    }
+    # source untouched, text verbatim
+    assert out[1]["n_removed"] == 0
+    assert out[1]["scrubbed_text"] == src_text
+    # copier lost exactly the plan's range tokens, junk prefix survives
+    ranges = so.text_passage_scrub_ranges(spark, "unused").collect()
+    planned = sum(r["range_len"] for r in ranges)
+    assert out[2]["n_removed"] == planned > 0
+    kept = out[2]["scrubbed_text"].split(" ")
+    assert len(kept) == out[2]["n_tokens"] - out[2]["n_removed"]
+    orig = (junk7 + " " + PASSAGE).split(" ")
+    removed_pos = {
+        p
+        for r in ranges
+        for p in range(r["range_start"], r["range_end"] + 1)
+    }
+    expect = [t for i, t in enumerate(orig, start=1) if i not in removed_pos]
+    assert kept == expect  # order-preserving rewrite, exact positions
+    for i in range(7):
+        assert f"j{i:02d}" in kept  # non-duplicated prefix survives
