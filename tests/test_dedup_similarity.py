@@ -1302,3 +1302,68 @@ def test_family_canonical_pairs_cover_quadratic_screen(spark, monkeypatch):
     assert all(
         r["family_size"] == (6 if r["anchor_id"] == 0 else 4) for r in out
     )
+
+
+def test_ivfpq_residual_full_probe_full_refine_equals_exact(spark):
+    """IVF-PQ residual degenerate contract: probing EVERY cell with a
+    refine band covering the table re-ranks everything with the exact
+    dot — must equal the brute-force top-k.  Also pins the residual
+    decomposition: vector == centroid + residual element-wise (the score
+    split dot(q,v) = dot(q,c) + dot(q,r) relies on it exactly)."""
+    from pyspark.sql import functions as F
+
+    from hunger_games_glue_streaming_etl_spark.operators.similarity import (
+        _assign_cluster,
+        cosine_topk,
+        ivfpq_ann_topk,
+        ivfpq_build,
+        ivfpq_residual_frame,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = list(emb.filter(emb.vec_id == 0).select("embedding").head()[0])
+    n = emb.count()
+    cents, cbs = ivfpq_build(emb, n_cells=7)
+    exact = [
+        (r["vec_id"], r["cosine"]) for r in cosine_topk(emb, q, k=10).collect()
+    ]
+    full = [
+        (r["vec_id"], r["cosine"])
+        for r in ivfpq_ann_topk(
+            emb, q, k=10, n_probe=7, refine=n, centroids=cents, codebooks=cbs
+        ).collect()
+    ]
+    assert full == exact
+    # partial probe/refine still finds the query vector itself
+    part = {
+        r["vec_id"]: r["cosine"]
+        for r in ivfpq_ann_topk(
+            emb, q, k=10, n_probe=2, refine=8, centroids=cents, codebooks=cbs
+        ).collect()
+    }
+    assert 0 in part and part[0] == 1.0
+    # residual decomposition: v - c + c == v bit-wise (pure IEEE add/sub)
+    resid = ivfpq_residual_frame(
+        _assign_cluster(emb, cents, "embedding"), cents, "embedding"
+    )
+    cent_arr = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
+    )
+    # exact reconstruction is NOT guaranteed bit-wise for arbitrary
+    # floats ((v-c)+c rounds twice), so assert closeness instead: any
+    # residual round-trip must land within 1e-9 of the original
+    close = resid.select(
+        F.exists(
+            F.zip_with(
+                F.zip_with(
+                    F.col("__resid"),
+                    F.element_at(cent_arr, F.col("__cluster") + 1),
+                    lambda r, c: r + c,
+                ),
+                F.col("embedding").cast("array<double>"),
+                lambda a, b: F.abs(a - b) > 1e-9,
+            ),
+            lambda x: x,
+        ).alias("bad")
+    ).filter("bad")
+    assert close.count() == 0

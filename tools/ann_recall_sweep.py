@@ -21,6 +21,8 @@ from hunger_games_glue_streaming_etl_spark.operators.similarity import (
     ivf_ann_topk,
     ivf_build_centroids,
     ivf_scaled_dials,
+    ivfpq_ann_topk,
+    ivfpq_build,
     pq_ann_topk,
     pq_build_codebooks,
     pq_scaled_refine,
@@ -72,6 +74,14 @@ def main() -> None:
                 )
             ),
         }
+        ivfpq_cents, ivfpq_cbs = ivfpq_build(emb, n_cells=n_cells)
+        results["ivfpq_residual"] = hits(
+            ivfpq_ann_topk(
+                emb, qv, k=K, n_probe=n_probe,
+                refine=pq_scaled_refine(n, min_refine=8),
+                centroids=ivfpq_cents, codebooks=ivfpq_cbs,
+            )
+        )
         print(json.dumps({"dir": d, "n_vectors": n, "recall_at_10": results}),
               flush=True)
 

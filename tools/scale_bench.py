@@ -63,6 +63,7 @@ CALIBRATED_BANDS = {
     # where the un-refined clipped scan and fixed-refine PQ measure 0/10)
     "sim_sq8_refined_recall_check",
     "sim_pq_scaled_refine_recall_check",
+    "sim_ivfpq_residual_recall_check",
 }
 
 # entries whose boolean columns are STATISTICAL-GUARANTEE bands (estimator
