@@ -154,6 +154,7 @@ def lsh_bucket_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int | None = None,
+    center: list[float] | None = None,
 ) -> DataFrame:
     """Bucketed embedding near-dup pairs — the 100 TB scale path for
     ``dedup.embedding_near_dup_pairs``: candidates come from random-
@@ -172,6 +173,13 @@ def lsh_bucket_pairs(
     A pair is found iff its two buckets differ in ≤ ``probe_radius``
     plane signs — recall rises with the radius; ``probe_radius =
     n_planes`` degenerates to the exact scan (every pair is a candidate).
+
+    ``center`` (a bounded driver dial, see ``embedding_center_dial``)
+    shifts the BUCKETING — bit p tests dot(vec − center, plane_p) > 0 —
+    without touching the verification dot: hyperplanes through the
+    corpus mean must cut a concentrated angular cluster that
+    origin-anchored planes can miss entirely (50× census: max bucket
+    30.5k → 13.3k of 100k vectors).
     """
     if dim is None:
         first = embeddings.select(F.size(vec_col)).first()
@@ -182,10 +190,14 @@ def lsh_bucket_pairs(
         dim = first[0]
     planes = hyperplanes(n_planes, dim)
     dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bucket_vec: Column = dbl
+    if center is not None:
+        c_arr = F.array(*[F.lit(float(c)) for c in center])
+        bucket_vec = F.zip_with(dbl, c_arr, lambda x, c: x - c)
     base = embeddings.select(
         F.col(id_col),
         dbl.alias("__v"),
-        lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
+        lsh_bucket(bucket_vec, planes).alias("__bucket"),
     )
     base = pin(base)
     masks = _hamming_ball_masks(n_planes, probe_radius)
@@ -1384,3 +1396,42 @@ def ivfpq_ann_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def embedding_center_dial(
+    embeddings: DataFrame, vec_col: str = "embedding", grid_bits: int = 12
+) -> list[float]:
+    """Deterministic corpus CENTER for sign-LSH bucketing — the round-13
+    occupancy fix.  Sign-LSH degenerates when the corpus occupies a
+    narrow angular cone (the 50× census measured one 8-plane bucket
+    holding 30.5k of 100k vectors; mean-centering halved the max bucket
+    and cut candidate volume ~3×): hyperplanes through the ORIGIN cannot
+    split a cluster that never crosses them, but through the corpus mean
+    they must.
+
+    A float mean is summation-order jitter; the portable form is the
+    dyadic-grid mean (the r12 quantile-dial pattern): per dimension, sum
+    FLOOR(val·2^grid_bits) as exact BIGINTs, then two correctly-rounded
+    IEEE divisions (sum/n, /2^grid_bits) — bit-identical in both engines,
+    magnitude-safe to ~2^53/2^grid_bits · |v| rows.  Returns the center
+    as a bounded driver dial (dim floats, the centroid-dial shape)."""
+    q = 1 << grid_bits
+    rows = (
+        embeddings.select(
+            F.posexplode(
+                F.transform(F.col(vec_col), lambda x: x.cast("double"))
+            ).alias("pos", "val")
+        )
+        .groupBy("pos")
+        .agg(
+            F.sum(F.floor(F.col("val") * q).cast("long")).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    if not rows:
+        raise ValueError("embedding_center_dial: embeddings table is empty")
+    center = [0.0] * (max(r["pos"] for r in rows) + 1)
+    for r in rows:
+        center[r["pos"]] = (r["s"] / r["n"]) / q
+    return center

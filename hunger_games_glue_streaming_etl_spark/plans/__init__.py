@@ -62,6 +62,7 @@ _SAMPLE_FIRST = [
     "sim_sq8_refined_recall_check",
     "sim_pq_scaled_refine_recall_check",
     "sim_ivfpq_residual_recall_check",
+    "dedup_embedding_lsh_pairs_centered",
     "dedup_family_canonical_pairs",
     "text_bpe_train_merges",
     # the 44-entry r8-stale cohort (newest green row = CORRECTNESS_r08)

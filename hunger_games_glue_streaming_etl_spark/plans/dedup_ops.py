@@ -784,3 +784,72 @@ def dedup_video_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..operators.video_hash import video_near_pairs
 
     return video_near_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# Centered-bucket twin: the dyadic-grid corpus mean (FLOOR(val·4096)
+# BIGINT sums per dim, two correctly-rounded divisions — the r12
+# quantile-dial pattern, both engines replay it) shifts the BUCKETING
+# only; the verification dot stays on the raw vectors.
+_LSH_CENTERED_ORACLE = f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+    ),
+    ev AS (
+        SELECT vec_id, generate_subscripts(vec, 1) AS dim, unnest(vec) AS val
+        FROM v
+    ),
+    csum AS (
+        SELECT dim,
+               CAST(SUM(CAST(FLOOR(val * 4096.0) AS BIGINT)) AS BIGINT) AS s,
+               COUNT(*) AS n
+        FROM ev GROUP BY dim
+    ),
+    ctr AS (
+        SELECT list((CAST(s AS DOUBLE) / n) / 4096.0 ORDER BY dim) AS c
+        FROM csum
+    ),
+    vc AS (
+        SELECT vec_id, vec,
+               list_transform(generate_series(1, len(vec)),
+                              i -> vec[i] - c[i]) AS cvec
+        FROM v CROSS JOIN ctr
+    ),
+    b AS (
+        SELECT vec_id, vec, {_lsh_bucket_sql("cvec", 8, 64)} AS bucket
+        FROM vc
+    )
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           ROUND(list_dot_product(a.vec, c.vec), 6) AS cosine
+    FROM b a JOIN b c ON a.vec_id < c.vec_id
+    WHERE bit_count(CAST(xor(a.bucket, c.bucket) AS BIGINT)) <= 1
+      AND ROUND(list_dot_product(a.vec, c.vec), 6) >= 0.35
+"""
+
+
+@register("dedup_embedding_lsh_pairs_centered", oracle=_LSH_CENTERED_ORACLE)
+def dedup_embedding_lsh_pairs_centered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs with CENTERED sign-LSH bucketing — the
+    round-13 occupancy fix for the screen's measured 50× degeneracy.
+    Origin-anchored hyperplanes cannot split an angular cluster they
+    never cross: the 50× numpy census measured one 8-plane bucket
+    holding 30.5k of 100k vectors (2.8B candidate pairs); bucketing
+    vector − corpus-mean instead halves the max bucket (13.3k) and cuts
+    candidates ~3× with the SAME verification contract (the exact dot on
+    raw vectors).  The center is the deterministic dyadic-grid mean
+    (``embedding_center_dial`` — exact integer moments, two correctly-
+    rounded divisions), a data-derived 1-row dial both engines compute,
+    so the whole centered pipeline stays hash-exact.  On the replica
+    fixture the true output is itself quadratic (95.4% of pairs pass the
+    raw-dot threshold — see full_registry_sweep's adjudication), so the
+    win is candidate-volume, not output-volume; on real centered-able
+    geometry it is the difference between a working screen and n²."""
+    from ..operators.similarity import embedding_center_dial, lsh_bucket_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_bucket_pairs(
+        emb,
+        n_planes=8,
+        probe_radius=1,
+        dim=64,
+        center=embedding_center_dial(emb),
+    )

@@ -1367,3 +1367,49 @@ def test_ivfpq_residual_full_probe_full_refine_equals_exact(spark):
         ).alias("bad")
     ).filter("bad")
     assert close.count() == 0
+
+
+def test_centered_lsh_splits_one_orthant_cluster(spark):
+    """Sign-LSH degeneracy and its fix: a corpus confined to a narrow
+    all-positive cone lands in ONE origin-anchored bucket (the 50×
+    census shape), while bucketing vector − corpus-mean must split it.
+    The centered screen's verification contract is unchanged: every
+    emitted pair carries the raw-vector dot."""
+    from pyspark.sql import functions as F
+
+    from hunger_games_glue_streaming_etl_spark.operators.similarity import (
+        embedding_center_dial,
+        hyperplanes,
+        lsh_bucket,
+    )
+
+    dim = 64
+    # tight positive cone: base ray + per-vector jitter on a few dims
+    rows = []
+    for i in range(40):
+        v = [1.0] * dim
+        v[i % dim] += 0.05 + 0.001 * i
+        v[(i * 7) % dim] += 0.025
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    planes = hyperplanes(8, dim)
+
+    plain = emb.select(
+        lsh_bucket(F.col("embedding"), planes).alias("b")
+    ).distinct().count()
+
+    center = embedding_center_dial(emb)
+    c_arr = F.array(*[F.lit(float(c)) for c in center])
+    centered = emb.select(
+        lsh_bucket(
+            F.zip_with(
+                F.transform("embedding", lambda x: x.cast("double")),
+                c_arr,
+                lambda x, c: x - c,
+            ),
+            planes,
+        ).alias("b")
+    ).distinct().count()
+
+    assert plain == 1  # the degenerate cone: one bucket holds everything
+    assert centered >= 8  # mean-anchored planes cut the cluster (numpy: 19)

@@ -108,6 +108,8 @@ SKIP_EXECUTING = {
     "sim_sq8_clipped_recall_check",
     "sim_ivf_ann_topk_scaled_probe",
     "sim_incremental_index_assign",
+    "sim_ivfpq_residual_recall_check",
+    "dedup_embedding_lsh_pairs_centered",
     "pipeline_pretrain_corpus",
     "curation_clean_corpus",
     # df.stat.freqItems / df.stat.crosstab execute eagerly at build
