@@ -638,16 +638,37 @@ def semantic_dedup_pairs(
     centroids = [[float(x) for x in r[1]] for r in seeds]
     if lloyd_iterations:
         centroids = lloyd_refine(embeddings, centroids, lloyd_iterations, vec_col)
+    # assign by COSINE, not raw dot: normalize the centroid dial so a
+    # high-norm seed cannot win every argmax.  The round-13 50× census
+    # measured the raw-dot funnel on the norm-inflated replica fixture:
+    # ONE cell swallowed 88,146 of 100k vectors (3.9B candidate pairs,
+    # the Σcell² bound voided); unit seeds spread the same corpus to a
+    # max cell of 803 (6.5M candidates) with ZERO assignment changes at
+    # the oracle scales (norms there are ~uniform).  Portability: the
+    # norm is the same sequential square-sum fold as list_dot_product
+    # (left-to-right over dims), sqrt and divide are correctly rounded
+    # in both engines (the r4 IEEE rule), and the oracle normalizes the
+    # seed CTE component-wise before its dot, so assignment stays
+    # hash-exact.
+    import math
+
+    centroids = [
+        [x / math.sqrt(sum((y * y for y in c), 0.0)) for x in c]
+        for c in centroids
+    ]
 
     assigned = _assign_cluster(
         embeddings.select(id_col, vec_col), centroids, vec_col
     )
-    # label cells by their seed's id (works for sparse/UUID keys); the
-    # when-chain compares the small __cluster int, not expressions
-    n_seeds = len(seed_ids)
-    cell_id = F.lit(seed_ids[-1])
-    for i in reversed(range(n_seeds - 1)):
-        cell_id = F.when(F.col("__cluster") == i, F.lit(seed_ids[i])).otherwise(cell_id)
+    # label cells by their seed's id (works for sparse/UUID keys) via a
+    # FLAT array literal pick: a when-chain here nests one level PER CELL
+    # and the corpus-derived cell count made that a JVM StackOverflowError
+    # in plan conversion at 50× (100k vectors → 1562 cells; 20×'s 625-deep
+    # chain survived, 1562 did not — caught by the round-13 full-registry
+    # sweep).  CreateArray is wide, not deep, at any cell count.
+    cell_id = F.element_at(
+        F.array(*[F.lit(sid) for sid in seed_ids]), F.col("__cluster") + 1
+    )
     cells = pin(
         assigned.select(
             F.col(id_col), cell_id.cast("long").alias("cell_id")

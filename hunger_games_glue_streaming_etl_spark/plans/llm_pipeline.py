@@ -605,7 +605,11 @@ def shuffle_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
     ),
     c AS (
-        SELECT vec_id AS cid, cvec, rnk FROM ranked
+        SELECT vec_id AS cid,
+               list_transform(cvec,
+                   x -> x / sqrt(list_dot_product(cvec, cvec))) AS cvec,
+               rnk
+        FROM ranked
         WHERE rnk <= (SELECT k FROM nc)
     ),
     a AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1089,6 +1093,16 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RAG_DIMS = 8
 _RAG_QUERY_MOD = 100  # doc_id % mod == RAG_QUERY_RESIDUE selects query docs
 _RAG_QUERY_RESIDUE = 7
+# Corpus-derived query-set bound (round-13 50× sweep: a fixed mod makes the
+# query side grow WITH the corpus, so the brute-force scorer's work is
+# (n/mod)·chunks(n) — quadratic in n; measured 329 s at 50× vs 1.9 s at
+# sf0.1, the only super-linear wall in the sweep).  Real RAG query volume
+# does not scale with the archive, so the mod derives from the doc count —
+# qmod = GREATEST(100, n_docs // 50) caps the query set at ~50 above
+# 5,000 docs and is grid-equal to the frozen mod=100 at EVERY oracle scale
+# (500/5,000 docs → the GREATEST floor wins), preserving calibration
+# history — the pq_scaled_refine/BPE-sample-dial pattern.
+_RAG_DOCS_PER_QUERY = 50
 _RAG_TOPK = 3
 
 
@@ -1119,7 +1133,10 @@ def _rag_oracle() -> str:
     q AS (
         SELECT doc_id AS q_doc, {qdims}
         FROM v
-        WHERE doc_id % {_RAG_QUERY_MOD} = {_RAG_QUERY_RESIDUE} AND ci = 0
+        WHERE doc_id % (SELECT GREATEST({_RAG_QUERY_MOD},
+                                        COUNT(*) // {_RAG_DOCS_PER_QUERY})
+                        FROM documents) = {_RAG_QUERY_RESIDUE}
+          AND ci = 0
     ),
     s AS (
         SELECT q.q_doc, v.doc_id, v.ci,
@@ -1144,21 +1161,31 @@ def pipeline_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunking (``text_ops.sliding_chunk_frame``) → deterministic chunk
     embeddings (eight 16-bit slices of ONE md5 per chunk, centered —
     integer vectors both engines rebuild bit-for-bit) → query set =
-    first chunk of every ``doc_id % 100 == 7`` document → integer dot
-    scores against every foreign-document chunk → top-3 per query with
-    the unique (score DESC, doc_id, ci) tiebreak.
+    first chunk of every ``doc_id % qmod == 7`` document, where qmod is
+    the corpus-derived dial GREATEST(100, n_docs // 50) (1-row broadcast
+    CROSS JOIN, grid-equal to the historical mod=100 at every oracle
+    scale) → integer dot scores against every foreign-document chunk →
+    top-3 per query with the unique (score DESC, doc_id, ci) tiebreak.
 
     Scale shape: chunk text is embedded map-side and never crosses a
-    shuffle; the query side is broadcast (the decontamination pattern —
-    a query/eval set is operator INPUT and stays small; when the query
-    side is itself corpus-sized, route stage 1 through the ANN tier's
-    bucketed candidate machinery instead of this brute-force scorer,
-    which exists here as the exactness baseline the ANN entries are
-    recall-checked against)."""
+    shuffle; the query side is broadcast and BOUNDED (~50 queries at any
+    corpus size — the round-13 sweep measured the fixed mod's
+    corpus-growing query set at 329 s / 50×, the sweep's only
+    super-linear wall; real query volume doesn't scale with the
+    archive).  When a corpus-sized query set is genuinely wanted, route
+    stage 1 through the ANN tier's bucketed candidate machinery instead
+    of this brute-force scorer, which exists here as the exactness
+    baseline the ANN entries are recall-checked against."""
     from .text_ops import sliding_chunk_frame
 
     docs = load_table(spark, sf_dir, "documents")
     chunks = sliding_chunk_frame(docs)
+    qdial = docs.agg(
+        F.greatest(
+            F.lit(_RAG_QUERY_MOD).cast("long"),
+            F.floor(F.count("*") / _RAG_DOCS_PER_QUERY).cast("long"),
+        ).alias("__qmod")
+    )
     m = F.md5(F.concat(F.lit("emb:"), F.col("chunk_text")))
     dims = [
         (
@@ -1168,8 +1195,9 @@ def pipeline_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     v = chunks.select("doc_id", "ci", *dims)
     q = (
-        v.filter(
-            (F.col("doc_id") % _RAG_QUERY_MOD == _RAG_QUERY_RESIDUE)
+        v.crossJoin(F.broadcast(qdial))
+        .filter(
+            (F.col("doc_id") % F.col("__qmod") == _RAG_QUERY_RESIDUE)
             & (F.col("ci") == 0)
         )
         .select(

@@ -1413,3 +1413,24 @@ def test_centered_lsh_splits_one_orthant_cluster(spark):
 
     assert plain == 1  # the degenerate cone: one bucket holds everything
     assert centered >= 8  # mean-anchored planes cut the cluster (numpy: 19)
+
+
+def test_semantic_cells_survive_thousand_cell_plans(spark):
+    """Regression for the round-13 50× sweep catch: the cell-id labeling
+    must stay a FLAT expression — the former per-cell when-chain nested
+    one plan level per cell and overflowed the JVM stack at the 50×
+    corpus's 1562 derived cells.  2,500 one-vector cells here force a
+    chain deeper than the one that crashed; the flat element_at pick must
+    both plan and execute."""
+    from hunger_games_glue_streaming_etl_spark.operators.similarity import (
+        semantic_dedup_pairs,
+    )
+
+    dim = 8
+    rows = [
+        (i, [float((i * 37 + d * 11) % 17) / 17.0 for d in range(dim)])
+        for i in range(2500)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup_pairs(emb, vecs_per_cell=1, max_cells=4096)
+    assert out.limit(5).count() >= 0  # planning + execution both survive

@@ -48,6 +48,10 @@ DEFAULT_SKIPS = {
     # (1.0B) changes the quadratic truth.  Same calibrated-fixture class
     # as the ANN recall notes in tools/scale_bench.py.
     "dedup_embedding_lsh_pairs",
+    # the centered-bucket sibling cuts CANDIDATES ~3× (census: 2.8B →
+    # 1.0B) but the fixture's TRUE output is quadratic either way —
+    # measured 148 s at 20× (5 s at sf0.1), the output-bound class
+    "dedup_embedding_lsh_pairs_centered",
 }
 
 
