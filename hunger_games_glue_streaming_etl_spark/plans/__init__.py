@@ -63,6 +63,7 @@ _SAMPLE_FIRST = [
     "sim_pq_scaled_refine_recall_check",
     "sim_ivfpq_residual_recall_check",
     "dedup_embedding_lsh_pairs_centered",
+    "streaming_passage_dedup",
     "dedup_family_canonical_pairs",
     "text_bpe_train_merges",
     # the 44-entry r8-stale cohort (newest green row = CORRECTNESS_r08)

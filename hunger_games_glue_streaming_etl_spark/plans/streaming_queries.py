@@ -1004,3 +1004,41 @@ def streaming_available_now_drain(spark: SparkSession, sf_dir: str) -> DataFrame
             F.lit(bool(terminated)).alias("self_terminated"),
         )
     )
+
+
+def _passage_anchor_sql() -> str:
+    from .segment_ops import _ANCHORS_SQL
+
+    return f"WITH {_ANCHORS_SQL} SELECT DISTINCT gh AS anchor_hash FROM anch"
+
+
+@register("streaming_passage_dedup", oracle=_passage_anchor_sql())
+def streaming_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming unaligned-passage dedup — the round-13 headline feature
+    on the live tier: a document stream's winnowing anchors (stateless
+    Arrow kernel, ``streaming.ops.passage_anchor_stream`` — persist-free
+    twin of the batch anchor pipeline, parity unit-pinned) are keyed-
+    deduped on the 48-bit anchor hash with watermark-bounded state
+    (``dropDuplicatesWithinWatermark``): the FIRST arrival of every
+    passage — at any alignment — passes, later copies are suppressed
+    while the horizon holds.  The emitted column set is the anchor hash
+    alone, so the finalized output is exactly the corpus's DISTINCT
+    anchor set regardless of within-batch arrival races, which the
+    oracle states in closed form from the batch anchor CTEs; cross-batch
+    keep-first and offset-copy suppression are pinned with planted
+    batches in tests/test_streaming_depth.py.  State is one 48-bit key
+    per distinct passage anchor within the watermark horizon — the
+    at-scale store is keys-only and horizon-bounded."""
+    from ..streaming.ops import dedup_stream_within_watermark, passage_anchor_stream
+
+    src = _stage_documents_stream(spark, sf_dir)
+    stream = spark.readStream.schema(_docs_stream_schema()).option(
+        "maxFilesPerTrigger", "2"
+    ).json(src)
+    anchors = passage_anchor_stream(stream)
+    deduped = dedup_stream_within_watermark(
+        anchors, keys=["gh"], ts_col="ingest_ts", watermark="24 hours"
+    )
+    return _run_stream(
+        spark, deduped.select(F.col("gh").alias("anchor_hash")), "passage_dedup"
+    )

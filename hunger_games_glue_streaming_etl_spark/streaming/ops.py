@@ -419,3 +419,82 @@ def running_user_state_v2(stream: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+# ---- streaming unaligned-passage anchors ------------------------------------
+#
+# The batch anchor pipeline (plans/segment_ops._anchors) needs pin()
+# barriers between its array stages — persist is illegal on streaming
+# frames, and without the barrier the window-slice HOFs re-evaluate the
+# gram-hash array per element (the O(n²) trap).  The streaming twin is a
+# STATELESS Arrow kernel instead: one pass per document in Python,
+# emitting the same (pos, gh) winnowing anchors bit-for-bit (md5-prefix
+# portable hash, leftmost-min winnowing — parity with the batch form is
+# unit-pinned in tests/test_streaming_depth.py).
+
+ROLL_TOKENS = 16
+WINNOW_W = 8
+
+
+def py_winnowing_anchors(text: str | None) -> list[tuple[int, int]]:
+    """Pure-Python twin of tokens → winnowing_gram_hashes(16) →
+    winnowing_anchor_positions(8): distinct (1-based gram pos, 48-bit
+    hash) anchors.  Mirrors the Spark expressions exactly: trim strips
+    SPACES only (Spark ``trim``), ``\\s+`` collapses ASCII whitespace,
+    short documents contribute their full text as the single gram, and
+    window minima take the LEFTMOST position on hash ties."""
+    import hashlib
+    import re
+
+    if text is None:
+        return []
+    toks = re.sub(r"\s+", " ", text.strip(" ").lower(), flags=re.ASCII).split(" ")
+    n_grams = max(len(toks) - ROLL_TOKENS + 1, 1)
+    hs = []
+    for i in range(n_grams):
+        gram = " ".join(toks[i : i + ROLL_TOKENS])
+        hs.append(
+            int(hashlib.md5(("0:" + gram).encode("utf-8")).hexdigest()[:12], 16)
+        )
+    n_windows = max(len(hs) - WINNOW_W + 1, 1)
+    out: list[tuple[int, int]] = []
+    seen: set[int] = set()
+    for j in range(n_windows):
+        sl = hs[j : j + WINNOW_W]
+        m = min(sl)
+        pos = j + sl.index(m) + 1
+        if pos not in seen:
+            seen.add(pos)
+            out.append((pos, hs[pos - 1]))
+    return out
+
+
+def passage_anchor_stream(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ingest_ts",
+) -> DataFrame:
+    """(doc_id, ingest_ts, pos, gh) winnowing anchors of a document
+    stream — stateless ``mapInPandas``, streaming-legal (no persist, no
+    state), one Arrow batch pass per trigger."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(ts_col, T.TimestampType()),
+            T.StructField("pos", T.LongType()),
+            T.StructField("gh", T.LongType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, ts, txt in zip(pdf[id_col], pdf[ts_col], pdf[text_col]):
+                for pos, gh in py_winnowing_anchors(txt):
+                    rows.append((did, ts, pos, gh))
+            yield pd.DataFrame(rows, columns=[id_col, ts_col, "pos", "gh"])
+
+    return stream.select(id_col, ts_col, text_col).mapInPandas(kernel, schema)

@@ -1231,3 +1231,105 @@ def test_streaming_window_quantile_via_kll_sketch_state(spark, tmp_path):
         assert out["2024-01-01T12:00:00"] == (7, 1)
     finally:
         q.stop()
+
+
+def test_streaming_passage_anchor_kernel_matches_batch_anchors(spark):
+    """The streaming Arrow anchor kernel must be bit-identical to the
+    batch pin-barriered anchor pipeline — the kernel IS the oracle's
+    spec in streaming contexts.  Full-corpus comparison at sf0.001."""
+    from hunger_games_glue_streaming_etl_spark.plans.segment_ops import _anchors
+    from hunger_games_glue_streaming_etl_spark.sources.batch import load_table
+    from hunger_games_glue_streaming_etl_spark.streaming.ops import (
+        py_winnowing_anchors,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        (r["doc_id"], r["pos"], r["gh"])
+        for r in _anchors(spark, sf).collect()
+    }
+    docs = load_table(spark, sf, "documents").select("doc_id", "text").collect()
+    kernel = {
+        (r["doc_id"], pos, gh)
+        for r in docs
+        for pos, gh in py_winnowing_anchors(r["text"])
+    }
+    assert kernel == batch and len(batch) > 0
+
+
+def test_streaming_passage_dedup_suppresses_offset_copy_across_batches(
+    spark, tmp_path
+):
+    """Cross-batch keep-first at ANY alignment: doc 1's passage anchors
+    pass in batch 1; doc 2 re-delivers the same passage at +7 tokens in
+    batch 2 and every shared anchor is suppressed — only anchors of its
+    novel prefix/suffix text can pass.  A third batch beyond the
+    watermark horizon re-admits the passage (bounded state)."""
+    from hunger_games_glue_streaming_etl_spark.streaming.ops import (
+        dedup_stream_within_watermark,
+        passage_anchor_stream,
+        py_winnowing_anchors,
+    )
+
+    passage = " ".join(f"p{i:03d}" for i in range(40))
+    junk7 = " ".join(f"j{i:02d}" for i in range(7))
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ingest_ts", T.TimestampType()),
+        ]
+    )
+    src = str(tmp_path / "passage_src")
+    feeder = BatchFeeder(src)
+    stream = spark.readStream.schema(schema).json(src)
+    anchors = passage_anchor_stream(stream)
+    deduped = dedup_stream_within_watermark(
+        anchors, keys=["gh"], ts_col="ingest_ts", watermark="10 minutes"
+    ).select("doc_id", "gh")
+    q = _start(spark, deduped, "passage_dedup_e2e", "append")
+    try:
+        feeder.feed(
+            q,
+            {"doc_id": 1, "text": passage, "ingest_ts": "2024-01-01 10:00:00"},
+        )
+        first = {
+            (r.doc_id, r.gh)
+            for r in spark.sql("SELECT * FROM passage_dedup_e2e").collect()
+        }
+        assert first and all(d == 1 for d, _ in first)
+        doc1_hashes = {gh for _, gh in first}
+        # batch 2: the same passage shifted +7 tokens under a new doc
+        feeder.feed(
+            q,
+            {"doc_id": 2, "text": junk7 + " " + passage,
+             "ingest_ts": "2024-01-01 10:01:00"},
+        )
+        out = {
+            (r.doc_id, r.gh)
+            for r in spark.sql("SELECT * FROM passage_dedup_e2e").collect()
+        }
+        doc2_emitted = {gh for d, gh in out if d == 2}
+        # every anchor doc 2 shares with doc 1 was suppressed
+        assert not (doc2_emitted & doc1_hashes)
+        # and the shared-anchor set is non-trivial: the offset copy DOES
+        # carry doc 1's anchors (they were suppressed, not absent)
+        doc2_all = {gh for _, gh in py_winnowing_anchors(junk7 + " " + passage)}
+        assert doc2_all & doc1_hashes
+        # batch 3: far past the watermark horizon — state expired, the
+        # passage re-admits (bounded keys-only state, not forever-dedup)
+        feeder.feed(
+            q,
+            {"doc_id": 3, "text": passage, "ingest_ts": "2024-01-01 13:00:00"},
+        )
+        feeder.feed(
+            q,
+            {"doc_id": 4, "text": passage, "ingest_ts": "2024-01-01 15:00:00"},
+        )
+        out = {
+            r.doc_id
+            for r in spark.sql("SELECT * FROM passage_dedup_e2e").collect()
+        }
+        assert 3 in out or 4 in out
+    finally:
+        q.stop()
