@@ -1036,8 +1036,13 @@ def streaming_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "maxFilesPerTrigger", "2"
     ).json(src)
     anchors = passage_anchor_stream(stream)
+    # horizon must cover the staged corpus's ingest span for the
+    # closed-form DISTINCT oracle to hold (span = max doc_id seconds:
+    # ~83 min at sf0.1, ~69 h at the 50x fixture — 7 days covers every
+    # fixture notch).  Beyond the horizon, re-admission is the DECLARED
+    # bounded-state semantics, pinned in the planted e2e test.
     deduped = dedup_stream_within_watermark(
-        anchors, keys=["gh"], ts_col="ingest_ts", watermark="24 hours"
+        anchors, keys=["gh"], ts_col="ingest_ts", watermark="7 days"
     )
     return _run_stream(
         spark, deduped.select(F.col("gh").alias("anchor_hash")), "passage_dedup"
