@@ -61,9 +61,6 @@ _SAMPLE_FIRST = [
     "sim_sq8_ann_topk_refined",
     "sim_sq8_refined_recall_check",
     "sim_pq_scaled_refine_recall_check",
-    "sim_ivfpq_residual_recall_check",
-    "dedup_embedding_lsh_pairs_centered",
-    "streaming_passage_dedup",
     "dedup_family_canonical_pairs",
     "text_bpe_train_merges",
     # the 44-entry r8-stale cohort (newest green row = CORRECTNESS_r08)
@@ -117,6 +114,9 @@ _SAMPLE_FIRST = [
     "text_passage_dedup_unaligned_stats",
     "text_passage_scrub_ranges",
     "text_passage_scrub_apply",
+    "sim_ivfpq_residual_recall_check",
+    "dedup_embedding_lsh_pairs_centered",
+    "streaming_passage_dedup",
     # head of the (now-oldest) r9 cohort — pads the window so the
     # rows-only entries in import order never enter the recorded sample
     "agg_bitmap_exact_distinct",
