@@ -1248,9 +1248,12 @@ def frozen_index_assign(
     assigned = _assign_cluster(
         assign_side.select(id_col, vec_col), centroids, vec_col
     )
-    cell_id = F.lit(seed_ids[-1])
-    for i in reversed(range(len(seed_ids) - 1)):
-        cell_id = F.when(F.col("__cluster") == i, F.lit(seed_ids[i])).otherwise(cell_id)
+    # flat array pick, not a when-chain: same depth-bomb class the 50×
+    # sweep caught in semantic_dedup_pairs (this one is clamped at 64
+    # cells today, but the shape must not outlive the clamp)
+    cell_id = F.element_at(
+        F.array(*[F.lit(sid) for sid in seed_ids]), F.col("__cluster") + 1
+    )
 
     dial = sq8_dials(index_side, vec_col)
     codes = F.transform(
