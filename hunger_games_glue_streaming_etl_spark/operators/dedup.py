@@ -766,3 +766,89 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b", F.round(dot, 6).alias("cosine"))
         .filter(F.col("cosine") >= cosine_threshold)
     )
+
+
+def ngram_chain_edges(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.5,
+    k: int = 3,
+) -> DataFrame:
+    """SPARSIFIED near-dup candidate edges: per capped shingle bucket,
+    only the doc_id-ADJACENT pairs (rank r ↔ r+1), each verified with
+    the exact full-overlap Jaccard — a connectivity-preserving spanning
+    subset of the derived-cap screen's candidate set.
+
+    The full screen's within-bucket self-join emits d² candidate rows
+    per bucket and pays the verify aggregate on all of them — recall is
+    what you pay for (BASELINE round-13: the family entry over it costs
+    867 s at 50×).  For FAMILY recovery the d² pairs are redundant: a
+    bucket's docs are chained by d−1 adjacent edges.  Adjacency ORDER
+    is the whole trick (the sorted-neighborhood method from record
+    linkage): ordering by raw doc_id is adversarial — the replica
+    fixture stripes families every ``stride`` ids, so family members
+    are almost never doc_id-adjacent in a shared bucket (measured:
+    9.4k of 100k docs covered at 20×).  Ordering by the doc's MIN
+    SHINGLE HASH first (its 1-hash MinHash signature — near-identical
+    shingle sets share their minimum with probability ≈ jaccard, so
+    family members collapse to one sort key) makes every family a
+    CONTIGUOUS RUN inside every shared bucket; the chain connects the
+    run, and cross-family edges at run boundaries simply fail
+    verification.  Candidate volume stays Σd (linear); verification
+    joins candidates back to both docs' full hashed shingle sets, so
+    reported Jaccards are exactly the full screen's values on the
+    surviving edges.  All shuffles carry 48-bit hashes and doc_id
+    longs — text never shuffles."""
+    from pyspark.sql import Window
+
+    sh = pin(shingle_sets(docs, text_col, id_col, k))
+    dial = _derived_cap_from_shingles(sh)
+    mins = sh.groupBy(id_col).agg(F.min("shingle").alias("__mk"))
+    w_sh = Window.partitionBy("shingle")
+    sh_df = (
+        sh.withColumn("__df", F.count("*").over(w_sh))
+        .crossJoin(F.broadcast(dial))
+        .filter(F.col("__df") <= F.col("__cap"))
+        .drop("__df", "__cap")
+        .join(mins, id_col)
+    )
+    w_rn = Window.partitionBy("shingle").orderBy("__mk", id_col)
+    chain = (
+        sh_df.select(
+            "shingle",
+            F.col(id_col).alias("id_a"),
+            F.lead(id_col).over(w_rn).alias("id_b"),
+        )
+        .filter(F.col("id_b").isNotNull())
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    shared = (
+        chain.join(
+            sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a"
+        )
+        .join(
+            sh.select(F.col(id_col).alias("id_b"), "shingle"),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("__c"))
+    )
+    return (
+        shared.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("__na")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("__nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("__c") / (F.col("__na") + F.col("__nb") - F.col("__c")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )

@@ -117,6 +117,7 @@ _SAMPLE_FIRST = [
     "sim_ivfpq_residual_recall_check",
     "dedup_embedding_lsh_pairs_centered",
     "streaming_passage_dedup",
+    "dedup_family_canonical_pairs_sparse",
     # head of the (now-oldest) r9 cohort — pads the window so the
     # rows-only entries in import order never enter the recorded sample
     "agg_bitmap_exact_distinct",

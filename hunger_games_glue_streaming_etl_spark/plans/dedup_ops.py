@@ -183,10 +183,11 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), df_cap=64)
 
 
-@register(
-    "dedup_ngram_jaccard_derived_cap",
-    oracle=f"""
-    WITH {_SHINGLES},
+# the corpus-derived hot-shingle cap dial as reusable CTE text (Spark twin:
+# operators.dedup.derived_df_cap / _derived_cap_from_shingles) - shared by
+# the derived-cap screen and the sparsified family sibling so the dial
+# definition cannot diverge between entries
+_CAP_DIAL_CTES = f"""
     shh0 AS (SELECT doc_id, {_PORTABLE_HASH} AS hsh FROM sh),
     dfh AS (SELECT hsh, COUNT(*) AS dfv FROM shh0 GROUP BY hsh),
     hist AS (SELECT dfv, COUNT(*) AS n FROM dfh GROUP BY dfv),
@@ -198,7 +199,15 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap AS (SELECT CAST(GREATEST(64, 4 * MIN(CASE WHEN running >=
                             (990 * total + 999) // 1000 THEN dfv END))
                    AS BIGINT) AS df_cap
-            FROM cum),
+            FROM cum)
+"""
+
+
+@register(
+    "dedup_ngram_jaccard_derived_cap",
+    oracle=f"""
+    WITH {_SHINGLES},
+    {_CAP_DIAL_CTES},
     {_JACCARD}
     SELECT j.id_a, j.id_b, j.jaccard, cap.df_cap
     FROM jac j CROSS JOIN cap WHERE j.jaccard >= 0.5

@@ -537,3 +537,118 @@ def graph_triangles_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_counts(pairs)
+
+
+def _sparse_family_sql() -> str:
+    from .dedup_ops import _CAP_DIAL_CTES, _SHINGLES
+
+    return f"""
+    WITH RECURSIVE {_SHINGLES},
+    {_CAP_DIAL_CTES},
+    rare AS (
+        SELECT s.doc_id, s.hsh
+        FROM shh0 s JOIN dfh USING (hsh) CROSS JOIN cap
+        WHERE dfh.dfv <= cap.df_cap
+    ),
+    mins AS (SELECT doc_id, MIN(hsh) AS mk FROM shh0 GROUP BY doc_id),
+    rnk AS (
+        SELECT r.hsh, r.doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY r.hsh ORDER BY m.mk, r.doc_id
+               ) AS rn
+        FROM rare r JOIN mins m USING (doc_id)
+    ),
+    cand AS (
+        SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS id_a,
+                        GREATEST(a.doc_id, b.doc_id) AS id_b
+        FROM rnk a JOIN rnk b ON a.hsh = b.hsh AND b.rn = a.rn + 1
+        WHERE a.doc_id <> b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shh0 GROUP BY doc_id),
+    shared AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS ov
+        FROM cand c
+        JOIN shh0 a ON a.doc_id = c.id_a
+        JOIN shh0 b ON b.doc_id = c.id_b AND b.hsh = a.hsh
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT s.id_a, s.id_b
+        FROM shared s
+        JOIN sizes sa ON s.id_a = sa.doc_id
+        JOIN sizes sb ON s.id_b = sb.doc_id
+        WHERE ROUND(s.ov * 1.0 / (sa.n + sb.n - s.ov), 6) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.label
+        FROM reach r JOIN edges e ON r.node = e.src
+    ),
+    lab AS (
+        SELECT node AS doc_id, MIN(label) AS component_id
+        FROM reach GROUP BY node
+    ),
+    fam AS (
+        SELECT doc_id, component_id,
+               COUNT(*) OVER (PARTITION BY component_id) AS family_size
+        FROM lab
+    )
+    SELECT component_id AS anchor_id, doc_id AS member_id,
+           CAST(family_size AS BIGINT) AS family_size
+    FROM fam WHERE doc_id <> component_id
+    """
+
+
+@register("dedup_family_canonical_pairs_sparse", oracle=_sparse_family_sql())
+def dedup_family_canonical_pairs_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR-candidate sibling of ``dedup_family_canonical_pairs``: the
+    derived-cap screen's within-bucket self-join emits d² candidates per
+    shingle bucket — recall the family entry pays 867 s at 50× for.
+    Family recovery doesn't need the quadratic candidate set: per capped
+    bucket, doc_id-ADJACENT pairs (d−1 chain edges) connect every bucket
+    member, and true family members co-occur across MANY buckets, so the
+    verified chain closes the same families with Σd (linear) candidate
+    volume.  Each surviving edge is verified with the exact full-overlap
+    Jaccard (identical values to the full screen), then the existing
+    min-label components machinery emits one (anchor, member) row per
+    non-anchor member.  The oracle replays chain construction (including
+    the shared cap dial CTEs), verification, and the recursive closure —
+    hash-exact.  Family parity with the quadratic screen at the oracle
+    scales is test-pinned; the sparse-vs-full trade at 20×/50× is
+    measured in BASELINE.md round-13."""
+    from ..operators.dedup import ngram_chain_edges
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = ngram_chain_edges(docs)
+    # star contraction, not plain propagation: chain edges make
+    # high-DIAMETER components (a d-member family is a d-long path, and
+    # plain min-label propagation needs diameter rounds — it hit the
+    # 50-round bound at the 50x notch); the large-star/small-star
+    # rounds contract paths in O(log n)
+    labels = connected_components_star(
+        docs.select("doc_id"),
+        edges.select("id_a", "id_b"),
+        id_col="doc_id",
+        src_col="id_a",
+        dst_col="id_b",
+    )
+    from pyspark.sql import Window
+
+    fam = labels.select(
+        F.col("node").alias("doc_id"),
+        "component_id",
+        F.count("*")
+        .over(Window.partitionBy("component_id"))
+        .alias("family_size"),
+    )
+    return fam.filter(F.col("doc_id") != F.col("component_id")).select(
+        F.col("component_id").alias("anchor_id"),
+        F.col("doc_id").alias("member_id"),
+        F.col("family_size").cast("long").alias("family_size"),
+    )

@@ -1434,3 +1434,25 @@ def test_semantic_cells_survive_thousand_cell_plans(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     out = semantic_dedup_pairs(emb, vecs_per_cell=1, max_cells=4096)
     assert out.limit(5).count() >= 0  # planning + execution both survive
+
+
+def test_sparse_family_pairs_match_full_screen_families(spark):
+    """The chain-sparsified family entry must recover the SAME family
+    partition as the quadratic derived-cap screen on the fixture corpus
+    (true family members co-occur across many buckets, so chain edges
+    close every family the d² candidate set does)."""
+    from hunger_games_glue_streaming_etl_spark.plans.graph_ops import (
+        dedup_family_canonical_pairs,
+        dedup_family_canonical_pairs_sparse,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    full = {
+        (r["anchor_id"], r["member_id"], r["family_size"])
+        for r in dedup_family_canonical_pairs(spark, sf).collect()
+    }
+    sparse = {
+        (r["anchor_id"], r["member_id"], r["family_size"])
+        for r in dedup_family_canonical_pairs_sparse(spark, sf).collect()
+    }
+    assert sparse == full and len(full) > 0
