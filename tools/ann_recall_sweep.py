@@ -37,53 +37,72 @@ K = 10
 DEFAULT_DIRS = ["/root/testdata/sf0.1", "/tmp/hg_scale_sf20", "/tmp/hg_scale_sf50"]
 
 
+# query vectors sampled across the base id range — present at EVERY
+# notch (base ids survive scale_fixture replication).  vec_id 0 first so
+# column one of every multi-query row reproduces the historical
+# single-query tables.
+QUERY_IDS = [0, 17, 123, 321, 499]
+
+
 def main() -> None:
     dirs = sys.argv[1:] or DEFAULT_DIRS
     spark = get_spark(app_name="hg-ann-recall-sweep")
     for d in dirs:
         emb = load_table(spark, d, "embeddings")
-        qv = [
-            float(x)
-            for x in emb.filter("vec_id = 0").select("embedding").first()[0]
-        ]
-        exact = {r[0] for r in cosine_topk(emb, qv, k=K).collect()}
-
-        def hits(df) -> int:
-            return len(exact & {r[0] for r in df.select("vec_id").collect()})
-
         n = emb.count()
         n_cells, n_probe = ivf_scaled_dials(n)
         cents = ivf_build_centroids(emb, n_centroids=n_cells, iterations=1)
-        results = {
-            "sq8_max": hits(sq8_ann_topk(emb, qv, k=K)),
-            "sq8_clipped": hits(sq8_ann_topk_clipped(emb, qv, k=K)),
-            "sq8_refined": hits(sq8_ann_topk_refined(emb, qv, k=K)),
-            "pq_refine4": hits(
-                pq_ann_topk(emb, qv, k=K, codebooks=pq_build_codebooks(emb))
-            ),
-            "pq_scaled_refine": hits(
-                pq_ann_topk(
-                    emb, qv, k=K, refine=pq_scaled_refine(n),
-                    codebooks=pq_build_codebooks(emb),
-                )
-            ),
-            "ivf_scaled_probe": hits(
-                ivf_ann_topk(
-                    emb, qv, k=K, n_centroids=n_cells, n_probe=n_probe,
-                    centroids=cents,
-                )
-            ),
-        }
+        pq_cbs = pq_build_codebooks(emb)
         ivfpq_cents, ivfpq_cbs = ivfpq_build(emb, n_cells=n_cells)
-        results["ivfpq_residual"] = hits(
-            ivfpq_ann_topk(
-                emb, qv, k=K, n_probe=n_probe,
-                refine=pq_scaled_refine(n, min_refine=8),
-                centroids=ivfpq_cents, codebooks=ivfpq_cbs,
-            )
+        per_query: dict[str, list[int]] = {}
+        for qid in QUERY_IDS:
+            row = emb.filter(f"vec_id = {qid}").select("embedding").first()
+            if row is None:
+                continue
+            qv = [float(x) for x in row[0]]
+            exact = {r[0] for r in cosine_topk(emb, qv, k=K).collect()}
+
+            def hits(df) -> int:
+                return len(exact & {r[0] for r in df.select("vec_id").collect()})
+
+            for name, got in {
+                "sq8_max": hits(sq8_ann_topk(emb, qv, k=K)),
+                "sq8_clipped": hits(sq8_ann_topk_clipped(emb, qv, k=K)),
+                "sq8_refined": hits(sq8_ann_topk_refined(emb, qv, k=K)),
+                "pq_refine4": hits(pq_ann_topk(emb, qv, k=K, codebooks=pq_cbs)),
+                "pq_scaled_refine": hits(
+                    pq_ann_topk(
+                        emb, qv, k=K, refine=pq_scaled_refine(n),
+                        codebooks=pq_cbs,
+                    )
+                ),
+                "ivf_scaled_probe": hits(
+                    ivf_ann_topk(
+                        emb, qv, k=K, n_centroids=n_cells, n_probe=n_probe,
+                        centroids=cents,
+                    )
+                ),
+                "ivfpq_residual": hits(
+                    ivfpq_ann_topk(
+                        emb, qv, k=K, n_probe=n_probe,
+                        refine=pq_scaled_refine(n, min_refine=8),
+                        centroids=ivfpq_cents, codebooks=ivfpq_cbs,
+                    )
+                ),
+            }.items():
+                per_query.setdefault(name, []).append(got)
+        results = {
+            name: {"per_query": xs, "min": min(xs),
+                   "mean": round(sum(xs) / len(xs), 1)}
+            for name, xs in per_query.items()
+        }
+        print(
+            json.dumps(
+                {"dir": d, "n_vectors": n, "query_ids": QUERY_IDS,
+                 "recall_at_10": results}
+            ),
+            flush=True,
         )
-        print(json.dumps({"dir": d, "n_vectors": n, "recall_at_10": results}),
-              flush=True)
 
 
 if __name__ == "__main__":

@@ -47,8 +47,11 @@ DEFAULT_ENTRIES = [
 ]
 
 
-# recall floors pinned by MEASUREMENT on the fixture distribution (see
-# the band-class comment in main's loop); not scale invariants
+# recall floors pinned by MEASUREMENT on the fixture distribution AND on
+# the entry's declared query vector (vec_id 0) — the round-13 multi-query
+# sweep showed cell-probe recall is QUERY-dependent on the replica
+# geometry (BASELINE.md round-13 multi-query table; only the exact-dot
+# refine tier is query-robust); not scale invariants
 CALIBRATED_BANDS = {
     "sim_ivf_recall_check",
     "sim_pq_recall_check",
