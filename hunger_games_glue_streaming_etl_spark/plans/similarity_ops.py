@@ -654,7 +654,14 @@ def sim_ivfpq_residual_recall_check(spark: SparkSession, sf_dir: str) -> DataFra
     (within-cell PQ order noise needs a wider band than raw PQ at small
     corpora: refine=4 measured 6/10 at sf0.001, refine=8 measures 9/10).
     Recall-band oracle (Lloyd centroids are summation-order jittery);
-    floor ≥8, the scaled-tier contract."""
+    floor ≥8, the scaled-tier contract.  Calibrated-band caveat
+    (round-13 multi-query sweep, BASELINE.md): the floor is pinned to
+    THIS entry's declared query (vec_id 0) as well as the fixture
+    distribution — on the replica geometry, other queries' families can
+    land in cells ranked LAST by centroid dot (probe ordering
+    anti-correlated, prototype-proven irreducible), where only the
+    scan-all-codes ``sim_sq8_ann_topk_refined`` tier stays 10/10 for
+    every query."""
     from ..operators.similarity import ivfpq_ann_topk, pq_scaled_refine
 
     emb = load_table(spark, sf_dir, "embeddings")
