@@ -431,3 +431,32 @@ def test_sliding_chunk_frame_boundaries(spark):
     # every chunk's text has exactly chunk_len tokens
     for r in rows:
         assert len(r.chunk_text.split(" ")) == r.chunk_len
+
+
+def test_rag_query_mod_dial_caps_query_set_above_activation(spark, monkeypatch):
+    """The corpus-derived qmod (GREATEST(100, n_docs // 50)) must stay
+    grid-equal to the frozen mod=100 at oracle scales and ACTIVATE above
+    5,000 docs, holding the query set at ~50 — the round-13 fix for the
+    sweep's only super-linear wall (a fixed mod grows the query side
+    with the corpus)."""
+    import hunger_games_glue_streaming_etl_spark.plans.llm_pipeline as lp
+    from pyspark.sql import functions as F
+
+    def corpus(n):
+        return spark.createDataFrame(
+            [(i, f"doc {i} " + " ".join(f"w{i}x{j}" for j in range(30)))
+             for i in range(n)],
+            ["doc_id", "text"],
+        )
+
+    for n, want_mod in [(500, 100), (12000, 240)]:
+        docs = corpus(n)
+        monkeypatch.setattr(lp, "load_table", lambda s_, d_, t_: docs)
+        out = lp.pipeline_rag_retrieval(spark, "unused")
+        q_docs = {r["query_doc_id"] for r in out.collect()}
+        expect = {i for i in range(n) if i % want_mod == 7}
+        assert q_docs <= expect
+        # every expected query doc with >=1 foreign chunk appears
+        assert len(q_docs) == len(expect)
+        # the cap holds the query set ~constant across a 24x corpus jump
+        assert len(q_docs) <= 51
