@@ -1459,3 +1459,172 @@ def embedding_center_dial(
     for r in rows:
         center[r["pos"]] = (r["s"] / r["n"]) / q
     return center
+
+
+# ---- Balanced IVF: hash-exact learned coarse quantizer ----------------------
+
+
+def _unit(vec: list[float]) -> list[float]:
+    """Component-wise normalization with the PORTABLE fold: left-fold
+    square-sum, sqrt, divide — every op correctly rounded, matching
+    DuckDB's ``x / sqrt(list_dot_product(v, v))`` bit-for-bit (the
+    round-13 cosine-seed rule).  Zero vectors pass through unchanged."""
+    import math
+
+    s = 0.0
+    for x in vec:
+        s += x * x
+    nrm = math.sqrt(s)
+    if nrm == 0.0:
+        return list(vec)
+    return [x / nrm for x in vec]
+
+
+def _fold_dot(a: list[float], b: list[float]) -> float:
+    """Driver-side left-fold dot, same accumulation order as ``dot()``
+    and DuckDB ``list_dot_product`` — probe selection over k cells must
+    rank by bit-identical scores in both engines."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s += x * y
+    return s
+
+
+def ivf_balanced_build(
+    embeddings: DataFrame,
+    n_cells: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    grid_bits: int = 12,
+) -> list[list[float]]:
+    """BALANCED IVF coarse quantizer whose entire build is
+    bit-reproducible cross-engine — the first Lloyd-refined (learned)
+    index in this repo whose centroids a SQL oracle can replay exactly.
+
+    Two structural fixes over ``ivf_build_centroids``, both from the
+    round-13 50× census of the replica fixture (norm-skewed "MIPS"
+    geometry):
+
+    * **hash-ranked seeds** — seeds are the ``n_cells`` rows ranked
+      first by ``portable_hash64(vec_id)`` (a reproducible uniform
+      sample of the WHOLE corpus), not the first ids.  First-id seeds
+      all land in replica 0 of a replicated/sorted corpus, so no seed
+      sits near the later replicas' offset ladder.
+    * **cosine assignment** — vectors are assigned by argmax dot against
+      the UNIT-normalized centroid (|v| is constant per row, so this is
+      argmax cosine).  Raw-dot assignment funnels on norm skew: one
+      high-norm centroid wins every argmax (measured 98,537 of 100k
+      vectors in ONE cell at 50×; cosine assignment + spread seeds cut
+      the max cell to 10,758).
+
+    The single Lloyd refinement step uses the DYADIC-GRID mean
+    (``embedding_center_dial``'s portable form: per (cell, dim) sums of
+    FLOOR(val·2^grid_bits) as exact BIGINTs, then two correctly-rounded
+    IEEE divisions) instead of a float mean — float means are
+    summation-order jitter, which is exactly why every earlier learned
+    index is band-checked instead of value-hashed.  Here the centroids,
+    assignments, probe ranks, and final top-k all hash.  Magnitude
+    bound: |sum| < 2^grid_bits · max|val| · rows_per_cell must stay
+    under 2^63 (at 2^12 grid and |val| ≤ 16 that allows ~2^45 rows per
+    cell).
+
+    Only bounded dials reach the driver: k seed vectors and k·d grid
+    sums.  Cells left empty by the first assignment keep their RAW seed
+    vector (the oracle mirrors via LEFT JOIN + COALESCE).
+    """
+    from ..functions.text import portable_hash64
+
+    q = 1 << grid_bits
+    dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    seed_rows = (
+        embeddings.select(
+            F.col(id_col),
+            dv.alias("__v"),
+            portable_hash64(F.col(id_col).cast("string")).alias("__hv"),
+        )
+        .orderBy("__hv", id_col)
+        .limit(n_cells)
+        .select("__v")
+        .collect()
+    )
+    if len(seed_rows) < n_cells:
+        raise ValueError(
+            f"ivf_balanced_build: need >= {n_cells} rows, got {len(seed_rows)}"
+        )
+    seeds = [list(r[0]) for r in seed_rows]
+    assigned = _assign_cluster(
+        embeddings.select(dv.alias("__v")), [_unit(s) for s in seeds], "__v"
+    )
+    grid = (
+        assigned.select("__cluster", F.posexplode("__v").alias("pos", "val"))
+        .groupBy("__cluster", "pos")
+        .agg(
+            F.sum(F.floor(F.col("val") * q).cast("long")).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    by_cell: dict[int, dict[int, float]] = {}
+    for r in grid:
+        by_cell.setdefault(r["__cluster"], {})[r["pos"]] = (r["s"] / r["n"]) / q
+    cents = []
+    for c in range(n_cells):
+        dims = by_cell.get(c)
+        if dims is None:
+            cents.append(seeds[c])  # empty cell keeps its raw seed
+        else:
+            cents.append([dims[p] for p in sorted(dims)])
+    return cents
+
+
+def ivf_balanced_ann_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int | None = None,
+    n_probe: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Approximate top-k over the balanced hash-exact IVF index:
+    assignment by cosine (normalized learned centroids), probe ordering
+    by RAW centroid dot — MIPS-consistent: the score being maximized is
+    the raw dot, so cells are ranked by their centroid's raw dot with
+    the query.  On norm-ladder geometry this deliberately probes the
+    high-norm cells (where the top dots live) at a visible, n_probe-
+    bounded scan cost; a normalized probe ordering was measured to scan
+    8× less but miss the high-norm answers (BASELINE.md round-13
+    balanced-IVF census).  Dials default to ``ivf_scaled_dials``.
+
+    Everything — seeds, assignment, probe rank, top-k — is
+    bit-deterministic, so the approximate result itself value-hashes
+    against a DuckDB oracle replaying the same build (no recall band
+    needed for determinism; the recall CHECK entry still pins quality).
+    """
+    if n_cells is None or n_probe is None:
+        d_cells, d_probe = ivf_scaled_dials(embeddings.count())
+        n_cells = n_cells if n_cells is not None else d_cells
+        n_probe = n_probe if n_probe is not None else d_probe
+    cents = centroids or ivf_balanced_build(
+        embeddings, n_cells, vec_col=vec_col, id_col=id_col
+    )
+    scores = [_fold_dot(c, query_vec) for c in cents]
+    probe = sorted(range(len(cents)), key=lambda i: (-scores[i], i))[:n_probe]
+    dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    assigned = _assign_cluster(
+        embeddings.select(F.col(id_col), dv.alias("__v")),
+        [_unit(c) for c in cents],
+        "__v",
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        assigned.filter(F.col("__cluster").isin(probe))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col("__v"), qlit), 6).alias("cosine"),
+            F.col("__cluster").cast("int").alias("cell"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -58,6 +58,8 @@ _SAMPLE_FIRST = [
     # new this round (unaligned passage dedup; exact-dot refine ANN tier;
     # output-budgeted family pairs) and changed (BPE derived sample dial)
     "text_duplicate_passages_unaligned",
+    "sim_ivf_balanced_ann_topk",
+    "sim_ivf_balanced_recall_check",
     "sim_sq8_ann_topk_refined",
     "sim_sq8_refined_recall_check",
     "sim_pq_scaled_refine_recall_check",

@@ -676,3 +676,179 @@ def sim_ivfpq_residual_recall_check(spark: SparkSession, sf_dir: str) -> DataFra
         codebooks=cbs,
     )
     return _recall_check(spark, sf_dir, approx, floor_hits=8)
+
+
+# ---- Balanced IVF: the first HASH-EXACT learned index ----------------------
+# Round-13 late census of the 50x replica fixture (norm-skewed MIPS
+# geometry) measured the standard build's two structural defects:
+# first-id seeds all land in replica 0, and raw-dot assignment funnels
+# 98,537 of 100k vectors into ONE cell (any probe of that cell is a
+# full-table scan; any probe missing it recalls ~nothing).  The balanced
+# build (hash-ranked seeds + cosine assignment, operators/similarity.py
+# ivf_balanced_build) cuts the max cell to 10,758 and lifts the
+# worst-query recall@10 at the scale notches (multi-query sweep:
+# min 1 -> min 3 at 50x, min 1 -> min 4 at 20x at the same 25% probe
+# budget).  A ball-bound probe ordering (q.c + |q|.radius) was
+# prototyped and REJECTED: under funneled cells its apparent recovery
+# was just probing the mega-cell (98.7% scanned); under balanced cells
+# it chases big-radius cells that lack the query's neighbors (0/10).
+#
+# The Lloyd refinement uses DYADIC-GRID means (exact BIGINT moments,
+# correctly-rounded divisions), so unlike every earlier learned index
+# the centroids - and therefore the assignment, probe ranks, and
+# approximate top-k itself - are bit-reproducible in DuckDB: this entry
+# value-hashes the LEARNED index's output where its siblings can only
+# band-check recall.
+
+_ivf_balanced_cache: dict[str, tuple[int, int, list[list[float]]]] = {}
+
+
+def _balanced_ivf_index(spark: SparkSession, sf_dir: str):
+    from ..operators.similarity import ivf_balanced_build, ivf_scaled_dials
+
+    if sf_dir not in _ivf_balanced_cache:
+        emb = load_table(spark, sf_dir, "embeddings")
+        n_cells, n_probe = ivf_scaled_dials(emb.count())
+        cents = ivf_balanced_build(emb, n_cells)
+        _ivf_balanced_cache[sf_dir] = (n_cells, n_probe, cents)
+    return _ivf_balanced_cache[sf_dir]
+
+
+_IVF_BALANCED_ORACLE = f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+    ),
+    dial AS (
+        SELECT k, GREATEST(2, LEAST(k, CAST(CEIL(0.25 * k) AS BIGINT))) AS np
+        FROM (SELECT GREATEST(4, LEAST(64, COUNT(*) // 64)) AS k
+              FROM embeddings) d
+    ),
+    ranked AS (
+        SELECT vec_id, vec,
+               ROW_NUMBER() OVER (
+                   ORDER BY {_inc_phash("CAST(vec_id AS VARCHAR)")}, vec_id
+               ) - 1 AS cell
+        FROM v
+    ),
+    seeds AS (
+        SELECT cell, vec FROM ranked CROSS JOIN dial WHERE cell < k
+    ),
+    sn AS (
+        SELECT cell,
+               list_transform(vec, x -> x / sqrt(list_dot_product(vec, vec)))
+                   AS cn
+        FROM seeds
+    ),
+    a0 AS (
+        SELECT vec_id, vec, cell FROM (
+            SELECT v.vec_id, v.vec, sn.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_dot_product(v.vec, sn.cn) DESC, sn.cell
+                   ) AS rn
+            FROM v CROSS JOIN sn
+        ) t WHERE rn = 1
+    ),
+    gs AS (
+        SELECT cell, dim,
+               CAST(SUM(CAST(FLOOR(val * 4096.0) AS BIGINT)) AS BIGINT) AS s,
+               COUNT(*) AS n
+        FROM (SELECT cell, generate_subscripts(vec, 1) AS dim,
+                     unnest(vec) AS val
+              FROM a0) e
+        GROUP BY cell, dim
+    ),
+    cm AS (
+        SELECT cell, list((CAST(s AS DOUBLE) / n) / 4096.0 ORDER BY dim)
+                   AS mvec
+        FROM gs GROUP BY cell
+    ),
+    c1 AS (
+        SELECT seeds.cell, COALESCE(cm.mvec, seeds.vec) AS cvec
+        FROM seeds LEFT JOIN cm ON seeds.cell = cm.cell
+    ),
+    c1n AS (
+        SELECT cell, cvec,
+               list_transform(cvec,
+                              x -> x / sqrt(list_dot_product(cvec, cvec)))
+                   AS cn
+        FROM c1
+    ),
+    q AS (SELECT vec FROM v WHERE vec_id = {_QUERY_VEC_ID}),
+    probe AS (
+        SELECT cell FROM (
+            SELECT c1n.cell,
+                   ROW_NUMBER() OVER (
+                       ORDER BY list_dot_product(c1n.cvec, q.vec) DESC,
+                                c1n.cell
+                   ) AS rn
+            FROM c1n CROSS JOIN q
+        ) p CROSS JOIN dial WHERE rn <= np
+    ),
+    a1 AS (
+        SELECT vec_id, vec, cell FROM (
+            SELECT v.vec_id, v.vec, c1n.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_dot_product(v.vec, c1n.cn) DESC, c1n.cell
+                   ) AS rn
+            FROM v CROSS JOIN c1n
+        ) t WHERE rn = 1
+    )
+    SELECT a1.vec_id,
+           ROUND(list_dot_product(a1.vec, q.vec), 6) AS cosine,
+           CAST(a1.cell AS INT) AS cell
+    FROM a1 JOIN probe USING (cell) CROSS JOIN q
+    ORDER BY cosine DESC, a1.vec_id
+    LIMIT {_K}
+    """
+
+
+@register("sim_ivf_balanced_ann_topk", oracle=_IVF_BALANCED_ORACLE)
+def sim_ivf_balanced_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced-IVF approximate top-k, value-hashed END TO END: the
+    oracle replays the whole learned build — hash-ranked seeds, cosine
+    assignment, the dyadic-grid Lloyd mean, seed fallback for empty
+    cells, raw-dot probe ranking, and the probed-cells top-k — so the
+    approximate result itself is the hash gate (its learned-index
+    siblings can only band-check recall because float centroid means are
+    summation-order jitter; the dyadic mean closes that split).  Probe
+    budget is the standard ``ivf_scaled_dials`` 25%.  Output carries the
+    winning ``cell`` so the assignment identity is hashed too."""
+    from ..operators.similarity import ivf_balanced_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_cells, n_probe, cents = _balanced_ivf_index(spark, sf_dir)
+    return ivf_balanced_ann_topk(
+        emb,
+        _query_vec(spark, sf_dir),
+        k=_K,
+        n_cells=n_cells,
+        n_probe=n_probe,
+        centroids=cents,
+    )
+
+
+@register("sim_ivf_balanced_recall_check", oracle=_RECALL_ORACLE)
+def sim_ivf_balanced_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall companion for the balanced tier — an honest TRADE entry,
+    floor ≥4: balance spreads base-scale near-ties across cells, so
+    vec-0 recall@10 is LOWER than the funneled scaled-probe entry at
+    base notches (measured 7 sf0.001, 7 sf0.01, 4 sf0.1) and HIGHER
+    where it matters structurally (10 at 20× AND 50×, where the index
+    also has no mega-cell: max occupancy 10.8% vs 98.5%; worst-query
+    multi-sweep min 4/3 vs the funneled build's 1).  Query-pinned
+    calibrated band (BASELINE.md round-13 balanced-IVF census)."""
+    from ..operators.similarity import ivf_balanced_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_cells, n_probe, cents = _balanced_ivf_index(spark, sf_dir)
+    approx = ivf_balanced_ann_topk(
+        emb,
+        _query_vec(spark, sf_dir),
+        k=_K,
+        n_cells=n_cells,
+        n_probe=n_probe,
+        centroids=cents,
+    )
+    return _recall_check(spark, sf_dir, approx, floor_hits=4)

@@ -1456,3 +1456,107 @@ def test_sparse_family_pairs_match_full_screen_families(spark):
         for r in dedup_family_canonical_pairs_sparse(spark, sf).collect()
     }
     assert sparse == full and len(full) > 0
+
+
+def test_ivf_balanced_build_no_funnel_and_deterministic(spark):
+    """The balanced build's two structural claims, on a planted
+    norm-skew corpus (the 50× census shape in miniature): (1) cosine
+    assignment must NOT funnel every vector into the high-norm
+    centroid's cell the way raw-dot assignment measurably does; (2) the
+    dyadic-mean build is bit-deterministic across rebuilds (it is what
+    makes the learned index value-hashable)."""
+    from hunger_games_glue_streaming_etl_spark.operators.similarity import (
+        _assign_cluster,
+        _unit,
+        ivf_balanced_build,
+    )
+    from pyspark.sql import functions as F
+
+    dim = 8
+    rows = []
+    # two orthogonal cones of 20 unit-ish vectors each...
+    for i in range(20):
+        v = [0.0] * dim
+        v[0], v[1] = 1.0, 0.01 * i
+        rows.append((i, [float(x) for x in v]))
+    for i in range(20, 40):
+        v = [0.0] * dim
+        v[2], v[3] = 1.0, 0.01 * i
+        rows.append((i, [float(x) for x in v]))
+    # ...plus one 100× all-positive norm outlier: a raw-dot argmax hands
+    # every vector to the centroid that absorbs it
+    rows.append((40, [100.0] * dim))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cents = ivf_balanced_build(emb, n_cells=4)
+    assert cents == ivf_balanced_build(emb, n_cells=4)  # bit-deterministic
+    assert len(cents) == 4
+
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    assigned = _assign_cluster(
+        emb.select(dv.alias("__v")), [_unit(c) for c in cents], "__v"
+    )
+    occ = assigned.groupBy("__cluster").count().collect()
+    # cosine assignment must keep the two cones apart: no cell may
+    # swallow the corpus
+    assert max(r["count"] for r in occ) <= 30
+
+    # the funnel itself, pinned at the operator level: with the raw
+    # outlier as one UN-normalized centroid, raw-dot argmax funnels the
+    # whole corpus into its cell (dot with the 100-norm vector beats any
+    # unit dot), while the normalized twin of the SAME centroid list
+    # splits the cones
+    hand = [
+        [100.0] * dim,                     # the outlier, raw
+        [1.0, 0.1] + [0.0] * (dim - 2),    # cone A direction
+        [0.0, 0.0, 1.0, 0.1] + [0.0] * (dim - 4),  # cone B direction
+        [0.5] * dim,
+    ]
+    raw_occ = (
+        _assign_cluster(emb.select(dv.alias("__v")), hand, "__v")
+        .groupBy("__cluster")
+        .count()
+        .collect()
+    )
+    assert max(r["count"] for r in raw_occ) == 41  # the funnel, demonstrated
+    unit_occ = (
+        _assign_cluster(emb.select(dv.alias("__v")), [_unit(c) for c in hand], "__v")
+        .groupBy("__cluster")
+        .count()
+        .collect()
+    )
+    assert max(r["count"] for r in unit_occ) <= 30
+
+
+def test_ivf_balanced_empty_cell_keeps_seed(spark):
+    """A seed that wins no assignments must survive as its own raw
+    vector (LEFT JOIN + COALESCE in the oracle; the build must mirror
+    it): with 4 cells over 4 identical-direction vectors, at most one
+    cell gets members, and the build still returns 4 centroids whose
+    empty ones equal their seeds exactly."""
+    from hunger_games_glue_streaming_etl_spark.operators.similarity import (
+        ivf_balanced_build,
+    )
+    from hunger_games_glue_streaming_etl_spark.functions.text import (
+        portable_hash64,
+    )
+    from pyspark.sql import functions as F
+
+    dim = 4
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(4)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = ivf_balanced_build(emb, n_cells=4)
+    assert len(cents) == 4
+    # all four vectors are identical, so every assignment ties to the
+    # smallest cell index: cells 1..3 are empty and keep their seeds
+    seeds = (
+        emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+            portable_hash64(F.col("vec_id").cast("string")).alias("hv"),
+        )
+        .orderBy("hv", "vec_id")
+        .collect()
+    )
+    for cell in (1, 2, 3):
+        assert cents[cell] == list(seeds[cell]["v"])

@@ -18,6 +18,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from hunger_games_glue_streaming_etl_spark.operators.similarity import (
     cosine_topk,
+    ivf_balanced_ann_topk,
+    ivf_balanced_build,
     ivf_ann_topk,
     ivf_build_centroids,
     ivf_scaled_dials,
@@ -52,6 +54,7 @@ def main() -> None:
         n = emb.count()
         n_cells, n_probe = ivf_scaled_dials(n)
         cents = ivf_build_centroids(emb, n_centroids=n_cells, iterations=1)
+        bal_cents = ivf_balanced_build(emb, n_cells)
         pq_cbs = pq_build_codebooks(emb)
         ivfpq_cents, ivfpq_cbs = ivfpq_build(emb, n_cells=n_cells)
         per_query: dict[str, list[int]] = {}
@@ -80,6 +83,12 @@ def main() -> None:
                     ivf_ann_topk(
                         emb, qv, k=K, n_centroids=n_cells, n_probe=n_probe,
                         centroids=cents,
+                    )
+                ),
+                "ivf_balanced": hits(
+                    ivf_balanced_ann_topk(
+                        emb, qv, k=K, n_cells=n_cells, n_probe=n_probe,
+                        centroids=bal_cents,
                     )
                 ),
                 "ivfpq_residual": hits(

@@ -107,6 +107,8 @@ SKIP_EXECUTING = {
     "sim_sq8_ann_topk_clipped",
     "sim_sq8_clipped_recall_check",
     "sim_ivf_ann_topk_scaled_probe",
+    "sim_ivf_balanced_ann_topk",
+    "sim_ivf_balanced_recall_check",
     "sim_incremental_index_assign",
     "sim_ivfpq_residual_recall_check",
     "dedup_embedding_lsh_pairs_centered",
