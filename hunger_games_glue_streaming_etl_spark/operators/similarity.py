@@ -1496,6 +1496,7 @@ def ivf_balanced_build(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     grid_bits: int = 12,
+    iterations: int = 1,
 ) -> list[list[float]]:
     """BALANCED IVF coarse quantizer whose entire build is
     bit-reproducible cross-engine — the first Lloyd-refined (learned)
@@ -1552,28 +1553,30 @@ def ivf_balanced_build(
             f"ivf_balanced_build: need >= {n_cells} rows, got {len(seed_rows)}"
         )
     seeds = [list(r[0]) for r in seed_rows]
-    assigned = _assign_cluster(
-        embeddings.select(dv.alias("__v")), [_unit(s) for s in seeds], "__v"
-    )
-    grid = (
-        assigned.select("__cluster", F.posexplode("__v").alias("pos", "val"))
-        .groupBy("__cluster", "pos")
-        .agg(
-            F.sum(F.floor(F.col("val") * q).cast("long")).alias("s"),
-            F.count("*").alias("n"),
+    cents = seeds
+    for _ in range(iterations):
+        assigned = _assign_cluster(
+            embeddings.select(dv.alias("__v")), [_unit(c) for c in cents], "__v"
         )
-        .collect()
-    )
-    by_cell: dict[int, dict[int, float]] = {}
-    for r in grid:
-        by_cell.setdefault(r["__cluster"], {})[r["pos"]] = (r["s"] / r["n"]) / q
-    cents = []
-    for c in range(n_cells):
-        dims = by_cell.get(c)
-        if dims is None:
-            cents.append(seeds[c])  # empty cell keeps its raw seed
-        else:
-            cents.append([dims[p] for p in sorted(dims)])
+        grid = (
+            assigned.select("__cluster", F.posexplode("__v").alias("pos", "val"))
+            .groupBy("__cluster", "pos")
+            .agg(
+                F.sum(F.floor(F.col("val") * q).cast("long")).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in grid:
+            by_cell.setdefault(r["__cluster"], {})[r["pos"]] = (r["s"] / r["n"]) / q
+        # a cell left empty by this round's assignment keeps its PREVIOUS
+        # centroid (round 1: its raw seed) — the oracle mirrors via
+        # LEFT JOIN + COALESCE per round
+        cents = [
+            [by_cell[c][p] for p in sorted(by_cell[c])] if c in by_cell else cents[c]
+            for c in range(n_cells)
+        ]
     return cents
 
 

@@ -60,6 +60,8 @@ _SAMPLE_FIRST = [
     "text_duplicate_passages_unaligned",
     "sim_ivf_balanced_ann_topk",
     "sim_ivf_balanced_recall_check",
+    "sim_kmeans_dyadic_clusters",
+    "curation_cluster_prototypes",
     "sim_sq8_ann_topk_refined",
     "sim_sq8_refined_recall_check",
     "sim_pq_scaled_refine_recall_check",

@@ -5,7 +5,7 @@ oracle would have to duplicate the Spark plan)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..caching import pin
@@ -852,3 +852,211 @@ def sim_ivf_balanced_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame
         centroids=cents,
     )
     return _recall_check(spark, sf_dir, approx, floor_hits=4)
+
+
+# ---- Distributed k-means (dyadic Lloyd) + cluster-prototype curation -------
+# The balanced-IVF build generalized to a first-class CLUSTERING operator:
+# R Lloyd rounds, every round's mean on the dyadic grid (exact BIGINT
+# moments), so the full learned clustering value-hashes against an oracle
+# that unrolls the rounds as generated chained CTEs (the BPE-training
+# precedent applied to k-means).  Downstream, the D4-style curation move:
+# keep only the Q most-central docs per embedding cluster
+# (cluster-balanced downsampling — over-dense clusters stop dominating
+# the corpus), Q corpus-derived.
+
+_KMEANS_ROUNDS = 2
+
+
+def _kmeans_ctes(rounds: int) -> str:
+    """Unrolled k-means CTE chain: seeds -> (normalize, assign, grid-mean,
+    COALESCE-fallback) x rounds -> final normalized centroids + assignment.
+    Every arithmetic site is the portable form (left-fold dots, exact
+    BIGINT grid moments, correctly-rounded divisions), so the chain is
+    bit-identical to the Spark build at every round."""
+    parts = [f"""
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    dial AS (
+        SELECT k, GREATEST(4, n // (4 * k)) AS q FROM (
+            SELECT GREATEST(4, LEAST(64, COUNT(*) // 64)) AS k,
+                   COUNT(*) AS n
+            FROM embeddings) d
+    ),
+    ranked AS (
+        SELECT vec_id, vec,
+               ROW_NUMBER() OVER (
+                   ORDER BY {_inc_phash("CAST(vec_id AS VARCHAR)")}, vec_id
+               ) - 1 AS cell
+        FROM v
+    ),
+    c0 AS (SELECT cell, vec AS cvec FROM ranked CROSS JOIN dial WHERE cell < k)"""]
+    for r in range(rounds):
+        parts.append(f""",
+    c{r}n AS (
+        SELECT cell,
+               list_transform(cvec,
+                              x -> x / sqrt(list_dot_product(cvec, cvec)))
+                   AS cn
+        FROM c{r}
+    ),
+    a{r} AS (
+        SELECT vec_id, vec, cell FROM (
+            SELECT v.vec_id, v.vec, c{r}n.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_dot_product(v.vec, c{r}n.cn) DESC,
+                                c{r}n.cell
+                   ) AS rn
+            FROM v CROSS JOIN c{r}n
+        ) t WHERE rn = 1
+    ),
+    gs{r} AS (
+        SELECT cell, dim,
+               CAST(SUM(CAST(FLOOR(val * 4096.0) AS BIGINT)) AS BIGINT) AS s,
+               COUNT(*) AS n
+        FROM (SELECT cell, generate_subscripts(vec, 1) AS dim,
+                     unnest(vec) AS val
+              FROM a{r}) e
+        GROUP BY cell, dim
+    ),
+    cm{r} AS (
+        SELECT cell, list((CAST(s AS DOUBLE) / n) / 4096.0 ORDER BY dim)
+                   AS mvec
+        FROM gs{r} GROUP BY cell
+    ),
+    c{r + 1} AS (
+        SELECT c{r}.cell, COALESCE(cm{r}.mvec, c{r}.cvec) AS cvec
+        FROM c{r} LEFT JOIN cm{r} ON c{r}.cell = cm{r}.cell
+    )""")
+    parts.append(f""",
+    cfn AS (
+        SELECT cell,
+               list_transform(cvec,
+                              x -> x / sqrt(list_dot_product(cvec, cvec)))
+                   AS cn
+        FROM c{rounds}
+    ),
+    af AS (
+        SELECT vec_id, vec, cell FROM (
+            SELECT v.vec_id, v.vec, cfn.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_dot_product(v.vec, cfn.cn) DESC, cfn.cell
+                   ) AS rn
+            FROM v CROSS JOIN cfn
+        ) t WHERE rn = 1
+    )""")
+    return "".join(parts)
+
+
+_kmeans_cache: dict[str, tuple[int, list[list[float]]]] = {}
+
+
+def _kmeans_index(spark: SparkSession, sf_dir: str):
+    from ..operators.similarity import ivf_balanced_build, ivf_scaled_dials
+
+    if sf_dir not in _kmeans_cache:
+        emb = load_table(spark, sf_dir, "embeddings")
+        n_cells, _ = ivf_scaled_dials(emb.count())
+        cents = ivf_balanced_build(emb, n_cells, iterations=_KMEANS_ROUNDS)
+        _kmeans_cache[sf_dir] = (n_cells, cents)
+    return _kmeans_cache[sf_dir]
+
+
+def _kmeans_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import _assign_cluster, _unit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, cents = _kmeans_index(spark, sf_dir)
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return _assign_cluster(
+        emb.select("vec_id", dv.alias("__v")), [_unit(c) for c in cents], "__v"
+    )
+
+
+@register(
+    "sim_kmeans_dyadic_clusters",
+    oracle=f"""
+    WITH {_kmeans_ctes(_KMEANS_ROUNDS)}
+    SELECT vec_id, CAST(cell AS INT) AS cluster,
+           CAST(COUNT(*) OVER (PARTITION BY cell) AS BIGINT) AS cluster_size
+    FROM af
+    """,
+)
+def sim_kmeans_dyadic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means over the embedding corpus, {_KMEANS_ROUNDS}
+    Lloyd rounds, fully value-hashed: hash-ranked seeds, cosine
+    assignment (no raw-dot funnel), and DYADIC-GRID means each round
+    (exact BIGINT moments per (cell, dim) + correctly-rounded divisions
+    — float means are summation-order jitter, which is why the older
+    ``lloyd_refine`` path is containment-tested instead of oracled).
+    The oracle unrolls the rounds as generated chained CTEs (the
+    BPE-training shape) and the full (vec_id, cluster, cluster_size)
+    assignment hash-matches.  At scale: per round, one kernel pass over
+    the vectors + one (cell, dim)-grouped shuffle of BIGINT moments;
+    only k·d grid sums reach the driver per round."""
+    w = Window.partitionBy("__cluster")
+    return _kmeans_assigned(spark, sf_dir).select(
+        "vec_id",
+        F.col("__cluster").cast("int").alias("cluster"),
+        F.count("*").over(w).cast("long").alias("cluster_size"),
+    )
+
+
+@register(
+    "curation_cluster_prototypes",
+    oracle=f"""
+    WITH {_kmeans_ctes(_KMEANS_ROUNDS)},
+    scored AS (
+        SELECT af.vec_id, af.cell,
+               list_dot_product(af.vec, cfn.cn)
+                   / sqrt(list_dot_product(af.vec, af.vec)) AS centrality
+        FROM af JOIN cfn USING (cell)
+    ),
+    rk AS (
+        SELECT vec_id, cell, centrality,
+               ROW_NUMBER() OVER (
+                   PARTITION BY cell ORDER BY centrality DESC, vec_id
+               ) AS rnk
+        FROM scored
+    )
+    SELECT vec_id, CAST(cell AS INT) AS cluster,
+           ROUND(centrality, 6) AS centrality
+    FROM rk CROSS JOIN dial WHERE rnk <= q
+    """,
+)
+def curation_cluster_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced corpus downsampling (the D4-style curation move):
+    keep only the Q most-CENTRAL docs per k-means cluster — over-dense
+    embedding clusters (boilerplate families, template spam) stop
+    dominating the training mix, and what survives is each cluster's
+    prototypes.  Q is corpus-derived (GREATEST(4, n // (4k)) — a fixed
+    cap would either starve small corpora or stop capping large ones).
+    Centrality = cosine(vector, assigned centroid); everything from the
+    seeds to the per-cluster rank is the portable arithmetic, so the
+    KEPT SET itself is the hash gate, not a recall band."""
+    from ..operators.similarity import dot
+
+    emb_n = load_table(spark, sf_dir, "embeddings").count()
+    n_cells, cents = _kmeans_index(spark, sf_dir)
+    from ..operators.similarity import _unit
+
+    cap = max(4, emb_n // (4 * n_cells))
+    cn = [_unit(c) for c in cents]
+    cn_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cn])
+    assigned = _kmeans_assigned(spark, sf_dir)
+    scored = assigned.select(
+        "vec_id",
+        F.col("__cluster").cast("int").alias("cluster"),
+        (
+            dot(F.col("__v"), F.element_at(cn_arr, F.col("__cluster") + 1))
+            / F.sqrt(dot(F.col("__v"), F.col("__v")))
+        ).alias("__centrality"),
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("__centrality").desc(), "vec_id"
+    )
+    return (
+        scored.withColumn("__rnk", F.row_number().over(w))
+        .filter(F.col("__rnk") <= cap)
+        .select("vec_id", "cluster", F.round("__centrality", 6).alias("centrality"))
+    )

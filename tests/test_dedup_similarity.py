@@ -1560,3 +1560,60 @@ def test_ivf_balanced_empty_cell_keeps_seed(spark):
     )
     for cell in (1, 2, 3):
         assert cents[cell] == list(seeds[cell]["v"])
+
+
+def test_kmeans_dyadic_rounds_refine_and_prototypes_cap(spark):
+    """Multi-round dyadic k-means: (1) the second Lloyd round must
+    actually move centroids (the loop iterates, not a copy-paste of
+    round 1); (2) rebuilds stay bit-deterministic at every depth (the
+    value-hash precondition); (3) the prototype keep-set respects the
+    per-cluster cap and covers every cluster that has members."""
+    from hunger_games_glue_streaming_etl_spark.operators.similarity import (
+        _assign_cluster,
+        _unit,
+        ivf_balanced_build,
+    )
+    from pyspark.sql import functions as F
+
+    dim = 8
+    rows = [
+        (i, [float(((i * 37 + d * 11) % 17) - 8) / 8.0 for d in range(dim)])
+        for i in range(120)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    c1 = ivf_balanced_build(emb, n_cells=4, iterations=1)
+    c2 = ivf_balanced_build(emb, n_cells=4, iterations=2)
+    assert c2 == ivf_balanced_build(emb, n_cells=4, iterations=2)
+    assert c1 != c2  # round 2 refines
+
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    assigned = _assign_cluster(
+        emb.select("vec_id", dv.alias("__v")), [_unit(c) for c in c2], "__v"
+    )
+    occ = {r["__cluster"]: r["count"] for r in assigned.groupBy("__cluster").count().collect()}
+
+    # the registered curation entry's cap semantics, replayed here on the
+    # planted frame: keep Q most-central per cluster
+    from hunger_games_glue_streaming_etl_spark.operators.similarity import dot
+    from pyspark.sql import Window
+
+    cap = 7
+    cn_arr = F.array(*[F.array(*[F.lit(float(x)) for x in _unit(c)]) for c in c2])
+    w = Window.partitionBy("__cluster").orderBy(F.desc("__cent"), "vec_id")
+    kept = (
+        assigned.withColumn(
+            "__cent",
+            dot(F.col("__v"), F.element_at(cn_arr, F.col("__cluster") + 1))
+            / F.sqrt(dot(F.col("__v"), F.col("__v"))),
+        )
+        .withColumn("__rnk", F.row_number().over(w))
+        .filter(F.col("__rnk") <= cap)
+        .groupBy("__cluster")
+        .count()
+        .collect()
+    )
+    kept_occ = {r["__cluster"]: r["count"] for r in kept}
+    assert set(kept_occ) == set(occ)  # every populated cluster keeps prototypes
+    for cell, n_kept in kept_occ.items():
+        assert n_kept == min(cap, occ[cell])

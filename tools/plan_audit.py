@@ -109,6 +109,8 @@ SKIP_EXECUTING = {
     "sim_ivf_ann_topk_scaled_probe",
     "sim_ivf_balanced_ann_topk",
     "sim_ivf_balanced_recall_check",
+    "sim_kmeans_dyadic_clusters",
+    "curation_cluster_prototypes",
     "sim_incremental_index_assign",
     "sim_ivfpq_residual_recall_check",
     "dedup_embedding_lsh_pairs_centered",

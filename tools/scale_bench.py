@@ -67,6 +67,10 @@ CALIBRATED_BANDS = {
     "sim_sq8_refined_recall_check",
     "sim_pq_scaled_refine_recall_check",
     "sim_ivfpq_residual_recall_check",
+    # balanced-IVF tier (round-13 late): floor ≥4 is query-pinned AND
+    # distribution-pinned — measured 7/7/4/10/10 at
+    # sf0.001/sf0.01/sf0.1/20×/50× (BASELINE.md balanced-IVF census)
+    "sim_ivf_balanced_recall_check",
 }
 
 # entries whose boolean columns are STATISTICAL-GUARANTEE bands (estimator
