@@ -62,6 +62,7 @@ _SAMPLE_FIRST = [
     "sim_ivf_balanced_recall_check",
     "sim_kmeans_dyadic_clusters",
     "curation_cluster_prototypes",
+    "streaming_kmeans_cell_counts",
     "sim_sq8_ann_topk_refined",
     "sim_sq8_refined_recall_check",
     "sim_pq_scaled_refine_recall_check",

@@ -1047,3 +1047,90 @@ def streaming_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream(
         spark, deduped.select(F.col("gh").alias("anchor_hash")), "passage_dedup"
     )
+
+
+# ---- Streaming frozen-model scoring: k-means cell assignment ----------------
+
+_emb_stage_cache: dict[str, str] = {}
+
+
+def _stage_embeddings_stream(
+    spark: SparkSession, sf_dir: str, n_batches: int = 4
+) -> str:
+    """Embeddings fixture as n_batches JSON-lines files ordered by vec_id.
+    Components are cast to DOUBLE before the JSON write: Jackson emits
+    shortest-round-trip decimals, so the streamed doubles are bit-identical
+    to the batch path's float→double cast and the frozen-model scores
+    hash-match the batch twin."""
+    cached = _emb_stage_cache.get(sf_dir)
+    if cached and os.path.isdir(cached):
+        return cached
+    emb = load_table(spark, sf_dir, "embeddings")
+    max_id = emb.agg(F.max("vec_id")).head()[0]
+    staged = emb.withColumn(
+        "__batch",
+        (F.col("vec_id") * n_batches / (max_id + 1)).cast("int") + 1,
+    ).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        "__batch",
+    )
+    dst = _write_and_flatten_batches(
+        staged, prefix=f"hg_emb_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    _emb_stage_cache[sf_dir] = dst
+    return dst
+
+
+def _kmeans_cells_oracle() -> str:
+    from .similarity_ops import _KMEANS_ROUNDS, _kmeans_ctes
+
+    return f"""
+    WITH {_kmeans_ctes(_KMEANS_ROUNDS)}
+    SELECT CAST(cell AS INT) AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_assigned
+    FROM af GROUP BY cell
+    """
+
+
+@register("streaming_kmeans_cell_counts", oracle=_kmeans_cells_oracle())
+def streaming_kmeans_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen-model scoring ON THE STREAM — the embedding-drift-monitor
+    shape: the dyadic k-means index is trained on the batch corpus
+    (`sim_kmeans_dyadic_clusters`' exact centroids, a bounded driver
+    dial), then a live embedding stream is assigned to its cells
+    micro-batch by micro-batch (the same Arrow/codegen ``_assign_cluster``
+    kernel running stateless inside Structured Streaming) and the
+    per-cell histogram is maintained in complete mode.  In production
+    this histogram against the training-time cell sizes IS the drift
+    alarm; here the final counts value-hash against the batch twin's
+    closed-form oracle — scoring a stream must lose nothing vs scoring
+    the table.  State is k counters; the scoring itself is stateless, so
+    the at-scale cost is one kernel pass per micro-batch."""
+    from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+
+    from ..operators.similarity import _assign_cluster, _unit
+    from .similarity_ops import _kmeans_index
+
+    _, cents = _kmeans_index(spark, sf_dir)
+    src = _stage_embeddings_stream(spark, sf_dir)
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2")
+        .json(src)
+    )
+    assigned = _assign_cluster(
+        stream.select("vec_id", F.col("embedding").alias("__v")),
+        [_unit(c) for c in cents],
+        "__v",
+    )
+    counts = assigned.groupBy(
+        F.col("__cluster").cast("int").alias("cluster")
+    ).agg(F.count("*").cast("long").alias("n_assigned"))
+    return _run_stream(spark, counts, "kmeans_cells", output_mode="complete")

@@ -1333,3 +1333,79 @@ def test_streaming_passage_dedup_suppresses_offset_copy_across_batches(
         assert 3 in out or 4 in out
     finally:
         q.stop()
+
+
+def test_streaming_kmeans_scoring_matches_batch_twin_across_triggers(spark):
+    """Frozen-model scoring on the stream must lose nothing vs scoring
+    the table: the per-cell histogram after the drain equals the batch
+    k-means assignment's group counts exactly, AND the replay really
+    exercised multiple micro-batches (4 staged files at
+    maxFilesPerTrigger=2 ⇒ 2 triggers) — otherwise the test would pass
+    on a degenerate single-batch read."""
+    import uuid as _uuid
+
+    from conftest import SF_DIR
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from hunger_games_glue_streaming_etl_spark.operators.similarity import (
+        _assign_cluster,
+        _unit,
+    )
+    from hunger_games_glue_streaming_etl_spark.plans.similarity_ops import (
+        _kmeans_index,
+    )
+    from hunger_games_glue_streaming_etl_spark.plans.streaming_queries import (
+        _stage_embeddings_stream,
+    )
+    from hunger_games_glue_streaming_etl_spark.plans import QUERIES
+
+    _, cents = _kmeans_index(spark, SF_DIR)
+    src = _stage_embeddings_stream(spark, SF_DIR)
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "2").json(src)
+    )
+    assigned = _assign_cluster(
+        stream.select("vec_id", F.col("embedding").alias("__v")),
+        [_unit(c) for c in cents],
+        "__v",
+    )
+    counts = assigned.groupBy(
+        F.col("__cluster").cast("int").alias("cluster")
+    ).agg(F.count("*").cast("long").alias("n_assigned"))
+    qname = f"kmeans_depth_{_uuid.uuid4().hex[:8]}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_triggers = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    finally:
+        q.stop()
+    streamed = {
+        (r["cluster"], r["n_assigned"]) for r in spark.table(qname).collect()
+    }
+    batch = {
+        (r["cluster"], r["cluster_size"])
+        for r in QUERIES["sim_kmeans_dyadic_clusters"](spark, SF_DIR)
+        .select("cluster", "cluster_size")
+        .distinct()
+        .collect()
+    }
+    assert n_triggers >= 2
+    assert streamed == batch
