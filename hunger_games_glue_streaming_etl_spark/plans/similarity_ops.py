@@ -1060,3 +1060,165 @@ def curation_cluster_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rnk") <= cap)
         .select("vec_id", "cluster", F.round("__centrality", 6).alias("centrality"))
     )
+
+
+# ---- Embedding-distribution drift audit over the k-means cells -------------
+
+_DRIFT_ORACLE = f"""
+    WITH {_kmeans_ctes(_KMEANS_ROUNDS)},
+    sided AS (
+        SELECT af.vec_id, af.cell, af.vec,
+               {_inc_phash("'drift:' || CAST(vec_id AS VARCHAR)")} % 2 AS side
+        FROM af
+    ),
+    shifted AS (
+        SELECT vec_id, list_prepend(vec[1] + 4.0, vec[2:]) AS vec
+        FROM sided WHERE side = 1
+    ),
+    ash AS (
+        SELECT vec_id, cell FROM (
+            SELECT s.vec_id, cfn.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s.vec_id
+                       ORDER BY list_dot_product(s.vec, cfn.cn) DESC, cfn.cell
+                   ) AS rn
+            FROM shifted s CROSS JOIN cfn
+        ) t WHERE rn = 1
+    ),
+    counts AS (
+        SELECT cfn.cell,
+               CAST(COALESCE(a.ca, 0) AS BIGINT) AS cnt_ref,
+               CAST(COALESCE(a.cb, 0) AS BIGINT) AS cnt_same,
+               CAST(COALESCE(sh.cs, 0) AS BIGINT) AS cnt_shift
+        FROM cfn
+        LEFT JOIN (SELECT cell,
+                          SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS ca,
+                          SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS cb
+                   FROM sided GROUP BY cell) a ON cfn.cell = a.cell
+        LEFT JOIN (SELECT cell, COUNT(*) AS cs FROM ash GROUP BY cell) sh
+               ON cfn.cell = sh.cell
+    ),
+    tot AS (
+        SELECT CAST(SUM(cnt_ref) AS BIGINT) AS na,
+               CAST(SUM(cnt_same) AS BIGINT) AS nb,
+               CAST(SUM(cnt_shift) AS BIGINT) AS ns
+        FROM counts
+    ),
+    num AS (
+        SELECT cell, cnt_ref, cnt_same, cnt_shift,
+               CAST(ABS(cnt_ref * nb - cnt_same * na) AS BIGINT) AS num_same,
+               CAST(ABS(cnt_ref * ns - cnt_shift * na) AS BIGINT) AS num_shift
+        FROM counts CROSS JOIN tot
+    ),
+    verdict AS (
+        SELECT (5 * CAST(SUM(num_same) AS BIGINT)
+                    <= 2 * (SELECT na FROM tot) * (SELECT nb FROM tot))
+                   AS no_drift_same_dist,
+               (5 * CAST(SUM(num_shift) AS BIGINT)
+                    >= 2 * (SELECT na FROM tot) * (SELECT ns FROM tot))
+                   AS drift_detected_planted
+        FROM num
+    )
+    SELECT CAST(num.cell AS INT) AS cluster, cnt_ref, cnt_same, cnt_shift,
+           num_same, num_shift, no_drift_same_dist, drift_detected_planted
+    FROM num CROSS JOIN verdict
+    """
+
+
+@register("dq_embedding_drift_cells", oracle=_DRIFT_ORACLE)
+def dq_embedding_drift_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift audit — the production monitor the
+    streaming cell histogram exists to feed: two corpus snapshots are
+    compared by their per-cell histograms under the FROZEN k-means index,
+    via total-variation distance computed entirely in exact integers
+    (per-cell numerator |cnt_ref·n_cur − cnt_cur·n_ref|; TV ≤ τ becomes
+    the cross-multiplied integer comparison 5·Σnum ≤ 2·n_ref·n_cur for
+    τ = 0.2 — no float summation anywhere, so every row AND the verdict
+    hash-match).  Magnitude bound: cnt·n < 2^63 ⇒ each side under ~2^31
+    rows; shard the statistic (sum numerators per shard) beyond that.
+
+    Planted contract, not a statistical band: the same-distribution pair
+    (portable-hash halves of one corpus) must NOT alarm, and a
+    deterministic +4.0 dim-0 shift of the second half MUST (measured TV:
+    same ≤ 0.101, shifted ≥ 0.333 across sf0.001..50× — τ = 0.2 splits
+    with ≥2× margin at every notch)."""
+    from ..functions.text import portable_hash64
+    from ..operators.similarity import _assign_cluster, _unit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, cents = _kmeans_index(spark, sf_dir)
+    cn = [_unit(c) for c in cents]
+    d = len(cents[0])
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select(
+        "vec_id",
+        dv.alias("__v"),
+        (
+            portable_hash64(
+                F.concat(F.lit("drift:"), F.col("vec_id").cast("string"))
+            )
+            % 2
+        ).alias("side"),
+    )
+    assigned = _assign_cluster(base, cn, "__v")
+    shifted = base.filter(F.col("side") == 1).withColumn(
+        "__v",
+        F.concat(
+            F.array(F.element_at("__v", 1) + F.lit(4.0)),
+            F.slice(F.col("__v"), 2, d - 1),
+        ),
+    )
+    ash = _assign_cluster(shifted, cn, "__v")
+    ref_counts = assigned.groupBy("__cluster").agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).cast("long").alias("ca"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).cast("long").alias("cb"),
+    )
+    sh_counts = ash.groupBy("__cluster").agg(F.count("*").cast("long").alias("cs"))
+    cells = spark.range(len(cents)).select(F.col("id").cast("int").alias("cluster"))
+    counts = (
+        cells.join(
+            ref_counts.withColumnRenamed("__cluster", "cluster"), "cluster", "left"
+        )
+        .join(sh_counts.withColumnRenamed("__cluster", "cluster"), "cluster", "left")
+        .select(
+            "cluster",
+            F.coalesce("ca", F.lit(0)).cast("long").alias("cnt_ref"),
+            F.coalesce("cb", F.lit(0)).cast("long").alias("cnt_same"),
+            F.coalesce("cs", F.lit(0)).cast("long").alias("cnt_shift"),
+        )
+    )
+    # tiny (k-row) frame with THREE downstream consumers in one action —
+    # eagerly truncate so the two assignment passes underneath run once
+    # (the r9 multi-consumer rule; ReuseExchange is not guaranteed under AQE)
+    counts = counts.localCheckpoint(eager=True)
+    tot = counts.agg(
+        F.sum("cnt_ref").cast("long").alias("na"),
+        F.sum("cnt_same").cast("long").alias("nb"),
+        F.sum("cnt_shift").cast("long").alias("ns"),
+    )
+    num = counts.crossJoin(F.broadcast(tot)).select(
+        "cluster",
+        "cnt_ref",
+        "cnt_same",
+        "cnt_shift",
+        F.abs(F.col("cnt_ref") * F.col("nb") - F.col("cnt_same") * F.col("na"))
+        .cast("long")
+        .alias("num_same"),
+        F.abs(F.col("cnt_ref") * F.col("ns") - F.col("cnt_shift") * F.col("na"))
+        .cast("long")
+        .alias("num_shift"),
+        "na",
+        "nb",
+        "ns",
+    )
+    verdict = num.agg(
+        (
+            F.lit(5) * F.sum("num_same").cast("long")
+            <= F.lit(2) * F.first("na") * F.first("nb")
+        ).alias("no_drift_same_dist"),
+        (
+            F.lit(5) * F.sum("num_shift").cast("long")
+            >= F.lit(2) * F.first("na") * F.first("ns")
+        ).alias("drift_detected_planted"),
+    )
+    return num.drop("na", "nb", "ns").crossJoin(F.broadcast(verdict))

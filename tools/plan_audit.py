@@ -111,6 +111,8 @@ SKIP_EXECUTING = {
     "sim_ivf_balanced_recall_check",
     "sim_kmeans_dyadic_clusters",
     "curation_cluster_prototypes",
+    # eagerly truncates its k-row counts frame (3 consumers in one action)
+    "dq_embedding_drift_cells",
     "sim_incremental_index_assign",
     "sim_ivfpq_residual_recall_check",
     "dedup_embedding_lsh_pairs_centered",
