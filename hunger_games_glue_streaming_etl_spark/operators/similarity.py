@@ -18,7 +18,7 @@ Unit-norm inputs make dot product = cosine (the fixtures are normalized;
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..caching import pin
@@ -1630,4 +1630,97 @@ def ivf_balanced_ann_topk(
         )
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+def sq8_refined_recall_batch(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    refine: int = 8,
+    floor_hits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    permille: int = 995,
+) -> DataFrame:
+    """BATCHED ANN serving + per-query recall, one scan for all queries:
+    the query vectors ride as a small broadcast FRAME (codes + raw
+    doubles), never a driver round-trip — the real serving shape, where
+    queries arrive in batches and the corpus is scanned once per batch,
+    not once per query.
+
+    Per query: clipped-SQ8 integer scores (window-ranked top refine·k
+    candidates per qid), exact-dot re-rank of those candidates, and the
+    recall@k of the refined top-k against the exact top-k — every stage
+    the bit-deterministic arithmetic of the single-query refined path,
+    so the per-query recall INTEGERS (not a band) hash against a SQL
+    oracle replaying the same plan.  This closes the round-13 sweep's
+    query-pinned caveat for the robust tier: the entry asserts the floor
+    for EVERY query in the batch, not just vec-0.
+
+    Scale shape: one corpus code scan fanned |Q|-fold by a broadcast
+    nested-loop join (|Q| tiny), two windows partitioned by qid, exact
+    dots on |Q|·refine·k rows.  Nothing collects."""
+    dial = sq8_clipped_dials(embeddings, vec_col, permille=permille)
+    dv = F.col(vec_col).cast("array<double>")
+    qframe = (
+        embeddings.filter(F.col(id_col).isin([int(q) for q in query_ids]))
+        .crossJoin(F.broadcast(dial))
+        .select(
+            F.col(id_col).alias("qid"),
+            dv.alias("__qv"),
+            F.transform(dv, lambda xi: _sq8_code_clipped(xi, F.col("__a"))).alias(
+                "__qq"
+            ),
+        )
+    )
+    scored = (
+        embeddings.crossJoin(F.broadcast(dial))
+        .crossJoin(F.broadcast(qframe))
+        .select(
+            "qid",
+            F.col(id_col),
+            F.aggregate(
+                F.zip_with(
+                    dv,
+                    "__qq",
+                    lambda xi, qq: _sq8_code_clipped(xi, F.col("__a")) * qq,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("__s"),
+        )
+    )
+    w_cand = Window.partitionBy("qid").orderBy(F.desc("__s"), id_col)
+    cand = (
+        scored.withColumn("__rn", F.row_number().over(w_cand))
+        .filter(F.col("__rn") <= refine * k)
+        .select("qid", id_col)
+    )
+    exact_scored = embeddings.crossJoin(F.broadcast(qframe.select("qid", "__qv"))).select(
+        "qid",
+        F.col(id_col),
+        F.round(dot(dv, F.col("__qv")), 6).alias("__cos"),
+    )
+    w_top = Window.partitionBy("qid").orderBy(F.desc("__cos"), id_col)
+    exact_topk = (
+        exact_scored.withColumn("__rn", F.row_number().over(w_top))
+        .filter(F.col("__rn") <= k)
+        .select("qid", id_col)
+    )
+    refined_topk = (
+        cand.join(exact_scored, ["qid", id_col])
+        .withColumn("__rn", F.row_number().over(w_top))
+        .filter(F.col("__rn") <= k)
+        .select("qid", id_col)
+    )
+    return (
+        refined_topk.join(exact_topk, ["qid", id_col])
+        .groupBy("qid")
+        .agg(F.count("*").cast("long").alias("recall_at_10"))
+        .select(
+            "qid",
+            "recall_at_10",
+            (F.col("recall_at_10") >= floor_hits).alias("recall_ok"),
+        )
     )

@@ -64,6 +64,7 @@ _SAMPLE_FIRST = [
     "curation_cluster_prototypes",
     "streaming_kmeans_cell_counts",
     "dq_embedding_drift_cells",
+    "sim_sq8_refined_recall_multiquery",
     "sim_sq8_ann_topk_refined",
     "sim_sq8_refined_recall_check",
     "sim_pq_scaled_refine_recall_check",
