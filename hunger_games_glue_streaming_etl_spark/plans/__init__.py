@@ -58,13 +58,6 @@ _SAMPLE_FIRST = [
     # new this round (unaligned passage dedup; exact-dot refine ANN tier;
     # output-budgeted family pairs) and changed (BPE derived sample dial)
     "text_duplicate_passages_unaligned",
-    "sim_ivf_balanced_ann_topk",
-    "sim_ivf_balanced_recall_check",
-    "sim_kmeans_dyadic_clusters",
-    "curation_cluster_prototypes",
-    "streaming_kmeans_cell_counts",
-    "dq_embedding_drift_cells",
-    "sim_sq8_refined_recall_multiquery",
     "sim_sq8_ann_topk_refined",
     "sim_sq8_refined_recall_check",
     "sim_pq_scaled_refine_recall_check",
@@ -125,6 +118,15 @@ _SAMPLE_FIRST = [
     "dedup_embedding_lsh_pairs_centered",
     "streaming_passage_dedup",
     "dedup_family_canonical_pairs_sparse",
+    # second late session's new entries — same contract as the block
+    # above: driver_sim-gated every commit, first recorded row in r14
+    "sim_ivf_balanced_ann_topk",
+    "sim_ivf_balanced_recall_check",
+    "sim_kmeans_dyadic_clusters",
+    "curation_cluster_prototypes",
+    "streaming_kmeans_cell_counts",
+    "dq_embedding_drift_cells",
+    "sim_sq8_refined_recall_multiquery",
     # head of the (now-oldest) r9 cohort — pads the window so the
     # rows-only entries in import order never enter the recorded sample
     "agg_bitmap_exact_distinct",
