@@ -594,3 +594,104 @@ def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_lines"),
         F.sum(F.col("l_quantity").cast("long")).alias("qty_sum"),
     )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping-priority top-10): segment-filtered
+    customers drive a selective orders scan, unshipped-revenue aggregate
+    per order, top-10 by revenue.  Plan at scale: the segment filter
+    broadcasts customer; both DATE predicates push to the scans (orders
+    AND lineitem each drop most of their rows before the orderkey
+    shuffle); the top-10 is a TakeOrderedAndProject heap merge, not a
+    global sort.  Rank key is the ROUNDED aggregate (bit-identical
+    cross-engine per the round-aggregates rule) with the unique orderkey
+    tiebreak, so the LIMIT boundary agrees.  Cutoff sits mid-fixture-span
+    (non-vacuous at sf0.001: 136 qualifying orders; sf0.01: 1,236)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cut_o = F.lit("1998-03-15 00:00:00").cast(dict(orders.dtypes)["o_orderdate"])
+    cut_l = F.lit("1998-03-15 00:00:00").cast(dict(li.dtypes)["l_shipdate"])
+    return (
+        F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING"))
+        .join(orders.filter(F.col("o_orderdate") < cut_o),
+              F.col("c_custkey") == F.col("o_custkey"))
+        .join(li.filter(F.col("l_shipdate") > cut_l),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-07-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): lost revenue from
+    returned lines in one order-date quarter, top-20 customers.  Plan at
+    scale: the quarter predicate prunes orders at the scan; the
+    returnflag filter prunes lineitem before the orderkey shuffle (the
+    only big exchange); nation broadcasts; top-20 is a heap merge ranked
+    on the rounded aggregate + unique custkey.  Non-vacuous at both
+    oracle scales (57 / 640 customer groups)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    lo = F.lit("1997-01-01 00:00:00").cast(dict(orders.dtypes)["o_orderdate"])
+    hi = F.lit("1997-07-01 00:00:00").cast(dict(orders.dtypes)["o_orderdate"])
+    return (
+        cust.join(
+            orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(li.filter(F.col("l_returnflag") == "R"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
