@@ -600,3 +600,24 @@ def test_script_transform_runs_external_process(spark):
     operator (not collapse to a plain projection)."""
     plan = _plan(QUERIES["sql_script_transform"](spark, SF_DIR))
     assert "ScriptTransformation" in plan
+
+
+def test_q3_pushes_dates_broadcasts_customer_heap_merges_topk(spark):
+    """The Q3 docstring's three plan claims, asserted: both date
+    predicates reach the parquet scans as pushed filters, the
+    segment-filtered customer side broadcasts, and the top-10 is a
+    TakeOrderedAndProject heap merge (no global sort)."""
+    plan = _plan(QUERIES["q3_shipping_priority"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("o_orderdate" in l and "LessThan" in l for l in pushed)
+    assert any("l_shipdate" in l and "GreaterThan" in l for l in pushed)
+
+
+def test_q10_prunes_quarter_and_returnflag_at_scan(spark):
+    plan = _plan(QUERIES["q10_returned_items"](spark, SF_DIR))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("o_orderdate" in l for l in pushed)
+    assert any("l_returnflag" in l and "EqualTo" in l for l in pushed)
+    assert "BroadcastHashJoin" in plan  # nation (and the small side) broadcast
