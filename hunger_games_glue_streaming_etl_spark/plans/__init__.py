@@ -127,6 +127,10 @@ _SAMPLE_FIRST = [
     "streaming_kmeans_cell_counts",
     "dq_embedding_drift_cells",
     "sim_sq8_refined_recall_multiquery",
+    "q3_shipping_priority",
+    "q10_returned_items",
+    "sql_scripting_control_flow",
+    "sql_execute_immediate_param",
     # head of the (now-oldest) r9 cohort — pads the window so the
     # rows-only entries in import order never enter the recorded sample
     "agg_bitmap_exact_distinct",

@@ -571,3 +571,92 @@ def sql_distribute_cluster_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         HAVING COUNT(*) >= 4
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL scripting (Spark 4 BEGIN…END: DECLARE / SET / WHILE / IF) and
+# EXECUTE IMMEDIATE — the remaining procedural front-end surfaces, probed
+# working in this build (scripting behind spark.sql.scripting.enabled).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sql_scripting_control_flow",
+    oracle="""
+    WITH dial AS (
+        SELECT LEAST(
+            CASE WHEN x <= 1 THEN 1
+                 ELSE 1 << LENGTH(bin(CAST(x - 1 AS BIGINT))) END,
+            256) AS buckets
+        FROM (SELECT (COUNT(*) + 63) // 64 AS x FROM orders) n
+    )
+    SELECT o_custkey % buckets AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders CROSS JOIN dial
+    GROUP BY o_custkey % buckets
+    """,
+)
+def sql_scripting_control_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL SCRIPTING: one BEGIN…END block computes a
+    corpus-derived bucket dial procedurally — DECLARE two variables, SET
+    the count, double `buckets` in a WHILE loop until buckets·64 ≥ n,
+    cap it with IF — then aggregates orders by the dialed bucket.  The
+    loop is the smallest power of two ≥ ⌈n/64⌉ (log₂ rounds, driver-side
+    control flow only; every statement in the script is still a
+    distributed query).  The oracle collapses the loop to the closed
+    form ``1 << LENGTH(bin(x-1))`` — minimal binary strings are
+    identical cross-engine (the round-5 leading-zero rule), so the
+    procedural dial and the declarative one hash-match exactly.
+    ``spark.sql.scripting.enabled`` is set and left on (parse-time conf;
+    the r5 restore rule)."""
+    _canonical_views(spark, sf_dir, "orders")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql("""
+    BEGIN
+      DECLARE n BIGINT DEFAULT 0;
+      DECLARE buckets BIGINT DEFAULT 1;
+      SET n = (SELECT COUNT(*) FROM orders);
+      WHILE buckets * 64 < n DO
+        SET buckets = buckets * 2;
+      END WHILE;
+      IF buckets > 256 THEN
+        SET buckets = 256;
+      END IF;
+      SELECT o_custkey % buckets AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             ROUND(SUM(o_totalprice), 2) AS total
+      FROM orders
+      GROUP BY o_custkey % buckets;
+    END
+    """)
+
+
+@register(
+    "sql_execute_immediate_param",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(c_acctbal), 2) AS acctbal_total
+    FROM customer
+    WHERE c_mktsegment <> (SELECT MIN(c_mktsegment) FROM customer)
+    GROUP BY c_mktsegment
+    """,
+)
+def sql_execute_immediate_param(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE IMMEDIATE with a positional parameter bound from a session
+    variable whose value is itself a scalar subquery over the corpus
+    (SET VAR seg = (SELECT MIN(...))) — the dynamic-SQL surface a
+    migrating dbt/stored-proc user reaches for first.  The parameter
+    marker keeps the payload SQL a constant string (no string splicing),
+    and the oracle inlines the same subquery, so the result hashes."""
+    _canonical_views(spark, sf_dir, "customer")
+    spark.sql("DECLARE OR REPLACE VARIABLE seg STRING DEFAULT ''")
+    spark.sql("SET VAR seg = (SELECT MIN(c_mktsegment) FROM customer)")
+    return spark.sql(
+        "EXECUTE IMMEDIATE "
+        "'SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers, "
+        "ROUND(SUM(c_acctbal), 2) AS acctbal_total "
+        "FROM customer WHERE c_mktsegment <> ? GROUP BY c_mktsegment' "
+        "USING seg"
+    )

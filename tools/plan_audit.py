@@ -113,6 +113,10 @@ SKIP_EXECUTING = {
     "curation_cluster_prototypes",
     # eagerly truncates its k-row counts frame (3 consumers in one action)
     "dq_embedding_drift_cells",
+    # SQL scripting / dynamic SQL: DECLARE + SET VAR + script statements
+    # execute at build time
+    "sql_scripting_control_flow",
+    "sql_execute_immediate_param",
     "sim_incremental_index_assign",
     "sim_ivfpq_residual_recall_check",
     "dedup_embedding_lsh_pairs_centered",
