@@ -1617,3 +1617,30 @@ def test_kmeans_dyadic_rounds_refine_and_prototypes_cap(spark):
     assert set(kept_occ) == set(occ)  # every populated cluster keeps prototypes
     for cell, n_kept in kept_occ.items():
         assert n_kept == min(cap, occ[cell])
+
+
+def test_ivf_balanced_build_partition_order_invariant(spark):
+    """The claim that makes the dyadic build valid on a 1000-executor
+    cluster: nothing in it may depend on row order or partitioning.
+    Seeds are hash-RANKED (data-determined), grid moments are integer
+    sums (commutative exactly), divisions are correctly rounded — so a
+    reversed, reshuffled, re-partitioned copy of the same corpus must
+    produce bit-identical centroids at every Lloyd depth."""
+    from hunger_games_glue_streaming_etl_spark.operators.similarity import (
+        ivf_balanced_build,
+    )
+    from pyspark.sql import functions as F
+
+    dim = 8
+    rows = [
+        (i, [float(((i * 53 + d * 29) % 23) - 11) / 7.0 for d in range(dim)])
+        for i in range(200)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    scrambled = (
+        spark.createDataFrame(list(reversed(rows)), "vec_id long, embedding array<float>")
+        .repartition(13, F.col("vec_id"))
+    )
+    for iters in (1, 2):
+        assert ivf_balanced_build(emb, n_cells=5, iterations=iters) == \
+            ivf_balanced_build(scrambled, n_cells=5, iterations=iters)
