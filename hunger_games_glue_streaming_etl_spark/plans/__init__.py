@@ -131,6 +131,8 @@ _SAMPLE_FIRST = [
     "q10_returned_items",
     "sql_scripting_control_flow",
     "sql_execute_immediate_param",
+    "q7_trade_volume_flows",
+    "q14_promo_revenue_share",
     # head of the (now-oldest) r9 cohort — pads the window so the
     # rows-only entries in import order never enter the recorded sample
     "agg_bitmap_exact_distinct",

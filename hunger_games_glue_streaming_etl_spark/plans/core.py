@@ -695,3 +695,105 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "q7_trade_volume_flows",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(YEAR(l_shipdate) AS INT) AS yr,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE n1.n_name <> n2.n_name
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, supp_nation, cust_nation, yr
+    LIMIT 20
+    """,
+)
+def q7_trade_volume_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping), literal-free: revenue between
+    every cross-nation (supplier → customer) pair per ship year, top-20
+    flows.  The canonical query pins two nation literals — the fixtures'
+    synthetic nation names would make that the q5 vacuous-literal trap,
+    so the pair selection is data-driven (rank by revenue, unique
+    (names, year) tiebreak).  Plan at scale: both nation joins broadcast
+    (n1/n2 are the same 25-row dim aliased twice), supplier/customer
+    broadcast at fixture scale, the orderkey shuffle is the only big
+    exchange, year grouping is map-side partial, top-20 heap-merges."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("yr"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "supp_nation", "cust_nation", "yr")
+        .limit(20)
+    )
+
+
+@register(
+    "q14_promo_revenue_share",
+    oracle="""
+    SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 4)
+               AS promo_revenue_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l_shipdate <  TIMESTAMP '1997-04-01'
+    """,
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): the share of one ship-month's
+    revenue from PROMO-type parts — conditional aggregate over a ratio,
+    the classic single-row KPI.  The month predicate pushes to the
+    lineitem scan; part broadcasts; one ratio of two rounded-safe sums
+    (the quotient of ulp-stable aggregates, rounded at 4 decimals — the
+    round-aggregates rule).  Non-vacuous at both oracle scales (69 / 751
+    in-month lines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    lo = F.lit("1997-03-01 00:00:00").cast(dict(li.dtypes)["l_shipdate"])
+    hi = F.lit("1997-04-01 00:00:00").cast(dict(li.dtypes)["l_shipdate"])
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct"),
+            F.count("*").alias("n_lines"),
+        )
+    )
