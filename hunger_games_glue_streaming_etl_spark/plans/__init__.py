@@ -133,6 +133,8 @@ _SAMPLE_FIRST = [
     "sql_execute_immediate_param",
     "q7_trade_volume_flows",
     "q14_promo_revenue_share",
+    "q4_order_priority_exists",
+    "q19_disjunctive_revenue",
     # head of the (now-oldest) r9 cohort — pads the window so the
     # rows-only entries in import order never enter the recorded sample
     "agg_bitmap_exact_distinct",

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..operators.relational import latest_per_key
 from ..sources.batch import load_table
-from .registry import register
+from .registry import ORACLE, register
 
 
 def _events_customer_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -795,5 +795,84 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("promo_revenue_pct"),
             F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q4_order_priority_exists",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): orders in one half-year
+    window having at least one line shipped >30 days after the order —
+    the canonical correlated EXISTS, which Catalyst must decorrelate to
+    a LEFT SEMI join on orderkey (the correlated l_shipdate >
+    o_orderdate predicate rides the join condition).  The date window
+    pushes to the orders scan; lineitem needs only two columns.  Pure
+    integer counts, hash-exact.  Written as ONE SQL text both engines
+    parse (the Q17/Q22 subquery-tier pattern); non-vacuous at both
+    oracle scales (5 priority groups, 96 / 1,056 qualifying orders)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(ORACLE["q4_order_priority_exists"])
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_type = 'PROMO'    AND p_size BETWEEN 1  AND 15
+           AND l_quantity >= 20)
+       OR (p_type = 'ECONOMY'  AND p_size BETWEEN 10 AND 30
+           AND l_quantity >= 10)
+       OR (p_type = 'STANDARD' AND p_size BETWEEN 20 AND 50
+           AND l_quantity >= 5)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, OR-of-ANDs): three
+    conjunctive clauses unioned by OR across BOTH join sides — the
+    optimizer workout is clause splitting: Catalyst derives the
+    single-side implications (l_quantity ≥ 5 pushes to the lineitem
+    scan; the p_type/p_size union pushes to part) while the full
+    disjunction evaluates post-join.  Clause literals adapted to the
+    fixtures' type/size domains (canonical brand/container columns
+    don't exist here); non-vacuous at both scales (1,112 / 11,050
+    qualifying lines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    clause = (
+        (F.col("p_type") == "PROMO")
+        & F.col("p_size").between(1, 15)
+        & (F.col("l_quantity") >= 20)
+    ) | (
+        (F.col("p_type") == "ECONOMY")
+        & F.col("p_size").between(10, 30)
+        & (F.col("l_quantity") >= 10)
+    ) | (
+        (F.col("p_type") == "STANDARD")
+        & F.col("p_size").between(20, 50)
+        & (F.col("l_quantity") >= 5)
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(clause)
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
         )
     )

@@ -621,3 +621,26 @@ def test_q10_prunes_quarter_and_returnflag_at_scan(spark):
     assert any("o_orderdate" in l for l in pushed)
     assert any("l_returnflag" in l and "EqualTo" in l for l in pushed)
     assert "BroadcastHashJoin" in plan  # nation (and the small side) broadcast
+
+
+def test_q4_exists_decorrelates_to_semi_join(spark):
+    """The correlated EXISTS must become a LEFT SEMI join on orderkey
+    with the correlated ship-lag predicate riding the join condition —
+    no per-row subquery execution survives in the physical plan."""
+    plan = _plan(QUERIES["q4_order_priority_exists"](spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "l_shipdate" in plan and "o_orderdate" in plan
+
+
+def test_q19_splits_disjunction_to_both_scans(spark):
+    """The OR-of-ANDs must be clause-split: each scan carries its
+    single-side implication (quantity bound on lineitem; the
+    type/size union on part) rather than evaluating the whole
+    disjunction only post-join."""
+    plan = _plan(QUERIES["q19_disjunctive_revenue"](spark, SF_DIR))
+    li_scan = [l for l in plan.splitlines()
+               if "FileScan" in l and "l_quantity" in l]
+    p_scan = [l for l in plan.splitlines()
+              if "FileScan" in l and "p_type" in l]
+    assert li_scan and "l_quantity" in li_scan[0].split("DataFilters")[-1]
+    assert p_scan and "PROMO" in p_scan[0].split("DataFilters")[-1]
