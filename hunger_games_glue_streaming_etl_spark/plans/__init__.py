@@ -135,6 +135,8 @@ _SAMPLE_FIRST = [
     "q14_promo_revenue_share",
     "q4_order_priority_exists",
     "q19_disjunctive_revenue",
+    "q6_forecast_revenue_delta",
+    "q13_customer_order_distribution",
     # head of the (now-oldest) r9 cohort — pads the window so the
     # rows-only entries in import order never enter the recorded sample
     "agg_bitmap_exact_distinct",

@@ -876,3 +876,86 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+@register(
+    "q6_forecast_revenue_delta",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue_delta
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): the pure
+    scan-aggregate — every predicate (year window, discount band,
+    quantity cap) pushes to the parquet scan, no join, no shuffle beyond
+    the single-row final aggregate.  The whole-stage-codegen ideal case;
+    at 100 TB this is the query whose cost is the scan and nothing else.
+    Discount literals compare against the same stored doubles in both
+    engines (identical parses), so the filter is bit-equal; non-vacuous
+    at both oracle scales (124 / 1,175 lines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lo = F.lit("1997-01-01 00:00:00").cast(dict(li.dtypes)["l_shipdate"])
+    hi = F.lit("1998-01-01 00:00:00").cast(dict(li.dtypes)["l_shipdate"])
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= lo)
+            & (F.col("l_shipdate") < hi)
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+            .alias("revenue_delta"),
+        )
+    )
+
+
+@register(
+    "q13_customer_order_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM (
+        SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    ) t
+    GROUP BY c_count
+    """,
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    join with the exclusion predicate in the ON clause (an order-less
+    customer must still appear with count 0 — moving the filter to
+    WHERE would silently drop them, the classic outer-join bug), then
+    the double aggregation: count per customer, histogram over those
+    counts.  Plan at scale: one custkey shuffle for the outer join +
+    first aggregate; the second aggregate's domain is order counts
+    (tiny).  Pure integers, hash-exact; 16 / 20 distinct counts at the
+    oracle scales."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").cast("long").alias("n_customers")
+    )
