@@ -137,6 +137,7 @@ _SAMPLE_FIRST = [
     "q19_disjunctive_revenue",
     "q6_forecast_revenue_delta",
     "q13_customer_order_distribution",
+    "q8_market_share",
     # head of the (now-oldest) r9 cohort — pads the window so the
     # rows-only entries in import order never enter the recorded sample
     "agg_bitmap_exact_distinct",

@@ -959,3 +959,46 @@ def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFra
     return per_cust.groupBy("c_count").agg(
         F.count("*").cast("long").alias("n_customers")
     )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+    WITH tgt AS (
+        SELECT MIN(n_name) AS t
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    )
+    SELECT CAST(YEAR(o_orderdate) AS INT) AS yr,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(SUM(CASE WHEN n1.n_name = (SELECT t FROM tgt)
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey AND p_type = 'PROMO'
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    JOIN region   ON n2.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+    GROUP BY YEAR(o_orderdate)
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share), closing the partsupp-free
+    TPC-H set (16/16): the target nation's share of PROMO-part revenue
+    sold into EUROPE per order year — an 8-relation join with a
+    conditional-aggregate ratio.  The target nation is DATA-DERIVED
+    (MIN nation name in the region, a scalar-subquery dial both engines
+    fold) — a nation literal would be the q5 vacuous-literal trap on the
+    synthetic nation names.  One SQL text both engines parse (the
+    Q4/Q17/Q22 pattern).  Plan at scale: part/supplier/customer/nation/
+    region all broadcast; the orderkey shuffle is the only big exchange;
+    the year grouping aggregates map-side.  Non-vacuous at both oracle
+    scales (7 year rows each; shares 0.006–0.19)."""
+    for t in ("lineitem", "part", "supplier", "orders", "customer",
+              "nation", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(ORACLE["q8_market_share"])
