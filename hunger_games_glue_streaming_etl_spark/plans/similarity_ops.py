@@ -482,16 +482,43 @@ def sim_sq8_clipped_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pass makes recall depend on the CANDIDATE SET, not on int8 resolving
 # sub-step order — see operators.similarity.sq8_ann_topk_refined.)
 
-_REFINE = 8
+# CORPUS-DERIVED refine band (the pq_scaled_refine pattern, min floor 8):
+# clamp(8, 64, n // 125) — identical to the historical fixed 8 at the
+# oracle fixtures (n = 500 → 8), growing to 64 past ~8k rows.  The 100×
+# notch is why this is a dial and not a constant: int8 codes SATURATE on
+# the fixture's dim-0 ladder there (everything beyond the clip rails at
+# ±127), so the first pass ties en masse and the deterministic vec_id
+# tiebreak fills a FIXED 80-candidate band with the lowest-id saturated
+# rows — the true top-10 (highest offsets) never enter it, and refine
+# can't rescue candidates never generated (measured: refine=8 → recall
+# 0/10 for q0/q499 at 100×; derived refine=64 → 10/10 for every query).
+_REFINE_MIN = 8
+
+# DuckDB twin of pq_scaled_refine(n, min_refine=8)
+_REF_DIAL = "(SELECT GREATEST(8, LEAST(64, COUNT(*) // 125)) AS refine FROM embeddings)"
+
+
+def _sq8_refine(spark: SparkSession, sf_dir: str) -> int:
+    from ..operators.similarity import pq_scaled_refine
+
+    return pq_scaled_refine(
+        load_table(spark, sf_dir, "embeddings").count(), min_refine=_REFINE_MIN
+    )
+
 
 _SQ8_REFINED_ORACLE = f"""
     WITH {_SQ8_CLIPPED_CTES},
+    refdial AS {_REF_DIAL},
     cand AS (
-        SELECT c.vec_id, CAST(SUM(c.code * q.qq) AS BIGINT) AS sq8_score
-        FROM c JOIN q USING (dim)
-        GROUP BY c.vec_id
-        ORDER BY sq8_score DESC, c.vec_id
-        LIMIT {_REFINE * _K}
+        SELECT vec_id FROM (
+            SELECT c.vec_id,
+                   ROW_NUMBER() OVER (
+                       ORDER BY CAST(SUM(c.code * q.qq) AS BIGINT) DESC,
+                                c.vec_id
+                   ) AS rn
+            FROM c JOIN q USING (dim)
+            GROUP BY c.vec_id
+        ) t CROSS JOIN refdial WHERE rn <= refine * {_K}
     )
     SELECT cand.vec_id,
            ROUND(list_dot_product(CAST(emb.embedding AS DOUBLE[]),
@@ -509,19 +536,23 @@ _SQ8_REFINED_ORACLE = f"""
 def sim_sq8_ann_topk_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQ8 scan → exact-dot refine: the int8 code scan nominates the top
     ``refine·k`` candidates (deterministic (score, id) order), and only
-    those ~80 rows pay the exact float dot — FAISS's IndexRefineFlat
-    shape over the clipped-scale codes.  Every stage bit-deterministic,
-    so the REFINED top-k itself is hash-checked (stronger than the
-    recall bands the Lloyd indexes support).  This is the quantizer tier
-    that survives the 50× offset-outlier geometry where the clipped
-    first-pass ORDER measures 0/10 (see the recall companion)."""
+    those rows pay the exact float dot — FAISS's IndexRefineFlat shape
+    over the clipped-scale codes.  Every stage bit-deterministic, so the
+    REFINED top-k itself is hash-checked (stronger than the recall bands
+    the Lloyd indexes support).  The refine band is CORPUS-DERIVED
+    (clamp(8, 64, n//125) — equal to the original fixed 8 at the oracle
+    fixtures, so historical rows carry over; see the 100× saturation-tie
+    finding above for why a fixed band eventually excludes the true
+    top-k).  This is the quantizer tier that survives the 50×
+    offset-outlier geometry where the clipped first-pass ORDER measures
+    0/10 (see the recall companion)."""
     from ..operators.similarity import sq8_ann_topk_refined
 
     return sq8_ann_topk_refined(
         load_table(spark, sf_dir, "embeddings"),
         _query_vec(spark, sf_dir),
         k=_K,
-        refine=_REFINE,
+        refine=_sq8_refine(spark, sf_dir),
     )
 
 
@@ -530,15 +561,17 @@ def sim_sq8_refined_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall companion for the refined SQ8: the re-ranked top-10 must
     recall ≥8 of the exact float top-10.  The refine band is what the
     clip alone cannot be: robust to sub-step family geometry — measured
-    hits recorded in BASELINE.md round-13 (10/10 at every notch probed,
-    including 50× where the un-refined clipped scan measures 0/10)."""
+    hits 10/10 at every notch through 50× with the fixed band, and with
+    the DERIVED band (identical at oracle scales) also 10/10 at 100×,
+    where the fixed 8 measured 0/10 on the saturation-tie queries
+    (BASELINE.md round-13)."""
     from ..operators.similarity import sq8_ann_topk_refined
 
     approx = sq8_ann_topk_refined(
         load_table(spark, sf_dir, "embeddings"),
         _query_vec(spark, sf_dir),
         k=_K,
-        refine=_REFINE,
+        refine=_sq8_refine(spark, sf_dir),
     )
     return _recall_check(spark, sf_dir, approx, floor_hits=8)
 
@@ -1240,6 +1273,7 @@ _SQ8_MQ_ORACLE = f"""
         FROM c JOIN qs USING (dim)
         GROUP BY qs.qid, c.vec_id
     ),
+    refdial AS {_REF_DIAL},
     cand AS (
         SELECT qid, vec_id FROM (
             SELECT qid, vec_id,
@@ -1247,7 +1281,7 @@ _SQ8_MQ_ORACLE = f"""
                        PARTITION BY qid ORDER BY s DESC, vec_id
                    ) AS rn
             FROM sc
-        ) t WHERE rn <= {_REFINE * _K}
+        ) t CROSS JOIN refdial WHERE rn <= refine * {_K}
     ),
     qv AS (
         SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS v
@@ -1295,14 +1329,16 @@ def sim_sq8_refined_recall_multiquery(spark: SparkSession, sf_dir: str) -> DataF
     corpus scan scores all of them, and the per-query recall@10 of the
     exact-dot-refined top-k is computed as exact integers (hash-checked,
     not band-checked — both engines reproduce both top-k sets
-    bit-for-bit).  Floor ≥8 per query; measured 10/10 for all five at
-    sf0.1, 20×, AND 50× (BASELINE.md round-13 multi-query table)."""
+    bit-for-bit).  Floor ≥8 per query; with the corpus-derived refine
+    band measured 10/10 for all five at sf0.1, 20×, 50×, AND 100× — the
+    fixed refine=8 form measured 0/10 for q0/q499 at 100× (the
+    saturation-tie finding; BASELINE.md round-13)."""
     from ..operators.similarity import sq8_refined_recall_batch
 
     return sq8_refined_recall_batch(
         load_table(spark, sf_dir, "embeddings"),
         list(_MQ_IDS),
         k=_K,
-        refine=_REFINE,
+        refine=_sq8_refine(spark, sf_dir),
         floor_hits=8,
     )

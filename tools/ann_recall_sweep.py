@@ -71,7 +71,12 @@ def main() -> None:
             for name, got in {
                 "sq8_max": hits(sq8_ann_topk(emb, qv, k=K)),
                 "sq8_clipped": hits(sq8_ann_topk_clipped(emb, qv, k=K)),
-                "sq8_refined": hits(sq8_ann_topk_refined(emb, qv, k=K)),
+                "sq8_refined": hits(
+                    sq8_ann_topk_refined(
+                        emb, qv, k=K,
+                        refine=pq_scaled_refine(n, min_refine=8),
+                    )
+                ),
                 "pq_refine4": hits(pq_ann_topk(emb, qv, k=K, codebooks=pq_cbs)),
                 "pq_scaled_refine": hits(
                     pq_ann_topk(
