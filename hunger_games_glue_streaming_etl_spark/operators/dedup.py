@@ -423,18 +423,31 @@ def ngram_jaccard_pairs(
 def _jaccard_verify_candidates(
     docs: DataFrame, candidates: DataFrame, text_col: str, id_col: str, k: int
 ) -> DataFrame:
-    """Exact Jaccard for a (small) candidate pair set: attach id_a's
-    shingles to each candidate (broadcast the pairs), then count matches
-    against id_b's shingle set.  Work scales with |candidates| × shingles
-    per doc — never with the full pair space."""
+    """Exact Jaccard for a candidate pair set: attach id_a's shingles to
+    each candidate, then count matches against id_b's shingle set.  Work
+    scales with |candidates| × shingles per doc — never with the full
+    pair space.
+
+    Join-strategy discipline (the 100×-notch driver-OOM fix): NOTHING
+    corpus-sized in this verifier may be statically broadcast.  Catalyst
+    cannot estimate the Arrow-kernel/explode shingle frame (it guesses
+    tiny), so the static plan built the ENTIRE (id, shingle) frame — and,
+    through the former explicit ``F.broadcast(candidates)`` hint, the
+    quadratic candidate set too — as driver-side broadcast tables:
+    notEnoughMemoryToBuildAndBroadcastTable at the 100× replica fixture
+    (components / canonical_keep / pipeline_near_dedup all died there;
+    50× survived on heap luck).  Both shingle-attach joins are therefore
+    merge-hinted (sort-merge on the id/shingle shuffle the aggregation
+    needs anyway), and the candidate join carries no hint at all."""
     sh = pin(shingle_sets(docs, text_col, id_col, k))
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
-    cand_shingles = F.broadcast(candidates).join(
-        sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a"
+    cand_shingles = candidates.join(
+        sh.select(F.col(id_col).alias("id_a"), "shingle").hint("merge"), "id_a"
     )
     shared = (
         cand_shingles.join(
-            sh.select(F.col(id_col).alias("id_b"), "shingle"), ["id_b", "shingle"]
+            sh.select(F.col(id_col).alias("id_b"), "shingle").hint("merge"),
+            ["id_b", "shingle"],
         )
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("shared"))

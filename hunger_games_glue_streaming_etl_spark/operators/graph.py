@@ -73,7 +73,19 @@ def connected_components(
     fixpoint always exists; the bound only guards runaway inputs whose
     diameter exceeds it, where the large-star/small-star variant is the
     right tool)."""
-    und = pin(
+    # EAGER materialization, not pin: the mirrored edge frame is consumed
+    # once per round, and an un-materialized cache carries Catalyst's
+    # pre-execution size GUESS into every round's join planning — at the
+    # 100× fixture that guess undersold a multi-million-row pair set and
+    # AQE chose to BROADCAST it, killing the driver with
+    # notEnoughMemoryToBuildAndBroadcastTable (components/canonical_keep/
+    # pipeline_near_dedup all died; the star variant happened to survive).
+    # localCheckpoint(eager=True) gives the planner the TRUE byte size, so
+    # broadcast is picked only when the edges genuinely fit — exactly the
+    # loop's documented posture (label shuffles, never edge broadcasts,
+    # at scale).
+    _truncate_edges = _make_truncate(edges, checkpoint_dir)
+    und = _truncate_edges(
         edges.select(
             F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
         ).union(

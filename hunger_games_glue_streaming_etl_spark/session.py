@@ -49,6 +49,19 @@ def get_spark(
         .config("spark.default.parallelism", str(par))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Shuffles START wide and AQE coalesces the small ones back down:
+        # with initialPartitionNum at the core count, the 100× fixture's
+        # quadratic-candidate sort-merge put ~300M rows in ONE task and
+        # died with UNABLE_TO_ACQUIRE_MEMORY (pipeline_near_dedup); at 256
+        # the same join spreads to ~20M rows/task and completes (734 s),
+        # while fixture-scale medians are unchanged (A/B, BASELINE.md
+        # round-13 100× notch).  Batch-only knob — streaming state
+        # partitioning reads spark.sql.shuffle.partitions, which the
+        # streaming entries pin separately.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS", str(max(par, 256))),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
