@@ -738,6 +738,7 @@ def _pq_assign(
     df: DataFrame,
     codebooks: list[list[list[float]]],
     vec_col: str,
+    exact: bool = False,
 ) -> DataFrame:
     """Append one code column ``__c{s}`` per subspace: the argmax-dot
     codebook entry for that subspace's slice of the vector.
@@ -748,7 +749,16 @@ def _pq_assign(
     128 for the defaults — whose generated code dwarfed the actual
     arithmetic (measured ~5 s per scan at 5k×64; the kernel is <0.5 s).
     ``np.argmax`` takes the smallest index on ties, matching the
-    when-chain tie-break of ``_assign_cluster``."""
+    when-chain tie-break of ``_assign_cluster``.
+
+    ``exact=True`` switches the dot from BLAS matmul to column-at-a-time
+    accumulation in dimension order (``acc += sub[:, d] ⊗ cb[:, d]``) —
+    the same left-fold add sequence as the expression dot and DuckDB's
+    ``list_dot_product``, so codes are bit-identical cross-engine and no
+    BLAS reassociation can flip a near-tie argmax (the ``_assign_cluster``
+    kernel discipline).  Required for any caller whose OUTPUT is
+    value-hashed against a SQL oracle; the matmul path stays the default
+    for recall-band callers."""
     import numpy as np
     from pyspark.sql import types as T
 
@@ -770,7 +780,13 @@ def _pq_assign(
             M = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
             for s in range(n_subspaces):
                 sub = M[:, s * sub_d : (s + 1) * sub_d]
-                pdf[f"__c{s}"] = (sub @ cb[s].T).argmax(axis=1).astype("int32")
+                if exact:
+                    acc = np.zeros((len(pdf), cb[s].shape[0]), dtype=np.float64)
+                    for d in range(sub_d):
+                        acc += np.multiply.outer(sub[:, d], cb[s][:, d])
+                    pdf[f"__c{s}"] = acc.argmax(axis=1).astype("int32")
+                else:
+                    pdf[f"__c{s}"] = (sub @ cb[s].T).argmax(axis=1).astype("int32")
             yield pdf
 
     return df.mapInPandas(per_batch, schema=schema)
@@ -1422,6 +1438,162 @@ def ivfpq_ann_topk(
     )
 
 
+def ivfpq_balanced_codebooks(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """HASH-EXACT residual PQ codebooks: the codewords for subspace ``s``
+    are the ``n_codes`` hash-ranked donor rows' RESIDUAL slices (vector −
+    owning balanced-IVF centroid), i.e. a deterministic uniform sample of
+    real residuals instead of Lloyd-float means — FAISS-IndexIVFPQ with
+    zero training iterations, which is exactly what makes the codebook
+    (and therefore every code, LUT score, and the approximate top-k)
+    bit-reproducible in a SQL oracle.  Donor cells and residuals are
+    computed DRIVER-side from the collected donor rows + the centroid
+    dial (bounded: n_codes rows × dim floats) with the portable left-fold
+    dot and exact IEEE subtraction, matching the oracle's a1 assignment
+    and ``val - cval`` residuals bit-for-bit."""
+    from ..functions.text import portable_hash64
+
+    cn = [_unit(c) for c in centroids]
+    dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    donor_rows = (
+        embeddings.select(
+            F.col(id_col),
+            dv.alias("__v"),
+            portable_hash64(
+                F.concat(F.lit("pqd:"), F.col(id_col).cast("string"))
+            ).alias("__hv"),
+        )
+        .orderBy("__hv", id_col)
+        .limit(n_codes)
+        .select("__v")
+        .collect()
+    )
+    if not donor_rows:
+        raise ValueError("ivfpq_balanced_codebooks: embeddings table is empty")
+    dim = len(centroids[0])
+    sub_d = dim // n_subspaces
+    donors = [list(r[0]) for r in donor_rows]
+    # cyclic repeat when the corpus is smaller than the codebook — argmax
+    # ties resolve to the smallest code on both engines, so dups are inert
+    donors = [donors[c % len(donors)] for c in range(n_codes)]
+    resids = []
+    for v in donors:
+        scores = [_fold_dot(v, c) for c in cn]
+        cell = max(range(len(cn)), key=lambda i: (scores[i], -i))
+        resids.append([x - c for x, c in zip(v, centroids[cell])])
+    return [
+        [r[s * sub_d : (s + 1) * sub_d] for r in resids]
+        for s in range(n_subspaces)
+    ]
+
+
+def ivfpq_balanced_ann_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int | None = None,
+    n_probe: int | None = None,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    refine: int = 8,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ residual serving on the HASH-EXACT index stack: balanced
+    IVF coarse quantizer (hash-ranked seeds, cosine assignment, dyadic
+    Lloyd mean — ``ivf_balanced_build``) + donor-sampled residual
+    codebooks (``ivfpq_balanced_codebooks``) + the exact-dot refine band.
+    Every stage is bit-deterministic, so the approximate top-k itself
+    value-hashes against a DuckDB oracle replaying the identical build —
+    the FAISS-IndexIVFPQ serving shape with a hash gate instead of a
+    recall band (the band lives in the sibling recall-check entry).
+
+    First pass touches only the ``n_probe`` probed cells and scores each
+    row as the driver-precomputed per-cell base term dot(q, centroid)
+    plus dot(q, PQ-reconstructed residual) — the reconstruction is an
+    ``element_at`` pick per subspace from the codeword literals, and the
+    single 64-dim fold keeps the expression count far under the codegen
+    cliff.  Encoding runs the dim-ordered Arrow kernel
+    (``_pq_assign(exact=True)``) so kernel codes equal expression/SQL
+    codes bit-for-bit.  The top ``refine·k`` candidates (corpus-derived
+    band, bounded ≤ 64·k rows at any scale) pay the exact double dot.
+
+    Scale shape: probe-bounded code scan, no shuffle in the first pass,
+    a limit-bounded broadcast join for the re-rank; index metadata
+    (cells·dim + subspaces·codes·sub_d floats) is all that reaches the
+    driver."""
+    if n_cells is None or n_probe is None:
+        d_cells, d_probe = ivf_scaled_dials(embeddings.count())
+        n_cells = n_cells if n_cells is not None else d_cells
+        n_probe = n_probe if n_probe is not None else d_probe
+    cents = centroids or ivf_balanced_build(
+        embeddings, n_cells, vec_col=vec_col, id_col=id_col
+    )
+    cbs = codebooks or ivfpq_balanced_codebooks(
+        embeddings,
+        cents,
+        n_subspaces=n_subspaces,
+        n_codes=n_codes,
+        vec_col=vec_col,
+        id_col=id_col,
+    )
+    n_subspaces = len(cbs)
+    base = [_fold_dot(c, query_vec) for c in cents]
+    probe = sorted(range(len(cents)), key=lambda i: (-base[i], i))[:n_probe]
+    dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    assigned = _assign_cluster(
+        embeddings.select(F.col(id_col), dv.alias("__v")),
+        [_unit(c) for c in cents],
+        "__v",
+    ).filter(F.col("__cluster").isin(probe))
+    cent_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+    resid = assigned.withColumn(
+        "__resid",
+        F.zip_with(
+            F.col("__v"),
+            F.element_at(cent_arr, F.col("__cluster") + 1),
+            lambda v, c: v - c,
+        ),
+    )
+    encoded = _pq_assign(resid, cbs, "__resid", exact=True)
+    recon = F.concat(
+        *[
+            F.element_at(
+                F.array(*[F.array(*[F.lit(float(x)) for x in cw]) for cw in cbs[s]]),
+                F.col(f"__c{s}") + 1,
+            )
+            for s in range(n_subspaces)
+        ]
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    approx = (
+        F.element_at(F.array(*[F.lit(float(b)) for b in base]), F.col("__cluster") + 1)
+        + dot(qlit, recon)
+    )
+    cand = (
+        encoded.select(F.col(id_col), approx.alias("__approx"))
+        .orderBy(F.col("__approx").desc(), F.col(id_col))
+        .limit(refine * k)
+    )
+    return (
+        embeddings.join(F.broadcast(cand.select(id_col)), id_col)
+        .select(
+            F.col(id_col),
+            F.round(cosine(dv, qlit), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def embedding_center_dial(
     embeddings: DataFrame, vec_col: str = "embedding", grid_bits: int = 12
 ) -> list[float]:
@@ -1457,7 +1629,10 @@ def embedding_center_dial(
         raise ValueError("embedding_center_dial: embeddings table is empty")
     center = [0.0] * (max(r["pos"] for r in rows) + 1)
     for r in rows:
-        center[r["pos"]] = (r["s"] / r["n"]) / q
+        # float(s) first — reproduce the oracle's CAST(s AS DOUBLE)/n
+        # rounding at any |s| < 2^63 (the ADVICE r13 dyadic-mean fix;
+        # int/int true division diverges by one ulp past 2^53)
+        center[r["pos"]] = (float(r["s"]) / r["n"]) / q
     return center
 
 
@@ -1527,7 +1702,9 @@ def ivf_balanced_build(
     assignments, probe ranks, and final top-k all hash.  Magnitude
     bound: |sum| < 2^grid_bits · max|val| · rows_per_cell must stay
     under 2^63 (at 2^12 grid and |val| ≤ 16 that allows ~2^45 rows per
-    cell).
+    cell); cross-engine equality holds over that whole range because
+    BOTH engines round the exact BIGINT sum to double before dividing
+    (float(s)/n here, CAST(s AS DOUBLE)/n in the oracle — ADVICE r13).
 
     Only bounded dials reach the driver: k seed vectors and k·d grid
     sums.  Cells left empty by the first assignment keep their RAW seed
@@ -1569,7 +1746,15 @@ def ivf_balanced_build(
         )
         by_cell: dict[int, dict[int, float]] = {}
         for r in grid:
-            by_cell.setdefault(r["__cluster"], {})[r["pos"]] = (r["s"] / r["n"]) / q
+            # float(s) FIRST (round the exact BIGINT to double, then
+            # divide) to reproduce DuckDB's CAST(s AS DOUBLE)/n exactly:
+            # Python's int/int true division rounds the exact rational,
+            # which can differ by one ulp once |s| > 2^53 (ADVICE r13).
+            # With double-first rounding both engines perform the same
+            # two IEEE ops at any |s| < 2^63.
+            by_cell.setdefault(r["__cluster"], {})[r["pos"]] = (
+                float(r["s"]) / r["n"]
+            ) / q
         # a cell left empty by this round's assignment keeps its PREVIOUS
         # centroid (round 1: its raw seed) — the oracle mirrors via
         # LEFT JOIN + COALESCE per round
@@ -1714,10 +1899,23 @@ def sq8_refined_recall_batch(
         .filter(F.col("__rn") <= k)
         .select("qid", id_col)
     )
-    return (
+    # LEFT-join from the query-id frame so a TOTAL collapse (zero overlap
+    # between refined and exact top-k) still emits a row with
+    # recall_at_10 = 0 / recall_ok = false — an inner join would silently
+    # drop exactly the 0/10 saturation failure this entry exists to catch
+    # (ADVICE r13).  The oracle mirrors with LEFT JOIN + COALESCE.
+    hits = (
         refined_topk.join(exact_topk, ["qid", id_col])
         .groupBy("qid")
-        .agg(F.count("*").cast("long").alias("recall_at_10"))
+        .agg(F.count("*").cast("long").alias("hits"))
+    )
+    return (
+        qframe.select("qid")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("hits"), F.lit(0).cast("long")).alias("recall_at_10"),
+        )
         .select(
             "qid",
             "recall_at_10",

@@ -46,71 +46,17 @@ from . import (  # noqa: E402,F401
 # already have green rows in CORRECTNESS_r01-r03 follow in import order.
 # ---------------------------------------------------------------------------
 _SAMPLE_FIRST = [
-    # ---- round-13 rotation (VERDICT r12 "Next round #2"): the first ~50
-    # must ALL be oracled — the rows-only-by-design entries
+    # ---- round-14 rotation (VERDICT r13 "Next round #2" + ADVICE): the
+    # first ~50 must ALL be oracled — the rows-only-by-design entries
     # (sim_pq_ann_topk, agg_approx_distinct, sim_embedding_pairs_blas,
     # sim_ivf_ann_topk) stay OUT of this window permanently so every
-    # driver-recorded row is hash-checkable.  Order: (1) entries added or
-    # materially changed this round (first/refreshed recorded row), then
-    # (2) the 44-entry cohort whose newest green row is round 8 — after
-    # this round every oracled entry's newest evidence is ≥ r10.  The
-    # r9-r12 cohorts rotate to the back in import order. ----
-    # new this round (unaligned passage dedup; exact-dot refine ANN tier;
-    # output-budgeted family pairs) and changed (BPE derived sample dial)
-    "text_duplicate_passages_unaligned",
-    "sim_sq8_ann_topk_refined",
-    "sim_sq8_refined_recall_check",
-    "sim_pq_scaled_refine_recall_check",
-    "dedup_family_canonical_pairs",
-    "text_bpe_train_merges",
-    # the 44-entry r8-stale cohort (newest green row = CORRECTNESS_r08)
-    "agg_approx_percentile_error",
-    "agg_cube",
-    "agg_having",
-    "agg_minmax_distinct",
-    "agg_percentiles_exact",
-    "agg_pivot",
-    "agg_rollup",
-    "agg_statistics",
-    "case_derived_status",
-    "curation_clean_corpus",
-    "curation_domain_caps",
-    "decontaminate_ngram_overlap",
-    "dedup_audio_fingerprints",
-    "dedup_embedding_cosine_pairs",
-    "dedup_embedding_lsh_pairs",
-    "dedup_exact_groups",
-    "dedup_first_event",
-    "dedup_fuzzy_levenshtein_pairs",
-    "dedup_image_dhash_fingerprints",
-    "dedup_minhash_bands",
-    "dedup_minhash_lsh_pairs",
-    "dedup_minhash_signatures",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_video_fingerprints",
-    "merge_upsert_customer",
-    "mix_upsample_epochs",
-    "multimodal_binary_features",
-    "sample_crosstab_exact",
-    "sample_freqitems_contract",
-    "sample_tablesample_percent",
-    "scalar_array_funcs",
-    "scalar_conditional_null",
-    "scalar_date_funcs",
-    "scalar_json_extract",
-    "scalar_math_funcs",
-    "scalar_regexp_funcs",
-    "scalar_string_funcs",
-    "scd2_customer_balance",
-    "set_union_all",
-    "sim_incremental_index_assign",
-    "sort_limit_topk",
-    "sql_pipe_syntax",
-    "streaming_available_now_drain",
-    "text_html_extract",
-    # the new sibling entries ride just past the 50-row window if the
-    # driver cuts exactly at 50 (their behavior is pinned by pytest +
-    # driver_sim every commit); they lead the r14 rotation if unrecorded
+    # driver-recorded row is hash-checkable.  Order: (1) the 25 round-13
+    # late-session entries that have NEVER appeared in a driver sample
+    # window, (2) entries added this round, (3) the head of the 49-entry
+    # r9-stale cohort to fill the 50-row window (the remaining ~24 lead
+    # the r15 rotation).  The already-recorded r10-r13 cohorts rotate to
+    # the back in import order. ----
+    # (1) never-sampled round-13 entries — 25
     "text_passage_dedup_unaligned_stats",
     "text_passage_scrub_ranges",
     "text_passage_scrub_apply",
@@ -118,8 +64,6 @@ _SAMPLE_FIRST = [
     "dedup_embedding_lsh_pairs_centered",
     "streaming_passage_dedup",
     "dedup_family_canonical_pairs_sparse",
-    # second late session's new entries — same contract as the block
-    # above: driver_sim-gated every commit, first recorded row in r14
     "sim_ivf_balanced_ann_topk",
     "sim_ivf_balanced_recall_check",
     "sim_kmeans_dyadic_clusters",
@@ -138,13 +82,33 @@ _SAMPLE_FIRST = [
     "q6_forecast_revenue_delta",
     "q13_customer_order_distribution",
     "q8_market_share",
-    # head of the (now-oldest) r9 cohort — pads the window so the
-    # rows-only entries in import order never enter the recorded sample
-    "agg_bitmap_exact_distinct",
-    "agg_boolean_filter_funcs",
-    "agg_grouping_sets",
-    "agg_listagg_ordered",
-    "agg_mode_median",
+    # (2) new this round (VERDICT r13 #3: IVF-PQ serving entry)
+    "sim_ivfpq_ann_topk",
+    # (3) head of the r9-stale cohort (newest green row = r9), alphabetical
+    "anomaly_hourly_event_rate",
+    "asof_latest_purchase_before_click",
+    "corpus_token_budget_select",
+    "curation_url_canonicalize",
+    "dedup_audio_fingerprint_pairs",
+    "dedup_cluster_canonical_keep",
+    "dedup_image_dhash_pairs",
+    "dedup_simhash_fingerprints",
+    "dedup_simhash_pairs",
+    "dedup_video_fingerprint_pairs",
+    "dq_referential_orphans",
+    "filter_project",
+    "flagship_user_status",
+    "funnel_conversion_steps",
+    "join_anti",
+    "join_broadcast_chain",
+    "join_hint_shuffle_hash",
+    "join_inner",
+    "join_left_outer",
+    "join_semi",
+    "latest_event_per_user",
+    "layout_compaction_plan",
+    "layout_compaction_ratio",
+    "layout_zorder_file_stats",
 ]
 
 

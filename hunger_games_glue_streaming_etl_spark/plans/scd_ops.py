@@ -174,18 +174,17 @@ def merge_delete_forgotten(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys="c_custkey",
         seq_cols="c_custkey",
     )
-    # lean shuffle partitions for the build-time writes: every shuffle
+    # lean shuffle width for the build-time writes: every shuffle
     # partition fans out into every touched bucket dir, so partitions x
-    # buckets small files dominate wall at fixture scale (the streaming
-    # entries' _lean_state_partitions rationale; at 100 TB you'd RAISE it
-    # — it's the write-parallelism knob, per-job by design)
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    # buckets small files dominate wall at fixture scale.  lean_shuffle
+    # pins shuffle.partitions AND AQE initialPartitionNum together — the
+    # latter overrides the former as the starting width, which is how the
+    # r13 session-factory change regressed this entry 4.9x (VERDICT r13 #1).
+    from ..session import lean_shuffle
+
+    with lean_shuffle(spark, 8):
         sink.upsert(cust)
         sink.delete_keys(
             cust.filter(F.col("c_custkey") % 7 == 0).select("c_custkey")
         )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
     return sink.read()

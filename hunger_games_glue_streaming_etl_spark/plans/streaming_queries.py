@@ -122,13 +122,14 @@ def _lean_state_partitions(spark: SparkSession, n: int = 4):
     it; it's the state-parallelism knob, per-query by design.)  Default
     lowered 8→4 in round 12 by isolated-warm A/B: stream-stream join
     3.94→3.31 s, state-store read 2.27→1.89 s medians, no contract
-    depends on the count (nothing exposes partition_id)."""
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n))
-    try:
+    depends on the count (nothing exposes partition_id).  Delegates to
+    session.lean_shuffle so AQE's initialPartitionNum is pinned alongside
+    (it overrides shuffle.partitions as the starting width for the
+    batch-side shuffles inside each trigger — VERDICT r13 #1)."""
+    from ..session import lean_shuffle
+
+    with lean_shuffle(spark, n):
         yield
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def _run_stream(

@@ -642,5 +642,11 @@ def test_q19_splits_disjunction_to_both_scans(spark):
                if "FileScan" in l and "l_quantity" in l]
     p_scan = [l for l in plan.splitlines()
               if "FileScan" in l and "p_type" in l]
-    assert li_scan and "l_quantity" in li_scan[0].split("DataFilters")[-1]
-    assert p_scan and "PROMO" in p_scan[0].split("DataFilters")[-1]
+    # assert the DataFilters section exists BEFORE probing its text —
+    # split() on a missing marker returns the whole line, which already
+    # matched the list-comprehension filter and would make the pushed-
+    # clause assertion vacuous (ADVICE r13)
+    assert li_scan and "DataFilters" in li_scan[0]
+    assert "l_quantity" in li_scan[0].split("DataFilters")[-1]
+    assert p_scan and "DataFilters" in p_scan[0]
+    assert "PROMO" in p_scan[0].split("DataFilters")[-1]

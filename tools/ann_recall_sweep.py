@@ -24,6 +24,8 @@ from hunger_games_glue_streaming_etl_spark.operators.similarity import (
     ivf_build_centroids,
     ivf_scaled_dials,
     ivfpq_ann_topk,
+    ivfpq_balanced_ann_topk,
+    ivfpq_balanced_codebooks,
     ivfpq_build,
     pq_ann_topk,
     pq_build_codebooks,
@@ -42,7 +44,10 @@ DEFAULT_DIRS = ["/root/testdata/sf0.1", "/tmp/hg_scale_sf20", "/tmp/hg_scale_sf5
 # query vectors sampled across the base id range — present at EVERY
 # notch (base ids survive scale_fixture replication).  vec_id 0 first so
 # column one of every multi-query row reproduces the historical
-# single-query tables.
+# single-query tables.  The per-dir sweep ADDS the corpus-DERIVED query
+# set (vec_id % GREATEST(100, n//5) = 0 — the r14 de-pinned multiquery
+# contract, VERDICT r13 #4), which at the replica notches probes every
+# replica stripe instead of just replica 0.
 QUERY_IDS = [0, 17, 123, 321, 499]
 
 
@@ -57,8 +62,18 @@ def main() -> None:
         bal_cents = ivf_balanced_build(emb, n_cells)
         pq_cbs = pq_build_codebooks(emb)
         ivfpq_cents, ivfpq_cbs = ivfpq_build(emb, n_cells=n_cells)
+        ivfpq_bal_cbs = ivfpq_balanced_codebooks(emb, bal_cents)
+        qmod = max(100, n // 5)
+        derived = [
+            r[0]
+            for r in emb.filter(f"vec_id % {qmod} = 0")
+            .select("vec_id")
+            .orderBy("vec_id")
+            .collect()
+        ]
+        qids = QUERY_IDS + [q for q in derived if q not in QUERY_IDS]
         per_query: dict[str, list[int]] = {}
-        for qid in QUERY_IDS:
+        for qid in qids:
             row = emb.filter(f"vec_id = {qid}").select("embedding").first()
             if row is None:
                 continue
@@ -103,6 +118,13 @@ def main() -> None:
                         centroids=ivfpq_cents, codebooks=ivfpq_cbs,
                     )
                 ),
+                "ivfpq_balanced": hits(
+                    ivfpq_balanced_ann_topk(
+                        emb, qv, k=K, n_cells=n_cells, n_probe=n_probe,
+                        refine=pq_scaled_refine(n, min_refine=8),
+                        centroids=bal_cents, codebooks=ivfpq_bal_cbs,
+                    )
+                ),
             }.items():
                 per_query.setdefault(name, []).append(got)
         results = {
@@ -112,7 +134,8 @@ def main() -> None:
         }
         print(
             json.dumps(
-                {"dir": d, "n_vectors": n, "query_ids": QUERY_IDS,
+                {"dir": d, "n_vectors": n, "query_ids": qids,
+                 "derived_qmod": qmod,
                  "recall_at_10": results}
             ),
             flush=True,

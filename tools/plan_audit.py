@@ -109,6 +109,7 @@ SKIP_EXECUTING = {
     "sim_ivf_ann_topk_scaled_probe",
     "sim_ivf_balanced_ann_topk",
     "sim_ivf_balanced_recall_check",
+    "sim_ivfpq_ann_topk",
     "sim_kmeans_dyadic_clusters",
     "curation_cluster_prototypes",
     # eagerly truncates its k-row counts frame (3 consumers in one action)

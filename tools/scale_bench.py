@@ -10,10 +10,21 @@ the round-9 viral-duplicate sweep).
 
 Usage:
   python tools/scale_fixture.py 5 /tmp/hg_scale_sf05
-  python tools/scale_bench.py /tmp/hg_scale_sf05 [entry ...]
+  python tools/scale_bench.py /tmp/hg_scale_sf05 [entry ...] [--fresh]
 
 Prints one JSON line per entry: base median, scaled median, ratio; a
 ratio ≤ ~k·log(k) (≈ 11.6 for k=5) is at-worst O(n log n).
+
+``--fresh`` runs each entry in its OWN subprocess/SparkSession (VERDICT
+r13 #6): back-to-back 100× heavies in one local-mode session can fail a
+LATER entry's broadcast build — localCheckpoint blocks from the previous
+entry await async ContextCleaner GC and local mode shares the driver
+heap with block storage — so shared-session failures at the big notches
+must be bisected by hand.  Fresh sessions make each entry's
+pass/fail its own evidence (and one entry's crash no longer kills the
+sweep; the parent records the error and moves on).  The default stays
+in-process: at fixture scale the shared session is faster and the r5
+neighbor-poisoning interleave is a feature.
 """
 
 from __future__ import annotations
@@ -100,9 +111,46 @@ def execute_fully(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def _run_fresh(scaled_dir: str, entries: list[str]) -> None:
+    """Parent mode for ``--fresh``: one subprocess (one SparkSession, one
+    JVM) per entry; merge the children's summary lines."""
+    import subprocess
+
+    results = {}
+    for e in entries:
+        cmd = [sys.executable, os.path.abspath(__file__), scaled_dir, e]
+        p = subprocess.run(cmd, capture_output=True, text=True)
+        summary = None
+        for line in p.stdout.splitlines():
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            try:
+                obj = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if obj.get("metric") == "scale_spot_bench":
+                summary = obj
+            elif obj.get("entry"):
+                print(line, flush=True)
+        if summary is not None and e in summary.get("results", {}):
+            results[e] = summary["results"][e]
+        else:
+            tail = "\n".join(p.stdout.splitlines()[-3:] + p.stderr.splitlines()[-8:])
+            results[e] = {"error": f"rc={p.returncode}", "tail": tail[-800:]}
+            print(json.dumps({"entry": e, "FRESH_SESSION_FAILED": True,
+                              "rc": p.returncode}), flush=True)
+    print(json.dumps({"metric": "scale_spot_bench", "scaled_dir": scaled_dir,
+                      "fresh_sessions": True, "results": results}))
+
+
 def main() -> None:
-    scaled_dir = sys.argv[1]
-    entries = sys.argv[2:] or DEFAULT_ENTRIES
+    argv = [a for a in sys.argv[1:] if a != "--fresh"]
+    scaled_dir = argv[0]
+    entries = argv[1:] or DEFAULT_ENTRIES
+    if "--fresh" in sys.argv:
+        _run_fresh(scaled_dir, entries)
+        return
     repeats = int(os.environ.get("SCALE_REPEATS", "3"))
     spark = get_spark(app_name="hg-scale-bench")
     # the bench.py warmup set: JVM/codegen/Arrow-pool startup must not
