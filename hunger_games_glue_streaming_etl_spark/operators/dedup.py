@@ -116,6 +116,64 @@ def minhash_signatures(
     ).select(id_col, F.col("seed").cast("int").alias("seed"), "minhash")
 
 
+def minhash_oph_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m: int = DEFAULT_NUM_HASHES,
+    k: int = 3,
+) -> DataFrame:
+    """DENSIFIED ONE-PERMUTATION MinHash (Li/Owen/Zhang OPH + rotation
+    densification) — the production-scale MinHash: instead of evaluating
+    ``m`` hash families per shingle (``minhash_wide``), hash each shingle
+    ONCE, route it to bin ``h % m``, and take the per-bin minimum — the
+    per-shingle work drops from O(m) to O(1), which at 100 TB is the
+    difference between the hash pass dominating the corpus scan or
+    disappearing into it.  Collision probability per bin still estimates
+    Jaccard (each bin is the min of a random 1/m slice of the union).
+
+    Empty bins (docs with < m distinct shingles leave gaps) are DENSIFIED
+    by rotation: bin j borrows the value of the nearest non-empty bin to
+    its right (cyclically), offset-tagged with ``t·2^48`` so a borrow at
+    distance t only collides with a borrow of the SAME source bin at the
+    same distance — preserving the estimator's unbiasedness on sparse
+    docs (Shrivastava & Li's rotation scheme).  Everything is integer
+    arithmetic on the portable 48-bit hash, so signatures are
+    bit-reproducible in the DuckDB oracle; magnitudes bounded by
+    2^48 + 15·2^48 < 2^52.
+
+    Returns long-form (doc_id, bin, sig).  Scale shape: one explode, one
+    m-column min-aggregate keyed by doc id (map-side combinable), the
+    densification is map-side coalesce arithmetic — same shuffle bytes
+    as ``minhash_wide`` with 1/m of its hash compute."""
+    borrow_step = 1 << 48  # > any 48-bit hash value: borrows never alias raws
+    sh = shingle_sets(docs, text_col, id_col, k)
+    binned = sh.groupBy(id_col).agg(
+        *[
+            F.min(
+                F.when(F.pmod(F.col("shingle"), F.lit(m)) == b, F.col("shingle"))
+            ).alias(f"m{b}")
+            for b in range(m)
+        ]
+    )
+    dense = binned.select(
+        F.col(id_col),
+        *[
+            F.coalesce(
+                *[
+                    F.col(f"m{(b + t) % m}") + F.lit(t * borrow_step)
+                    for t in range(m)
+                ]
+            ).alias(f"s{b}")
+            for b in range(m)
+        ],
+    )
+    stack = ", ".join(f"{b}, s{b}" for b in range(m))
+    return dense.selectExpr(
+        id_col, f"stack({m}, {stack}) AS (bin, sig)"
+    ).select(F.col(id_col), F.col("bin").cast("int").alias("bin"), "sig")
+
+
 def minhash_band_buckets(
     docs: DataFrame,
     text_col: str = "text",

@@ -1215,6 +1215,50 @@ def sq8_ann_topk_refined(
     )
 
 
+def ensemble_ann_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    n_probe: int,
+    k: int = 10,
+    refine: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Single-query ENSEMBLE serving: clipped-SQ8 refine band ∪
+    balanced-IVF probed cells, one exact-dot re-rank over the union —
+    the top-k twin of ``ensemble_refined_recall_batch`` (recall ≥
+    pointwise max of the members by construction; the round-14 sweep
+    measured the ensemble as the ONLY tier at 10/10 for every query at
+    the 100× notch).  Everything is bit-deterministic, so the
+    approximate top-k itself value-hashes.  Scale shape: one code scan
+    (4×-smaller bytes) + one assignment scan; exact dots only on the
+    union (refine·k + probed-fraction·n rows); nothing quadratic."""
+    cand_sq8 = sq8_ann_topk_clipped(
+        embeddings, query_vec, k=k * refine, vec_col=vec_col, id_col=id_col
+    ).select(id_col)
+    cn = [_unit(c) for c in centroids]
+    base = [_fold_dot(c, query_vec) for c in centroids]
+    probe = sorted(range(len(centroids)), key=lambda i: (-base[i], i))[:n_probe]
+    dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cand_ivf = (
+        _assign_cluster(embeddings.select(F.col(id_col), dv.alias("__v")), cn, "__v")
+        .filter(F.col("__cluster").isin(probe))
+        .select(id_col)
+    )
+    cand = cand_sq8.union(cand_ivf).distinct()
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        embeddings.join(cand, id_col, "left_semi")
+        .select(
+            F.col(id_col),
+            F.round(cosine(dv, q), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def frozen_index_assign(
     index_side: DataFrame,
     assign_side: DataFrame,
@@ -1827,6 +1871,7 @@ def sq8_refined_recall_batch(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     permille: int = 995,
+    extra_candidates: DataFrame | None = None,
 ) -> DataFrame:
     """BATCHED ANN serving + per-query recall, one scan for all queries:
     the query vectors ride as a small broadcast FRAME (codes + raw
@@ -1882,6 +1927,12 @@ def sq8_refined_recall_batch(
         .filter(F.col("__rn") <= refine * k)
         .select("qid", id_col)
     )
+    if extra_candidates is not None:
+        # ensemble mode: union another index's (qid, id) candidates before
+        # the exact re-rank — recall of the union is ≥ the pointwise max
+        # of the members by construction (the re-rank is exact, so recall
+        # is |candidates ∩ exact top-k| clipped at k, monotone in the set)
+        cand = cand.union(extra_candidates.select("qid", id_col)).distinct()
     exact_scored = embeddings.crossJoin(F.broadcast(qframe.select("qid", "__qv"))).select(
         "qid",
         F.col(id_col),
@@ -1921,4 +1972,71 @@ def sq8_refined_recall_batch(
             "recall_at_10",
             (F.col("recall_at_10") >= floor_hits).alias("recall_ok"),
         )
+    )
+
+
+def ensemble_refined_recall_batch(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    centroids: list[list[float]],
+    n_probe: int,
+    k: int = 10,
+    refine: int = 8,
+    floor_hits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """TWO-INDEX ENSEMBLE serving + per-query recall: union the clipped-SQ8
+    refine band with the balanced-IVF probed-cell rows, then ONE exact-dot
+    re-rank over the union — the round-14 answer to the de-pinned sweep's
+    finding that NO single tier dominates the replica geometry (20×:
+    sq8_refined is 10/10 on base-corpus queries but 3–5/10 inside the
+    saturated stripes, balanced-IVF the exact mirror).  Because the exact
+    re-rank makes recall equal |candidates ∩ exact top-k|, the union's
+    recall is ≥ the pointwise MAX of its members at every query by
+    construction — the ensemble inherits each member's strength instead
+    of averaging them.
+
+    Everything stays bit-deterministic (both candidate generators are the
+    hash-exact tiers; ties by id), so per-query recall integers hash
+    against a SQL oracle replaying both builds.  Scale shape: one code
+    scan + one assignment scan, candidates bounded by refine·k +
+    probe-fraction·n per query (the standard serving cost of each member
+    index); the union dedup is a keys-only shuffle."""
+    spark = embeddings.sparkSession
+    cn = [_unit(c) for c in centroids]
+    dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    qv = embeddings.filter(
+        F.col(id_col).isin([int(q) for q in query_ids])
+    ).select(F.col(id_col).alias("qid"), dv.alias("__qv"))
+    cent_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    cells = spark.range(len(centroids)).select(
+        F.col("id").cast("int").alias("cell"),
+        F.element_at(cent_arr, F.col("id").cast("int") + 1).alias("__cvec"),
+    )
+    w_probe = Window.partitionBy("qid").orderBy(
+        F.desc("__cdot"), F.col("cell")
+    )
+    probe = (
+        qv.crossJoin(F.broadcast(cells))
+        .select("qid", "cell", dot(F.col("__cvec"), F.col("__qv")).alias("__cdot"))
+        .withColumn("__rn", F.row_number().over(w_probe))
+        .filter(F.col("__rn") <= n_probe)
+        .select("qid", "cell")
+    )
+    assigned = _assign_cluster(
+        embeddings.select(F.col(id_col), dv.alias("__v")), cn, "__v"
+    )
+    ivf_cands = assigned.join(
+        F.broadcast(probe), assigned["__cluster"] == probe["cell"]
+    ).select("qid", id_col)
+    return sq8_refined_recall_batch(
+        embeddings,
+        query_ids,
+        k=k,
+        refine=refine,
+        floor_hits=floor_hits,
+        vec_col=vec_col,
+        id_col=id_col,
+        extra_candidates=ivf_cands,
     )

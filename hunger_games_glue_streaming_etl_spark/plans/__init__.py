@@ -53,7 +53,7 @@ _SAMPLE_FIRST = [
     # driver-recorded row is hash-checkable.  Order: (1) the 25 round-13
     # late-session entries that have NEVER appeared in a driver sample
     # window, (2) entries added this round, (3) the head of the 49-entry
-    # r9-stale cohort to fill the 50-row window (the remaining ~24 lead
+    # r9-stale cohort to fill the 50-row window (the remaining 29 lead
     # the r15 rotation).  The already-recorded r10-r13 cohorts rotate to
     # the back in import order. ----
     # (1) never-sampled round-13 entries — 25
@@ -82,8 +82,13 @@ _SAMPLE_FIRST = [
     "q6_forecast_revenue_delta",
     "q13_customer_order_distribution",
     "q8_market_share",
-    # (2) new this round (VERDICT r13 #3: IVF-PQ serving entry)
+    # (2) new this round (VERDICT r13 #3: IVF-PQ serving entry; runtime
+    # bloom-filter join reduction)
     "sim_ivfpq_ann_topk",
+    "join_runtime_bloom_filter",
+    "sim_ensemble_recall_multiquery",
+    "sim_ensemble_ann_topk",
+    "dedup_minhash_oph_signatures",
     # (3) head of the r9-stale cohort (newest green row = r9), alphabetical
     "anomaly_hourly_event_rate",
     "asof_latest_purchase_before_click",
@@ -105,10 +110,6 @@ _SAMPLE_FIRST = [
     "join_inner",
     "join_left_outer",
     "join_semi",
-    "latest_event_per_user",
-    "layout_compaction_plan",
-    "layout_compaction_ratio",
-    "layout_zorder_file_stats",
 ]
 
 

@@ -597,6 +597,73 @@ def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_runtime_bloom_filter",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag
+    """,
+)
+def join_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime BLOOM-FILTER join reduction (``InjectRuntimeFilter``) — the
+    Spark-4 answer to the classic large⋈filtered-large semi-join problem
+    and a core 100 TB shuffle-reduction surface: the optimizer plants
+    ``bloom_filter_agg(xxhash64(o_orderkey))`` over the SELECTIVE side
+    (priority-filtered orders) as a scalar subquery and pushes
+    ``might_contain(..., xxhash64(l_orderkey))`` into the LINEITEM scan
+    filter, so rows that cannot join are dropped BEFORE the join shuffle
+    writes them (at 100 TB: ~4/5 of a 600M-row shuffle never leaves the
+    mappers).  Injection is stats-gated: it fires only when the creation
+    side carries a selective predicate and is NOT broadcastable (Spark
+    assumes a broadcast join needs no reduction — measured: with a
+    broadcastable dim the rule correctly declines), so the entry pins
+    ``autoBroadcastJoinThreshold=-1`` + a floor scan threshold for the
+    build and eagerly materializes the 3-row aggregate under those confs
+    (plan_audit executed class; the confs are restored before returning).
+    Bloom false positives only pass extra rows to the real equi-join, so
+    results are filter-invariant — exactly what the oracle pins — and the
+    ``might_contain`` scan filter is plan-asserted in
+    tests/test_plan_shapes.py."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # default 10 GiB — the benefit gate is sized for clusters; at
+        # fixture scale floor it so the rule exercises (1 byte)
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1",
+        # injection declines when the creation side could broadcast
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        agg = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .groupBy("l_returnflag")
+            .agg(
+                F.count("*").alias("n_lines"),
+                F.sum(F.col("l_quantity").cast("long")).alias("qty_sum"),
+            )
+        )
+        # optimization happens at action time: materialize the bounded
+        # (≤3-row) aggregate while the injection confs are live, so the
+        # returned frame really executed the bloom-reduced plan
+        return agg.localCheckpoint(eager=True)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+@register(
     "q3_shipping_priority",
     oracle="""
     SELECT l_orderkey,

@@ -21,6 +21,7 @@ from ..operators.dedup import (
     exact_dedup_groups,
     minhash_band_buckets,
     minhash_lsh_pairs,
+    minhash_oph_signatures,
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash_fingerprints,
@@ -131,6 +132,49 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (16 hash families over word 3-shingles) —
     bit-identical to the oracle's SQL reproduction."""
     return minhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_minhash_oph_signatures",
+    oracle=f"""
+    WITH {_SHINGLES},
+    bh AS (
+        SELECT DISTINCT doc_id, {_PORTABLE_HASH} AS h FROM sh
+    ),
+    rawbin AS (
+        SELECT doc_id, h % {DEFAULT_NUM_HASHES} AS bin, MIN(h) AS mv
+        FROM bh GROUP BY 1, 2
+    ),
+    bins AS (
+        SELECT d.doc_id, t.b AS bin
+        FROM (SELECT DISTINCT doc_id FROM bh) d
+        CROSS JOIN (SELECT unnest(range({DEFAULT_NUM_HASHES})) AS b) t
+    ),
+    cand AS (
+        SELECT bins.doc_id, bins.bin,
+               rb.mv + ((rb.bin - bins.bin + {DEFAULT_NUM_HASHES})
+                        % {DEFAULT_NUM_HASHES}) * {1 << 48} AS sig,
+               ROW_NUMBER() OVER (
+                   PARTITION BY bins.doc_id, bins.bin
+                   ORDER BY (rb.bin - bins.bin + {DEFAULT_NUM_HASHES})
+                            % {DEFAULT_NUM_HASHES}
+               ) AS rn
+        FROM bins JOIN rawbin rb ON rb.doc_id = bins.doc_id
+    )
+    SELECT doc_id, CAST(bin AS INT) AS bin, CAST(sig AS BIGINT) AS sig
+    FROM cand WHERE rn = 1
+    """,
+)
+def dedup_minhash_oph_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densified ONE-PERMUTATION MinHash signatures — hash each shingle
+    once, bin by h % m, per-bin min, rotation densification for empty
+    bins: O(1) hash work per shingle where the classic family approach
+    (`dedup_minhash_signatures`) pays O(m) — the variant a 100 TB corpus
+    scan actually runs (see operators/dedup.py::minhash_oph_signatures).
+    The whole signature — including every densified borrow — is integer
+    arithmetic on the portable hash, hash-exact vs an oracle replaying
+    bins, mins, and the rotation."""
+    return minhash_oph_signatures(load_table(spark, sf_dir, "documents"))
 
 
 @register(

@@ -1513,3 +1513,229 @@ def sim_sq8_refined_recall_multiquery(spark: SparkSession, sf_dir: str) -> DataF
         refine=_sq8_refine(spark, sf_dir),
         floor_hits=8,
     )
+
+
+# ---- Two-index ENSEMBLE serving (round 14) ----------------------------------
+# The de-pinned multi-query sweep's finding (BASELINE.md round-14): at 20×
+# sq8_refined is 10/10 on base-corpus queries but 3–5/10 inside the
+# saturated replica stripes, while balanced-IVF is the exact mirror — no
+# single tier dominates the adversarial geometry.  The classic serving
+# answer is an ensemble: union both tiers' candidates, ONE exact-dot
+# re-rank — recall ≥ pointwise max of the members by construction, and
+# both generators are hash-exact, so the per-query recall integers still
+# value-hash.
+
+_ENSEMBLE_MQ_ORACLE = f"""
+    WITH {_IVF_BALANCED_CTES},
+    qdial AS {_MQ_QDIAL},
+    refdial AS {_REF_DIAL},
+    sqe AS (
+        SELECT vec_id, generate_subscripts(vec, 1) AS dim, unnest(vec) AS val
+        FROM v
+    ),
+    sqcnt AS (SELECT CAST(CEIL(ABS(val) * 4096.0) AS BIGINT) AS g,
+                     COUNT(*) AS c
+              FROM sqe GROUP BY 1),
+    sqcum AS (SELECT g,
+                     SUM(c) OVER (ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS running,
+                     SUM(c) OVER () AS total
+              FROM sqcnt),
+    sqa AS (SELECT MIN(CASE WHEN running >= (995 * total + 999) // 1000
+                            THEN g END) / 4096.0 AS a
+            FROM sqcum),
+    sqc AS (SELECT sqe.vec_id, sqe.dim,
+                   CASE WHEN sqa.a = 0 THEN CAST(0 AS BIGINT)
+                        ELSE GREATEST(CAST(-127 AS BIGINT),
+                                      LEAST(CAST(127 AS BIGINT),
+                                            CAST(FLOOR((sqe.val * 127.0) / sqa.a)
+                                                 AS BIGINT)))
+                   END AS code
+            FROM sqe CROSS JOIN sqa),
+    mq AS (
+        SELECT vec_id AS qid FROM v CROSS JOIN qdial WHERE vec_id % qmod = 0
+    ),
+    qcodes AS (
+        SELECT mq.qid, sqc.dim, sqc.code AS qq
+        FROM sqc JOIN mq ON sqc.vec_id = mq.qid
+    ),
+    qvecs AS (
+        SELECT mq.qid, v.vec AS qv FROM v JOIN mq ON v.vec_id = mq.qid
+    ),
+    ssc AS (
+        SELECT qcodes.qid, sqc.vec_id,
+               CAST(SUM(sqc.code * qcodes.qq) AS BIGINT) AS s
+        FROM sqc JOIN qcodes USING (dim)
+        GROUP BY qcodes.qid, sqc.vec_id
+    ),
+    cand_sq8 AS (
+        SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY qid ORDER BY s DESC, vec_id
+                   ) AS rn
+            FROM ssc
+        ) t CROSS JOIN refdial WHERE rn <= refine * {_K}
+    ),
+    qprobe AS (
+        SELECT qid, cell FROM (
+            SELECT qvecs.qid, c1n.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY qvecs.qid
+                       ORDER BY list_dot_product(c1n.cvec, qvecs.qv) DESC,
+                                c1n.cell
+                   ) AS rn
+            FROM c1n CROSS JOIN qvecs
+        ) p CROSS JOIN dial WHERE rn <= np
+    ),
+    cand_ivf AS (
+        SELECT qprobe.qid, a1.vec_id
+        FROM a1 JOIN qprobe ON a1.cell = qprobe.cell
+    ),
+    cands AS (
+        SELECT qid, vec_id FROM cand_sq8
+        UNION
+        SELECT qid, vec_id FROM cand_ivf
+    ),
+    exsc AS (
+        SELECT qvecs.qid, v.vec_id,
+               ROUND(list_dot_product(v.vec, qvecs.qv), 6) AS cos
+        FROM v CROSS JOIN qvecs
+    ),
+    extop AS (
+        SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY qid ORDER BY cos DESC, vec_id
+                   ) AS rn
+            FROM exsc
+        ) t WHERE rn <= {_K}
+    ),
+    reftop AS (
+        SELECT qid, vec_id FROM (
+            SELECT exsc.qid, exsc.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY exsc.qid
+                       ORDER BY exsc.cos DESC, exsc.vec_id
+                   ) AS rn
+            FROM exsc JOIN cands USING (qid, vec_id)
+        ) t WHERE rn <= {_K}
+    ),
+    hits AS (
+        SELECT qid, CAST(COUNT(*) AS BIGINT) AS h
+        FROM reftop JOIN extop USING (qid, vec_id)
+        GROUP BY qid
+    )
+    SELECT mq.qid,
+           COALESCE(hits.h, CAST(0 AS BIGINT)) AS recall_at_10,
+           COALESCE(hits.h, CAST(0 AS BIGINT)) >= 8 AS recall_ok
+    FROM mq LEFT JOIN hits ON mq.qid = hits.qid
+    """
+
+
+@register("sim_ensemble_recall_multiquery", oracle=_ENSEMBLE_MQ_ORACLE)
+def sim_ensemble_recall_multiquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENSEMBLE ANN serving: clipped-SQ8 refine band ∪ balanced-IVF probed
+    cells per derived query, one exact-dot re-rank over the union — the
+    serving shape for the round-14 de-pinned sweep's finding that no
+    single index dominates the replica geometry (sq8_refined covers
+    base-corpus queries, balanced-IVF covers the saturated stripes; the
+    union's recall is ≥ the pointwise max at every query by
+    construction, see operators/similarity.py::ensemble_refined_recall_batch).
+    Query set is the corpus-derived batch (vec_id % GREATEST(100, n//5));
+    both candidate generators and the re-rank are bit-deterministic, so
+    the per-query recall INTEGERS hash against an oracle replaying both
+    index builds; a total collapse still emits recall_ok=false (LEFT
+    JOIN + COALESCE both sides).  Floor ≥8 per query — a calibrated
+    band, measured 10/10 at sf0.1 AND 20× where each member tier alone
+    dips to 3–4 (BASELINE.md round-14)."""
+    from ..operators.similarity import ensemble_refined_recall_batch
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_cells, n_probe, cents = _balanced_ivf_index(spark, sf_dir)
+    return ensemble_refined_recall_batch(
+        emb,
+        _mq_query_ids(spark, sf_dir),
+        cents,
+        n_probe,
+        k=_K,
+        refine=_sq8_refine(spark, sf_dir),
+        floor_hits=8,
+    )
+
+
+_ENSEMBLE_TOPK_ORACLE = f"""
+    WITH {_IVF_BALANCED_CTES},
+    refdial AS {_REF_DIAL},
+    sqe AS (
+        SELECT vec_id, generate_subscripts(vec, 1) AS dim, unnest(vec) AS val
+        FROM v
+    ),
+    sqcnt AS (SELECT CAST(CEIL(ABS(val) * 4096.0) AS BIGINT) AS g,
+                     COUNT(*) AS c
+              FROM sqe GROUP BY 1),
+    sqcum AS (SELECT g,
+                     SUM(c) OVER (ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS running,
+                     SUM(c) OVER () AS total
+              FROM sqcnt),
+    sqa AS (SELECT MIN(CASE WHEN running >= (995 * total + 999) // 1000
+                            THEN g END) / 4096.0 AS a
+            FROM sqcum),
+    sqc AS (SELECT sqe.vec_id, sqe.dim,
+                   CASE WHEN sqa.a = 0 THEN CAST(0 AS BIGINT)
+                        ELSE GREATEST(CAST(-127 AS BIGINT),
+                                      LEAST(CAST(127 AS BIGINT),
+                                            CAST(FLOOR((sqe.val * 127.0) / sqa.a)
+                                                 AS BIGINT)))
+                   END AS code
+            FROM sqe CROSS JOIN sqa),
+    sqq AS (SELECT dim, code AS qq FROM sqc WHERE vec_id = {_QUERY_VEC_ID}),
+    ssc AS (
+        SELECT sqc.vec_id, CAST(SUM(sqc.code * sqq.qq) AS BIGINT) AS s
+        FROM sqc JOIN sqq USING (dim)
+        GROUP BY sqc.vec_id
+    ),
+    cand_sq8 AS (
+        SELECT vec_id FROM (
+            SELECT vec_id,
+                   ROW_NUMBER() OVER (ORDER BY s DESC, vec_id) AS rn
+            FROM ssc
+        ) t CROSS JOIN refdial WHERE rn <= refine * {_K}
+    ),
+    cand_ivf AS (
+        SELECT a1.vec_id FROM a1 JOIN probe USING (cell)
+    ),
+    cands AS (
+        SELECT vec_id FROM cand_sq8 UNION SELECT vec_id FROM cand_ivf
+    )
+    SELECT v.vec_id, ROUND(list_dot_product(v.vec, q.vec), 6) AS cosine
+    FROM v JOIN cands USING (vec_id) CROSS JOIN q
+    ORDER BY cosine DESC, v.vec_id
+    LIMIT {_K}
+    """
+
+
+@register("sim_ensemble_ann_topk", oracle=_ENSEMBLE_TOPK_ORACLE)
+def sim_ensemble_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-query ENSEMBLE serving entry — the top-k twin of
+    `sim_ensemble_recall_multiquery`: union the clipped-SQ8 refine band
+    with the balanced-IVF probed cells, exact-dot re-rank the union,
+    emit the top-10 (vec_id, cosine).  Both candidate generators and the
+    re-rank are bit-deterministic, so the APPROXIMATE result itself is
+    the hash gate (the oracle replays both index builds and the union).
+    This is the shape a user serves: the round-14 sweep measured the
+    ensemble as the only tier at 10/10 recall for every query at every
+    notch through 100× (BASELINE.md round-14)."""
+    from ..operators.similarity import ensemble_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_cells, n_probe, cents = _balanced_ivf_index(spark, sf_dir)
+    return ensemble_ann_topk(
+        emb,
+        _query_vec(spark, sf_dir),
+        cents,
+        n_probe,
+        k=_K,
+        refine=_sq8_refine(spark, sf_dir),
+    )

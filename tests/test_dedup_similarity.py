@@ -1644,3 +1644,51 @@ def test_ivf_balanced_build_partition_order_invariant(spark):
     for iters in (1, 2):
         assert ivf_balanced_build(emb, n_cells=5, iterations=iters) == \
             ivf_balanced_build(scrambled, n_cells=5, iterations=iters)
+
+
+def test_oph_minhash_semantics(spark):
+    """Densified one-permutation MinHash: (a) identical docs get identical
+    signatures (jaccard 1 → all m bins match); (b) a dense doc (≥1 shingle
+    per bin) uses only raw per-bin mins (no borrow tags); (c) a sparse doc's
+    empty bins borrow from the nearest non-empty bin to the right with the
+    t·2^48 offset tag — the rotation densification — so no sig is ever
+    null; (d) disjoint docs share few bins (estimator sanity)."""
+    from hunger_games_glue_streaming_etl_spark.operators.dedup import (
+        minhash_oph_signatures,
+        shingle_sets,
+    )
+
+    long_a = " ".join(f"tok{i}" for i in range(200))
+    docs = spark.createDataFrame(
+        [
+            (1, long_a),
+            (2, long_a),  # exact duplicate of 1
+            (3, "alpha beta gamma delta"),  # 2 shingles → sparse, borrows
+            (4, " ".join(f"other{i}" for i in range(200))),  # disjoint from 1
+        ],
+        ["doc_id", "text"],
+    )
+    sig = {
+        (r["doc_id"], r["bin"]): r["sig"]
+        for r in minhash_oph_signatures(docs).collect()
+    }
+    m = 16
+    assert all((d, b) in sig for d in (1, 2, 3, 4) for b in range(m))
+    assert all(sig[(1, b)] == sig[(2, b)] for b in range(m))  # (a)
+    # (b): doc 1 has 198 shingles — every bin occupied, all sigs raw 48-bit
+    assert all(sig[(1, b)] < (1 << 48) for b in range(m))
+    # (c): replay doc 3's expected signature from its shingle hashes
+    sh3 = {
+        r["shingle"]
+        for r in shingle_sets(docs.filter("doc_id = 3")).collect()
+    }
+    raw = {}
+    for h in sh3:
+        raw[h % m] = min(raw.get(h % m, h), h)
+    for b in range(m):
+        t = next(i for i in range(m) if (b + i) % m in raw)
+        expect = raw[(b + t) % m] + t * (1 << 48)
+        assert sig[(3, b)] == expect
+    # (d): disjoint docs agree on well under half the bins
+    matches = sum(sig[(1, b)] == sig[(4, b)] for b in range(m))
+    assert matches <= m // 4

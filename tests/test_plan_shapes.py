@@ -650,3 +650,56 @@ def test_q19_splits_disjunction_to_both_scans(spark):
     assert "l_quantity" in li_scan[0].split("DataFilters")[-1]
     assert p_scan and "DataFilters" in p_scan[0]
     assert "PROMO" in p_scan[0].split("DataFilters")[-1]
+
+
+def _bloom_agg(spark, creation_broadcastable: bool):
+    """The join_runtime_bloom_filter shape, un-checkpointed, so the
+    executed plan is inspectable; toggling the broadcast threshold
+    exercises the injection gate both ways."""
+    from hunger_games_glue_streaming_etl_spark.sources.batch import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1",
+        "spark.sql.autoBroadcastJoinThreshold": (
+            str(64 * 1024 * 1024) if creation_broadcastable else "-1"
+        ),
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        orders = load_table(spark, SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, SF_DIR, "lineitem")
+        agg = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .groupBy("l_returnflag")
+            .agg(F.count("*").alias("n_lines"))
+        )
+        rows = {r["l_returnflag"]: r["n_lines"] for r in agg.collect()}
+        return rows, _plan(agg)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_injected_and_result_invariant(spark):
+    """InjectRuntimeFilter plants might_contain(bloom_filter_agg(creation
+    key)) into the APPLICATION-side scan when the creation side carries a
+    selective filter and cannot broadcast; with a broadcastable creation
+    side the rule correctly declines (a broadcast join needs no shuffle
+    reduction).  Results must be identical either way — bloom false
+    positives only pass extra rows to the real equi-join."""
+    reduced, plan_reduced = _bloom_agg(spark, creation_broadcastable=False)
+    plain, plan_plain = _bloom_agg(spark, creation_broadcastable=True)
+    assert "might_contain" in plan_reduced
+    assert any("might_contain" in l for l in plan_reduced.splitlines()
+               if "Filter" in l or "FileScan" in l)
+    assert "might_contain" not in plan_plain
+    assert "BroadcastHashJoin" in plan_plain
+    assert reduced == plain and len(reduced) == 3

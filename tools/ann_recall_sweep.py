@@ -18,6 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from hunger_games_glue_streaming_etl_spark.operators.similarity import (
     cosine_topk,
+    ensemble_refined_recall_batch,
     ivf_balanced_ann_topk,
     ivf_balanced_build,
     ivf_ann_topk,
@@ -127,6 +128,14 @@ def main() -> None:
                 ),
             }.items():
                 per_query.setdefault(name, []).append(got)
+        # the ensemble operator computes per-query recall itself (one scan
+        # for the whole batch) — run it once over the full qid set
+        ens = ensemble_refined_recall_batch(
+            emb, qids, bal_cents, n_probe, k=K,
+            refine=pq_scaled_refine(n, min_refine=8),
+        ).collect()
+        by_qid = {r["qid"]: r["recall_at_10"] for r in ens}
+        per_query["ensemble_sq8_ivf"] = [by_qid.get(q, 0) for q in qids]
         results = {
             name: {"per_query": xs, "min": min(xs),
                    "mean": round(sum(xs) / len(xs), 1)}

@@ -110,6 +110,11 @@ SKIP_EXECUTING = {
     "sim_ivf_balanced_ann_topk",
     "sim_ivf_balanced_recall_check",
     "sim_ivfpq_ann_topk",
+    # eagerly materializes its 3-row aggregate under the injection confs
+    "join_runtime_bloom_filter",
+    # builds the balanced index at construction
+    "sim_ensemble_recall_multiquery",
+    "sim_ensemble_ann_topk",
     "sim_kmeans_dyadic_clusters",
     "curation_cluster_prototypes",
     # eagerly truncates its k-row counts frame (3 consumers in one action)

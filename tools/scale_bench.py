@@ -82,6 +82,15 @@ CALIBRATED_BANDS = {
     # distribution-pinned — measured 7/7/4/10/10 at
     # sf0.001/sf0.01/sf0.1/20×/50× (BASELINE.md balanced-IVF census)
     "sim_ivf_balanced_recall_check",
+    # round-14: the DE-PINNED multiquery batch surfaces replica-stripe
+    # queries whose recall legitimately degrades at the notches (the
+    # saturation-tie geometry the fixed query set was hiding —
+    # BASELINE.md round-14 de-pinned sweep); floor ≥8 per query is a
+    # calibrated band on the fixture distribution
+    "sim_sq8_refined_recall_multiquery",
+    # the ensemble's floor is ≥ the pointwise max of its members by
+    # construction, but the members' floors are calibrated, so so is it
+    "sim_ensemble_recall_multiquery",
 }
 
 # entries whose boolean columns are STATISTICAL-GUARANTEE bands (estimator
