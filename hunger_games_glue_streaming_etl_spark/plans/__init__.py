@@ -89,6 +89,11 @@ _SAMPLE_FIRST = [
     "sim_ensemble_recall_multiquery",
     "sim_ensemble_ann_topk",
     "dedup_minhash_oph_signatures",
+    "decontaminate_embedding_cosine",
+    "curation_dsir_importance_select",
+    "layout_hilbert_file_stats",
+    "layout_hilbert_vs_zorder_locality",
+    "graph_kcore_peel",
     # (3) head of the r9-stale cohort (newest green row = r9), alphabetical
     "anomaly_hourly_event_rate",
     "asof_latest_purchase_before_click",
@@ -105,11 +110,6 @@ _SAMPLE_FIRST = [
     "flagship_user_status",
     "funnel_conversion_steps",
     "join_anti",
-    "join_broadcast_chain",
-    "join_hint_shuffle_hash",
-    "join_inner",
-    "join_left_outer",
-    "join_semi",
 ]
 
 

@@ -382,3 +382,147 @@ def curation_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("rep_doc_id"),
         F.sum("has_utm").alias("n_utm_stripped"),
     )
+
+
+# ---- DSIR-style importance selection ---------------------------------------
+# Data Selection via Importance Resampling (Xie et al. 2023): score raw
+# documents by how target-domain-like their hashed n-gram features are —
+# the log-ratio of target vs raw feature probabilities summed over the
+# doc's tokens — and keep the top slice.  The log is the INTEGER log2
+# ``length(bin(x))`` (identical minimal binary strings in both engines —
+# the r5 dyadic rule), applied to SQUARED counts for half-bit granularity;
+# everything is integer arithmetic, so scores and the selection threshold
+# are hash-exact cross-engine where float log-sums never could be.
+_DSIR_TARGET_RESIDUE = 5
+_DSIR_TMOD_MIN = 10
+_DSIR_DOCS_PER_TARGET = 50
+_DSIR_BUCKETS = 256
+_PHASH_SQL = "CAST(('0x' || substr(md5('0:' || tok), 1, 12)) AS BIGINT)"
+
+
+@register(
+    "curation_dsir_importance_select",
+    oracle=f"""
+    WITH n AS (SELECT COUNT(*) AS c FROM documents),
+    dial AS (
+        SELECT GREATEST({_DSIR_TMOD_MIN}, c // {_DSIR_DOCS_PER_TARGET}) AS tmod
+        FROM n
+    ),
+    toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    feat AS (SELECT doc_id, {_PHASH_SQL} % {_DSIR_BUCKETS} AS b FROM toks),
+    cnt AS (
+        SELECT b,
+               CAST(SUM(CASE WHEN doc_id % tmod = {_DSIR_TARGET_RESIDUE}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS tc,
+               CAST(SUM(CASE WHEN doc_id % tmod <> {_DSIR_TARGET_RESIDUE}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS rc
+        FROM feat, dial GROUP BY b
+    ),
+    tot AS (
+        SELECT CAST(SUM(tc) AS BIGINT) AS tt, CAST(SUM(rc) AS BIGINT) AS tr
+        FROM cnt
+    ),
+    scored AS (
+        SELECT f.doc_id,
+               CAST(SUM(
+                   length(bin((c.tc+1)*(c.tc+1))) - length(bin((c.rc+1)*(c.rc+1)))
+                 + length(bin((tr+1)*(tr+1))) - length(bin((tt+1)*(tt+1)))
+               ) AS BIGINT) AS dsir_score
+        FROM feat f JOIN cnt c USING (b) CROSS JOIN tot CROSS JOIN dial
+        WHERE f.doc_id % tmod <> {_DSIR_TARGET_RESIDUE}
+        GROUP BY f.doc_id
+    ),
+    hist AS (
+        SELECT dsir_score AS s, COUNT(*) AS hc FROM scored GROUP BY dsir_score
+    ),
+    run AS (
+        SELECT s, SUM(hc) OVER (ORDER BY s) AS rc2, SUM(hc) OVER () AS nd
+        FROM hist
+    ),
+    thr AS (SELECT MIN(s) AS t FROM run WHERE rc2 >= (9*nd+9)//10)
+    SELECT doc_id, dsir_score, dsir_score >= t AS selected
+    FROM scored, thr
+    """,
+)
+def curation_dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection: hashed-unigram importance weights of
+    every raw document against a bounded target-domain sample, with the
+    top-decile selection verdict.  The target slice is corpus-derived but
+    BOUNDED (doc_id % tmod == 5 with tmod = GREATEST(10, n//50) — <= ~50
+    docs at any corpus size, the qmod-dial pattern); the per-doc score is
+    Σ_tokens [ilog2((tc+1)²) − ilog2((rc+1)²)] + n_tokens·[ilog2((tr+1)²)
+    − ilog2((tt+1)²)] — the integer half-bit form of DSIR's
+    Σ log p̂_tgt(b)/p̂_raw(b) — and `selected` applies the discrete-rank
+    top-10% threshold (smallest score with running doc count ≥
+    ceil(0.9·N): integer arithmetic, scale-stable where a score>0 cut is
+    not — measured flipping 100%→0.1% across fixtures).
+
+    Scale shape: the feature-count table is {_DSIR_BUCKETS} rows →
+    broadcast; scoring is map-side against it plus two 1-row dials; the
+    shuffles are the per-doc aggregate and the ~|score range| row
+    histogram (bounded by tokens/doc × half-bits, not corpus size — the
+    threshold windows run over that bounded frame).  Magnitude bound:
+    squared counts overflow past ~2^31 tokens per bucket (~5·10^11
+    tokens per shard at 256 buckets) — shard the count table and sum
+    per-shard scores past that, the TV-distance sharding rule."""
+    from ..functions.text import portable_hash64, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    dial = docs.agg(
+        F.greatest(
+            F.lit(_DSIR_TMOD_MIN).cast("long"),
+            F.floor(F.count("*") / _DSIR_DOCS_PER_TARGET).cast("long"),
+        ).alias("__tmod")
+    )
+    feat = (
+        docs.crossJoin(F.broadcast(dial))
+        .select("doc_id", "__tmod", F.explode(tokens("text")).alias("tok"))
+        .select(
+            "doc_id",
+            "__tmod",
+            (portable_hash64(F.col("tok")) % _DSIR_BUCKETS).alias("b"),
+        )
+    )
+    is_tgt = F.col("doc_id") % F.col("__tmod") == _DSIR_TARGET_RESIDUE
+    cnt = feat.groupBy("b").agg(
+        F.sum(F.when(is_tgt, 1).otherwise(0)).cast("long").alias("tc"),
+        F.sum(F.when(is_tgt, 0).otherwise(1)).cast("long").alias("rc"),
+    )
+    tot = cnt.agg(
+        F.sum("tc").cast("long").alias("tt"), F.sum("rc").cast("long").alias("tr")
+    )
+
+    def ilog2sq(x):  # length(bin(x²)) — floor(2·log2 x)+1, half-bit log
+        return F.length(F.bin(x * x))
+
+    term = (
+        ilog2sq(F.col("tc") + 1)
+        - ilog2sq(F.col("rc") + 1)
+        + ilog2sq(F.col("tr") + 1)
+        - ilog2sq(F.col("tt") + 1)
+    ).cast("long")
+    scored = (
+        feat.filter(~is_tgt)
+        .join(F.broadcast(cnt), "b")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(F.sum(term).cast("long").alias("dsir_score"))
+    )
+    hist = scored.groupBy(F.col("dsir_score").alias("s")).agg(
+        F.count("*").alias("hc")
+    )
+    w_run = Window.orderBy("s")
+    w_all = Window.partitionBy()
+    run = hist.select(
+        "s",
+        F.sum("hc").over(w_run).alias("rc2"),
+        F.sum("hc").over(w_all).alias("nd"),
+    )
+    thr = run.filter(
+        F.col("rc2") >= F.expr("(9 * nd + 9) div 10")
+    ).agg(F.min("s").alias("t"))
+    return scored.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "dsir_score",
+        (F.col("dsir_score") >= F.col("t")).alias("selected"),
+    )

@@ -1375,3 +1375,109 @@ def mix_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_copies",
     )
+
+
+# ---- embedding-space decontamination ---------------------------------------
+# The semantic sibling of `decontaminate_ngram_overlap`: n-gram overlap
+# misses paraphrased/translated benchmark leakage; max-cosine against the
+# eval set's embeddings catches it (the Llama/GPT-4-class decontam stack
+# runs BOTH).  The eval set is corpus-derived but BOUNDED (~n/emod with
+# emod = GREATEST(100, n // 50), i.e. <= ~50 vectors at any corpus size —
+# the RAG qmod-dial pattern; real benchmark suites don't scale with the
+# training corpus).
+_EMB_EVAL_RESIDUE = 3
+_EMB_EVAL_MOD_MIN = 100
+_EMB_VECS_PER_EVAL = 50
+_EMB_CONTAM_COSINE = 0.35
+
+
+@register(
+    "decontaminate_embedding_cosine",
+    oracle=f"""
+    WITH n AS (SELECT COUNT(*) AS c FROM embeddings),
+    dial AS (
+        SELECT GREATEST({_EMB_EVAL_MOD_MIN}, c // {_EMB_VECS_PER_EVAL}) AS emod
+        FROM n
+    ),
+    v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+    ),
+    ev AS (
+        SELECT vec_id AS eval_id, vec AS evec
+        FROM v, dial WHERE vec_id % emod = {_EMB_EVAL_RESIDUE}
+    ),
+    tr AS (
+        SELECT vec_id, vec
+        FROM v, dial WHERE vec_id % emod <> {_EMB_EVAL_RESIDUE}
+    ),
+    scored AS (
+        SELECT tr.vec_id, ev.eval_id,
+               ROUND(list_dot_product(tr.vec, ev.evec), 6) AS cosine
+        FROM tr, ev
+    ),
+    ranked AS (
+        SELECT vec_id, eval_id, cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vec_id ORDER BY cosine DESC, eval_id ASC
+               ) AS rn
+        FROM scored
+    )
+    SELECT vec_id, eval_id AS nearest_eval_id, cosine AS max_cosine,
+           cosine >= {_EMB_CONTAM_COSINE} AS contaminated
+    FROM ranked WHERE rn = 1
+    """,
+)
+def decontaminate_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: every training vector's max cosine
+    against the held-out eval slice, with the contamination verdict at the
+    0.35 threshold (the fixtures' non-random-pair tail, same constant as
+    `dedup_embedding_cosine_pairs`).  Emits ALL train rows — the decision
+    frame a curation pipeline joins against — so the entry is never
+    vacuous and the `contaminated` boolean is hash-checked, not sampled.
+
+    Complements `decontaminate_ngram_overlap` (exact 4-gram overlap):
+    together they are the standard two-stage benchmark-leak screen —
+    surface overlap + semantic similarity.
+
+    Scale shape: the eval side is bounded by the emod dial (<= ~50
+    vectors at ANY corpus size) and broadcast; scoring is map-side
+    (exact double dots, bit-identical to the oracle's
+    ``list_dot_product`` per the `dot()` contract); the only shuffle is
+    the per-vector argmax, carried as (vec_id, eval_id, cosine) — 24 B
+    rows, never embeddings.  Determinism: ROUND(.,6) on the score and the
+    (cosine DESC, eval_id ASC) unique tiebreak make the argmax row
+    hash-exact cross-engine."""
+    from ..operators.similarity import dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dial = emb.agg(
+        F.greatest(
+            F.lit(_EMB_EVAL_MOD_MIN).cast("long"),
+            F.floor(F.count("*") / _EMB_VECS_PER_EVAL).cast("long"),
+        ).alias("__emod")
+    )
+    v = emb.crossJoin(F.broadcast(dial)).select(
+        "vec_id", "embedding", "__emod"
+    )
+    ev = v.filter(F.col("vec_id") % F.col("__emod") == _EMB_EVAL_RESIDUE).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("evec")
+    )
+    tr = v.filter(F.col("vec_id") % F.col("__emod") != _EMB_EVAL_RESIDUE).select(
+        "vec_id", "embedding"
+    )
+    scored = tr.join(F.broadcast(ev), F.col("vec_id") != F.col("eval_id")).select(
+        "vec_id",
+        "eval_id",
+        F.round(dot("embedding", "evec"), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("eval_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("eval_id").alias("nearest_eval_id"),
+            F.col("cosine").alias("max_cosine"),
+            (F.col("cosine") >= _EMB_CONTAM_COSINE).alias("contaminated"),
+        )
+    )

@@ -1692,3 +1692,52 @@ def test_oph_minhash_semantics(spark):
     # (d): disjoint docs agree on well under half the bins
     matches = sum(sig[(1, b)] == sig[(4, b)] for b in range(m))
     assert matches <= m // 4
+
+
+def test_kcore_peel_fixpoint_and_core_invariants(spark):
+    """k-core contract at sf0.01: the peel cascade reaches its fixpoint
+    strictly inside the 8-round unroll (no node carries peel_round 8 —
+    round 8 exists to PROVE convergence), the surviving core is non-empty
+    (the K dial sits below the graph's degeneracy by construction), and
+    every survivor has >= K neighbors among survivors (the defining
+    k-core property, recomputed independently here)."""
+    from collections import defaultdict
+
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.01"
+    rows = E.queries()["graph_kcore_peel"](spark, sf).collect()
+    assert rows
+    peel = {r.part_id: r.peel_round for r in rows}
+    assert max(peel.values()) < 8  # fixpoint strictly inside the unroll
+    core = {v for v, p in peel.items() if p == 0}
+    assert core  # K below degeneracy -> non-empty core
+    # independent replay of edges + the K dial
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'"
+    )
+    pairs = con.execute("""
+        WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+                    WHERE l_partkey % 2 = 1)
+        SELECT DISTINCT a.l_partkey, b.l_partkey
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    """).fetchall()
+    adj = defaultdict(set)
+    for x, y in pairs:
+        adj[x].add(y)
+        adj[y].add(x)
+    k = (4 * len(pairs)) // (3 * len(adj))
+    for v in core:
+        assert len(adj[v] & core) >= k, v
+    # python replay of the peel itself reaches the same core
+    alive = set(adj)
+    while True:
+        drop = {v for v in alive if len(adj[v] & alive) < k}
+        if not drop:
+            break
+        alive -= drop
+    assert alive == core

@@ -143,3 +143,61 @@ def test_compaction_ratio_compacts(spark):
     assert row["n_output_files"] < row["n_input_files"]
     assert row["n_output_files"] >= 2
     assert row["max_output_bytes"] >= row["target_bytes"] // 2
+
+
+def _classic_xy2d(order: int, x: int, y: int) -> int:
+    d = 0
+    s = 1 << (order - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hvalue_fsm_matches_classic_algorithm(spark):
+    """The 4-state FSM unroll reproduces the textbook rotate-and-reflect
+    Hilbert index exactly — full 8-bit grid (65536 points) plus random
+    16-bit probes, Spark expression vs pure-python reference."""
+    import random
+
+    from hunger_games_glue_streaming_etl_spark.operators.layout import hvalue
+
+    random.seed(7)
+    pts = [(x, y) for x in range(64) for y in range(64)]
+    pts += [(random.getrandbits(16), random.getrandbits(16)) for _ in range(512)]
+    df = spark.createDataFrame(pts, "x: long, y: long")
+    for r in df.select("x", "y", hvalue("x", "y").alias("h")).collect():
+        assert r.h == _classic_xy2d(16, r.x, r.y), (r.x, r.y)
+
+
+def test_hvalue_is_a_unit_step_space_filling_curve(spark):
+    """THE Hilbert property (and why liquid clustering prefers it to
+    Morton): over the full bits=4 grid, curve positions are a permutation
+    of 0..255 and every consecutive pair of points is Manhattan-adjacent
+    — no seams.  The Morton curve fails this (its seam jumps are the
+    bbox bloat the locality entry measures)."""
+    from hunger_games_glue_streaming_etl_spark.operators.layout import hvalue, zvalue
+
+    pts = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(pts, "x: long, y: long")
+    rows = df.select(
+        "x", "y", hvalue("x", "y", bits=4).alias("h"), zvalue("x", "y", bits=4).alias("z")
+    ).collect()
+    by_h = sorted(rows, key=lambda r: r.h)
+    assert [r.h for r in by_h] == list(range(256))
+    h_steps = [
+        abs(a.x - b.x) + abs(a.y - b.y) for a, b in zip(by_h, by_h[1:])
+    ]
+    assert all(s == 1 for s in h_steps)
+    by_z = sorted(rows, key=lambda r: r.z)
+    z_steps = [
+        abs(a.x - b.x) + abs(a.y - b.y) for a, b in zip(by_z, by_z[1:])
+    ]
+    assert max(z_steps) > 1  # Morton has seams; Hilbert has none

@@ -460,3 +460,52 @@ def test_rag_query_mod_dial_caps_query_set_above_activation(spark, monkeypatch):
         assert len(q_docs) == len(expect)
         # the cap holds the query set ~constant across a 24x corpus jump
         assert len(q_docs) <= 51
+
+
+def test_embedding_decontam_matches_numpy_argmax(spark, queries):
+    """The max-cosine/argmax contract vs a numpy replay: every train
+    vector's nearest eval id (min-id tiebreak after 6-dp rounding) and
+    contamination verdict reproduce exactly; the eval slice itself never
+    appears on the train side."""
+    import numpy as np
+    import pandas as pd
+
+    rows = queries["decontaminate_embedding_cosine"](spark, SF_DIR).collect()
+    assert rows  # 495 train rows at sf0.01
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    n = len(emb)
+    emod = max(100, n // 50)
+    vecs = {
+        int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+        for r in emb.itertuples()
+    }
+    eval_ids = sorted(i for i in vecs if i % emod == 3)
+    assert len(rows) == n - len(eval_ids)
+    flagged = 0
+    for r in rows:
+        assert r.vec_id % emod != 3
+        # sequential accumulation matches the engine's fold order
+        best = max(
+            (round(float(sum(vecs[r.vec_id] * vecs[e])), 6), -e) for e in eval_ids
+        )
+        assert (round(r.max_cosine, 6), -r.nearest_eval_id) == best
+        assert r.contaminated == (best[0] >= 0.35)
+        flagged += int(r.contaminated)
+    assert flagged == 4  # non-vacuous boolean at sf0.01
+
+
+def test_dsir_selection_is_top_decile_by_score(spark, queries):
+    """`selected` is exactly the top slice at the discrete-rank threshold:
+    every selected score >= every unselected score, the selected count
+    covers at least the top 10%, and the target slice never appears."""
+    rows = queries["curation_dsir_importance_select"](spark, SF_DIR).collect()
+    assert rows
+    n = len(rows)
+    tmod = 10  # 500 docs at sf0.01 -> GREATEST(10, 10)
+    sel = [r.dsir_score for r in rows if r.selected]
+    unsel = [r.dsir_score for r in rows if not r.selected]
+    assert sel and unsel  # non-vacuous both ways
+    assert min(sel) > max(unsel)  # the cut is a clean score threshold
+    assert len(sel) >= n - ((9 * n + 9) // 10)  # at least the top decile
+    for r in rows:
+        assert r.doc_id % tmod != 5  # target slice is never scored

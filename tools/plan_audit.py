@@ -52,6 +52,8 @@ SKIP_EXECUTING = {
     "text_bpe_train_merges",
     "pipeline_near_dedup",
     "graph_pagerank_trade",
+    # k-core peel loop: per-round localCheckpoint + 1-row K dial at build
+    "graph_kcore_peel",
     # round-trip scans write files at build time
     "scan_csv_explicit_schema",
     "scan_json_explicit_schema",
