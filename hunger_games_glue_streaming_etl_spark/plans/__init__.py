@@ -94,6 +94,9 @@ _SAMPLE_FIRST = [
     "layout_hilbert_file_stats",
     "layout_hilbert_vs_zorder_locality",
     "graph_kcore_peel",
+    "timeseries_downsample_lttb",
+    "dq_outlier_mad_flags",
+    "curation_k_anonymity_ladder",
     # (3) head of the r9-stale cohort (newest green row = r9), alphabetical
     "anomaly_hourly_event_rate",
     "asof_latest_purchase_before_click",
@@ -108,8 +111,6 @@ _SAMPLE_FIRST = [
     "dq_referential_orphans",
     "filter_project",
     "flagship_user_status",
-    "funnel_conversion_steps",
-    "join_anti",
 ]
 
 

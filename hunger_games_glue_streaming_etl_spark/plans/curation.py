@@ -526,3 +526,107 @@ def curation_dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFra
         "dsir_score",
         (F.col("dsir_score") >= F.col("t")).alias("selected"),
     )
+
+
+# ---- k-anonymity generalization ladder --------------------------------------
+# Privacy-preserving release prep for a training/analytics extract: rows
+# are published at the FINEST quasi-identifier granularity whose group
+# still holds >= K indistinguishable rows, climbing a generalization
+# ladder (full QI -> drop the balance band -> nation only -> fully
+# suppressed) — local recoding, the Mondrian-style semantics.  The ladder
+# is what keeps the entry non-degenerate at every corpus size: a single
+# fixed granularity measured all-suppressed at sf0.001 and
+# barely-suppressed at sf0.1, while the ladder grants levels 1-3 / 0-1 /
+# 0-1 across the fixtures.
+_KANON_K = 5
+_KANON_BAND = 1000
+
+
+@register(
+    "curation_k_anonymity_ladder",
+    oracle=f"""
+    WITH g AS (
+        SELECT c_custkey, c_nationkey, c_mktsegment,
+               CAST(FLOOR(c_acctbal / {_KANON_BAND}) AS BIGINT) AS bal_band
+        FROM customer
+    ),
+    s0 AS (
+        SELECT c_nationkey, c_mktsegment, bal_band, COUNT(*) AS n0
+        FROM g GROUP BY c_nationkey, c_mktsegment, bal_band
+    ),
+    s1 AS (
+        SELECT c_nationkey, c_mktsegment, COUNT(*) AS n1
+        FROM g GROUP BY c_nationkey, c_mktsegment
+    ),
+    s2 AS (
+        SELECT c_nationkey, COUNT(*) AS n2 FROM g GROUP BY c_nationkey
+    )
+    SELECT g.c_custkey,
+           CAST(CASE WHEN n0 >= {_KANON_K} THEN 0
+                     WHEN n1 >= {_KANON_K} THEN 1
+                     WHEN n2 >= {_KANON_K} THEN 2
+                     ELSE 3 END AS BIGINT) AS level,
+           CASE WHEN n2 >= {_KANON_K} THEN g.c_nationkey END AS anon_nation,
+           CASE WHEN n1 >= {_KANON_K} THEN g.c_mktsegment END AS anon_segment,
+           CASE WHEN n0 >= {_KANON_K} THEN g.bal_band END AS anon_bal_band,
+           CAST(CASE WHEN n0 >= {_KANON_K} THEN n0
+                     WHEN n1 >= {_KANON_K} THEN n1
+                     WHEN n2 >= {_KANON_K} THEN n2 END AS BIGINT) AS group_n
+    FROM g JOIN s0 USING (c_nationkey, c_mktsegment, bal_band)
+           JOIN s1 USING (c_nationkey, c_mktsegment)
+           JOIN s2 USING (c_nationkey)
+    """,
+)
+def curation_k_anonymity_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymous release of the customer quasi-identifiers
+    (nation, market segment, account-balance band): each row published at
+    the finest ladder level whose group still holds >= 5 rows, with the
+    granted group size; rows no level can protect are fully suppressed
+    (all QI columns NULL).  The guarantee is POPULATION k-anonymity:
+    every published row's non-NULL QI values match >= K individuals in
+    the dataset (group_n states that count), i.e. each row is
+    QI-indistinguishable from >= K-1 others — the release multiset
+    itself can show a generalized combination fewer times because finer
+    siblings published at a lower ladder level absorb part of the group
+    (local recoding's standard trade; strict release-level uniformity
+    needs global recoding, which over-generalizes everyone to the
+    worst group's level).
+
+    Scale shape: the three group-size tables are bounded by the QI
+    DOMAIN (<= ~1.4k / 125 / 25 rows at any corpus size) -> all three
+    broadcast; the grant pass is map-side; no corpus-sized shuffle beyond
+    the three partial-combine aggregations."""
+    g = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / _KANON_BAND).cast("long").alias("bal_band"),
+    )
+    s0 = g.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count("*").alias("n0")
+    )
+    s1 = g.groupBy("c_nationkey", "c_mktsegment").agg(F.count("*").alias("n1"))
+    s2 = g.groupBy("c_nationkey").agg(F.count("*").alias("n2"))
+    k = _KANON_K
+    j = (
+        g.join(F.broadcast(s0), ["c_nationkey", "c_mktsegment", "bal_band"])
+        .join(F.broadcast(s1), ["c_nationkey", "c_mktsegment"])
+        .join(F.broadcast(s2), ["c_nationkey"])
+    )
+    return j.select(
+        "c_custkey",
+        F.when(F.col("n0") >= k, 0)
+        .when(F.col("n1") >= k, 1)
+        .when(F.col("n2") >= k, 2)
+        .otherwise(3)
+        .cast("long")
+        .alias("level"),
+        F.when(F.col("n2") >= k, F.col("c_nationkey")).alias("anon_nation"),
+        F.when(F.col("n1") >= k, F.col("c_mktsegment")).alias("anon_segment"),
+        F.when(F.col("n0") >= k, F.col("bal_band")).alias("anon_bal_band"),
+        F.when(F.col("n0") >= k, F.col("n0"))
+        .when(F.col("n1") >= k, F.col("n1"))
+        .when(F.col("n2") >= k, F.col("n2"))
+        .cast("long")
+        .alias("group_n"),
+    )

@@ -360,3 +360,117 @@ def dq_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return o.unionAll(c)
+
+
+# ---- robust outlier detection (median/MAD) ----------------------------------
+# The robust sibling of z-score anomaly checks: median ± k·MAD is immune
+# to the outliers it hunts (a z-score's mean/stddev are dragged by the
+# tail — and engine-internal stddev is not cross-engine reproducible
+# anyway, the r4 Welford rule).  Both medians are the exact lower median
+# by discrete rank over integer cents (smallest value whose running count
+# reaches ceil(N/2)) — pure integer arithmetic, hash-exact, and the flag
+# comparison |v - med| > 3·MAD never divides.  The rank windows run over
+# per-type value HISTOGRAMS, bounded by the value domain (~50k cents),
+# not the corpus.
+_MAD_K = 3
+
+
+@register(
+    "dq_outlier_mad_flags",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_id, event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS v
+        FROM events
+    ),
+    hist AS (
+        SELECT event_type, v, COUNT(*) AS c FROM e GROUP BY event_type, v
+    ),
+    run AS (
+        SELECT event_type, v,
+               SUM(c) OVER (PARTITION BY event_type ORDER BY v) AS rc,
+               SUM(c) OVER (PARTITION BY event_type) AS n
+        FROM hist
+    ),
+    med AS (
+        SELECT event_type, MIN(v) AS m
+        FROM run WHERE rc >= (n + 1) // 2 GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_id, e.event_type, e.v, abs(e.v - med.m) AS d
+        FROM e JOIN med USING (event_type)
+    ),
+    dhist AS (
+        SELECT event_type, d, COUNT(*) AS c FROM dev GROUP BY event_type, d
+    ),
+    drun AS (
+        SELECT event_type, d,
+               SUM(c) OVER (PARTITION BY event_type ORDER BY d) AS rc,
+               SUM(c) OVER (PARTITION BY event_type) AS n
+        FROM dhist
+    ),
+    mad AS (
+        SELECT event_type, MIN(d) AS mad
+        FROM drun WHERE rc >= (n + 1) // 2 GROUP BY event_type
+    )
+    SELECT dev.event_id, dev.event_type, dev.v AS value_cents,
+           dev.d AS deviation_cents
+    FROM dev JOIN mad USING (event_type)
+    WHERE dev.d > {_MAD_K} * mad.mad
+    """,
+)
+def dq_outlier_mad_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier flags per event_type: every event whose value sits
+    more than 3 MADs from its series' median (the Hampel filter / robust
+    z-score with the division cross-multiplied away).  Exact integer
+    medians by discrete rank — see the section comment.
+
+    Scale shape: two aggregations build per-type value/deviation
+    histograms whose size is bounded by the VALUE DOMAIN (≤ ~50k distinct
+    cents), not the corpus; the rank windows run over those bounded
+    frames; the median/MAD tables are 5 rows → broadcast back, so the
+    flagging pass is map-side.  At 100 TB the only corpus-sized shuffles
+    are the two histogram aggregations (map-side partial combine makes
+    them domain-bounded too)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+
+    def _rank_median(frame: DataFrame, col: str, out: str) -> DataFrame:
+        hist = frame.groupBy("event_type", col).agg(F.count("*").alias("c"))
+        w_run = Window.partitionBy("event_type").orderBy(col)
+        w_all = Window.partitionBy("event_type")
+        run = hist.select(
+            "event_type",
+            col,
+            F.sum("c").over(w_run).alias("rc"),
+            F.sum("c").over(w_all).alias("n"),
+        )
+        return (
+            run.filter(F.col("rc") >= F.expr("(n + 1) div 2"))
+            .groupBy("event_type")
+            .agg(F.min(col).alias(out))
+        )
+
+    med = _rank_median(e, "v", "m")
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "v",
+        F.abs(F.col("v") - F.col("m")).alias("d"),
+    )
+    mad = _rank_median(dev, "d", "mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("d") > _MAD_K * F.col("mad"))
+        .select(
+            "event_id",
+            "event_type",
+            F.col("v").alias("value_cents"),
+            F.col("d").alias("deviation_cents"),
+        )
+    )

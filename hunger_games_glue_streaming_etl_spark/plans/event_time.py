@@ -710,3 +710,196 @@ def timeseries_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("low"),
         F.min(F.when(F.col("rn_close") == 1, F.col("value"))).alias("close"),
     )
+
+
+# ---- LTTB downsampling ------------------------------------------------------
+# Largest-Triangle-Three-Buckets (Steinarsson 2013), the standard
+# visual-fidelity downsampler for hypertable rollups — with one change
+# for distributed execution: the classic algorithm anchors each bucket's
+# triangle on the PREVIOUSLY SELECTED point (a sequential chain through
+# the whole series), this variant anchors on the neighbor buckets'
+# AVERAGE points (the same anchors classic LTTB uses for its right-hand
+# vertex), which makes every bucket independently computable map-side.
+#
+# Determinism: the triangle comparison is EXACT INTEGER arithmetic — the
+# average anchors (sx/c, sy/c) are cross-multiplied away, giving the
+# area scaled by cp²·cn as a BIGINT (y in exact cents, x in SECONDS for
+# the area term only: the first float prototype hash-diverged because
+# ROUND(huge_double, 6) takes different numeric paths in the two
+# engines, and second-granularity keeps |area·cp²·cn| ≤ ~2e15 at every
+# fixture — 4600× headroom vs 2^63, where millisecond granularity
+# measured only 4.7×).  Since p and n are fixed within a bucket, the
+# scale factor is constant per bucket and the integer argmax equals the
+# real-area argmax; event_id breaks ties.
+_LTTB_MIN_BUCKETS = 16
+_LTTB_EVENTS_PER_BUCKET = 320  # ≈64 rows/bucket/series at 5 event types
+
+
+@register(
+    "timeseries_downsample_lttb",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_id, event_type, epoch_us(ts) AS x,
+               epoch_us(ts) // 1000000 AS xs,
+               CAST(ROUND(value * 100) AS BIGINT) AS yc
+        FROM events
+    ),
+    nb AS (
+        SELECT GREATEST({_LTTB_MIN_BUCKETS},
+                        COUNT(*) // {_LTTB_EVENTS_PER_BUCKET}) AS nb
+        FROM ev
+    ),
+    ser AS (
+        SELECT event_type, MIN(x) AS xmin, MAX(x) AS xmax
+        FROM ev GROUP BY event_type
+    ),
+    bkt AS (
+        SELECT e.event_id, e.event_type, e.x, e.xs, e.yc, nb.nb,
+               ((e.x - s.xmin) * nb.nb) // (s.xmax - s.xmin + 1) AS b
+        FROM ev e JOIN ser s USING (event_type) CROSS JOIN nb
+    ),
+    sums AS (
+        SELECT event_type, b, CAST(SUM(xs) AS BIGINT) AS sx,
+               CAST(SUM(yc) AS BIGINT) AS sy, CAST(COUNT(*) AS BIGINT) AS c
+        FROM bkt GROUP BY event_type, b
+    ),
+    mid AS (
+        SELECT t.event_type, t.b, t.event_id, t.x, t.yc,
+               abs( (t.xs * p.c - p.sx) * (n.sy * p.c - p.sy * n.c)
+                  - (n.sx * p.c - p.sx * n.c) * (t.yc * p.c - p.sy) )
+                   AS area2s
+        FROM bkt t
+        JOIN sums p ON p.event_type = t.event_type AND p.b = t.b - 1
+        JOIN sums n ON n.event_type = t.event_type AND n.b = t.b + 1
+        WHERE t.b > 0 AND t.b < t.nb - 1
+    ),
+    midsel AS (
+        SELECT event_type, b, event_id, x, yc, area2s,
+               ROW_NUMBER() OVER (PARTITION BY event_type, b
+                                  ORDER BY area2s DESC, event_id ASC) AS rn
+        FROM mid
+    ),
+    ends AS (
+        SELECT event_type, b, event_id, x, yc, CAST(NULL AS BIGINT) AS area2s,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type, b
+                   ORDER BY CASE WHEN b = 0 THEN x ELSE -x END ASC,
+                            event_id ASC) AS rn
+        FROM bkt
+        WHERE b = 0 OR b = nb - 1
+    )
+    SELECT event_type, CAST(b AS BIGINT) AS bucket, event_id,
+           CAST(x AS BIGINT) AS x_us, yc AS value_cents, area2s
+    FROM (SELECT * FROM midsel WHERE rn = 1
+          UNION ALL SELECT * FROM ends WHERE rn = 1)
+    """,
+)
+def timeseries_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB downsampling of each event_type series to a corpus-derived
+    bucket count (GREATEST(16, n // 320) — ~64 points per bucket per
+    series at any corpus size): middle buckets keep the point of maximum
+    triangle area against the neighbor buckets' average points (exact
+    integer cross-product, see the module comment), the end buckets keep
+    the series' true first/last points (the classic LTTB endpoint
+    contract).
+
+    Scale shape: time-span bucketing is map-side (per-series min/max is a
+    5-row broadcast dim, the bucket-count dial a 1-row broadcast); the
+    neighbor-sums frame is (series × buckets) rows → broadcast to both
+    anchor joins; argmax windows partition by (series, bucket), bounded
+    at ~64 rows by the dial itself.  No global sort, no sequential chain
+    — the one semantic change vs. classic LTTB (previous-SELECTED-point
+    anchor, an inherently serial dependency) is documented above and is
+    the standard parallelization of it."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("x"),
+        F.expr("unix_micros(ts) div 1000000").alias("xs"),
+        F.round(F.col("value") * 100).cast("long").alias("yc"),
+    )
+    nb = ev.agg(
+        F.greatest(
+            F.lit(_LTTB_MIN_BUCKETS).cast("long"),
+            F.floor(F.count("*") / _LTTB_EVENTS_PER_BUCKET).cast("long"),
+        ).alias("nb")
+    )
+    ser = ev.groupBy("event_type").agg(
+        F.min("x").alias("xmin"), F.max("x").alias("xmax")
+    )
+    bkt = (
+        ev.join(F.broadcast(ser), "event_type")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "event_id",
+            "event_type",
+            "x",
+            "xs",
+            "yc",
+            "nb",
+            F.expr("((x - xmin) * nb) div (xmax - xmin + 1)").alias("b"),
+        )
+    )
+    sums = bkt.groupBy("event_type", "b").agg(
+        F.sum("xs").alias("sx"),
+        F.sum("yc").alias("sy"),
+        F.count("*").alias("c"),
+    )
+    p = F.broadcast(sums).alias("p")
+    n = F.broadcast(sums).alias("n")
+    t = bkt.alias("t")
+    mid = (
+        t.filter((F.col("b") > 0) & (F.col("b") < F.col("nb") - 1))
+        .join(
+            p,
+            (F.col("p.event_type") == F.col("t.event_type"))
+            & (F.col("p.b") == F.col("t.b") - 1),
+        )
+        .join(
+            n,
+            (F.col("n.event_type") == F.col("t.event_type"))
+            & (F.col("n.b") == F.col("t.b") + 1),
+        )
+        .select(
+            F.col("t.event_type").alias("event_type"),
+            F.col("t.b").alias("b"),
+            F.col("t.event_id").alias("event_id"),
+            F.col("t.x").alias("x"),
+            F.col("t.yc").alias("yc"),
+            F.abs(
+                (F.col("t.xs") * F.col("p.c") - F.col("p.sx"))
+                * (F.col("n.sy") * F.col("p.c") - F.col("p.sy") * F.col("n.c"))
+                - (F.col("n.sx") * F.col("p.c") - F.col("p.sx") * F.col("n.c"))
+                * (F.col("t.yc") * F.col("p.c") - F.col("p.sy"))
+            ).alias("area2s"),
+        )
+    )
+    w_mid = Window.partitionBy("event_type", "b").orderBy(
+        F.desc("area2s"), F.asc("event_id")
+    )
+    midsel = (
+        mid.withColumn("rn", F.row_number().over(w_mid))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    w_ends = Window.partitionBy("event_type", "b").orderBy(
+        F.when(F.col("b") == 0, F.col("x")).otherwise(-F.col("x")).asc(),
+        F.asc("event_id"),
+    )
+    ends = (
+        bkt.filter((F.col("b") == 0) | (F.col("b") == F.col("nb") - 1))
+        .withColumn("rn", F.row_number().over(w_ends))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type", "b", "event_id", "x", "yc",
+            F.lit(None).cast("long").alias("area2s"),
+        )
+    )
+    return midsel.unionByName(ends).select(
+        "event_type",
+        F.col("b").cast("long").alias("bucket"),
+        "event_id",
+        F.col("x").alias("x_us"),
+        F.col("yc").alias("value_cents"),
+        "area2s",
+    )

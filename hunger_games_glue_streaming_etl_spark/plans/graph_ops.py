@@ -762,33 +762,43 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y"))
         .distinct()
     )
-    edges = pairs.select(F.col("x").alias("src"), F.col("y").alias("dst")).unionAll(
-        pairs.select(F.col("y").alias("src"), F.col("x").alias("dst"))
-    ).localCheckpoint(eager=True)
-    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(
-        eager=True
-    )
-    m = edges.count() // 2
-    n = nodes.count()
-    k = (4 * m) // (3 * n)
+    from ..session import lean_shuffle
 
-    rounds = [nodes]
-    cur = nodes
-    for _ in range(_KCORE_ROUNDS):
-        cur = (
-            edges.join(cur, edges.src == cur.node)
-            .select("src", "dst")
-            .join(
-                cur.select(F.col("node").alias("dst_node")),
-                F.col("dst") == F.col("dst_node"),
-            )
-            .groupBy("src")
-            .agg(F.count("*").alias("d"))
-            .filter(F.col("d") >= k)
-            .select(F.col("src").alias("node"))
-            .localCheckpoint(eager=True)
+    # the peel loop's checkpointed rounds are keys-only (long, long)
+    # shuffles of a shrinking graph — run them at a lean width instead of
+    # the session's initialPartitionNum (400 tasks/round for a 1k-node
+    # fixture graph otherwise; raise the width with the graph on a real
+    # cluster, it's the loop-parallelism knob)
+    with lean_shuffle(spark, 32):
+        edges = pairs.select(
+            F.col("x").alias("src"), F.col("y").alias("dst")
+        ).unionAll(
+            pairs.select(F.col("y").alias("src"), F.col("x").alias("dst"))
+        ).localCheckpoint(eager=True)
+        nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(
+            eager=True
         )
-        rounds.append(cur)
+        m = edges.count() // 2
+        n = nodes.count()
+        k = (4 * m) // (3 * n)
+
+        rounds = [nodes]
+        cur = nodes
+        for _ in range(_KCORE_ROUNDS):
+            cur = (
+                edges.join(cur, edges.src == cur.node)
+                .select("src", "dst")
+                .join(
+                    cur.select(F.col("node").alias("dst_node")),
+                    F.col("dst") == F.col("dst_node"),
+                )
+                .groupBy("src")
+                .agg(F.count("*").alias("d"))
+                .filter(F.col("d") >= k)
+                .select(F.col("src").alias("node"))
+                .localCheckpoint(eager=True)
+            )
+            rounds.append(cur)
 
     out = rounds[0].select(F.col("node").alias("part_id"))
     flags = []

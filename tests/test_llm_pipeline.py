@@ -509,3 +509,45 @@ def test_dsir_selection_is_top_decile_by_score(spark, queries):
     assert len(sel) >= n - ((9 * n + 9) // 10)  # at least the top decile
     for r in rows:
         assert r.doc_id % tmod != 5  # target slice is never scored
+
+
+def test_k_anonymity_invariant_holds(spark, queries):
+    """POPULATION k-anonymity, checked independently against the raw
+    table: every published row's non-NULL QI values match >= 5 raw
+    individuals (group_n states that count exactly), suppressed rows
+    carry all-NULL QIs, and the ladder actually grades (>= 2 levels
+    in use at sf0.01)."""
+    from collections import Counter
+
+    import duckdb
+
+    rows = queries["curation_k_anonymity_ladder"](spark, SF_DIR).collect()
+    assert rows and len(rows) == 1500
+    con = duckdb.connect()
+    raw = con.execute(f"""
+        SELECT c_nationkey, c_mktsegment,
+               CAST(FLOOR(c_acctbal / 1000) AS BIGINT)
+        FROM '{SF_DIR}/customer.parquet'
+    """).fetchall()
+    n0 = Counter(raw)
+    n1 = Counter((r[0], r[1]) for r in raw)
+    n2 = Counter(r[0] for r in raw)
+    for r in rows:
+        if r.level == 3:
+            assert (
+                r.anon_nation is None
+                and r.anon_segment is None
+                and r.anon_bal_band is None
+                and r.group_n is None
+            )
+            continue
+        if r.level == 0:
+            match = n0[(r.anon_nation, r.anon_segment, r.anon_bal_band)]
+        elif r.level == 1:
+            assert r.anon_bal_band is None
+            match = n1[(r.anon_nation, r.anon_segment)]
+        else:
+            assert r.anon_segment is None and r.anon_bal_band is None
+            match = n2[r.anon_nation]
+        assert match >= 5 and r.group_n == match, (r, match)
+    assert {r.level for r in rows} >= {0, 1}  # the ladder actually grades

@@ -169,3 +169,96 @@ def test_time_range_frame_includes_peers_and_trailing_hour(spark):
         3: (7000, 3),
         4: (8000, 1),
     }
+
+
+def test_lttb_downsample_python_replay(spark):
+    """Independent python replay of the parallel-LTTB contract at sf0.01:
+    one selected point per non-empty bucket per series, end buckets carry
+    the series' true first/last points, and every middle selection
+    maximizes the exact integer cross-product area against the neighbor
+    buckets' average anchors (event_id tiebreak)."""
+    from collections import defaultdict
+
+    import duckdb
+
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.01"
+    rows = E.queries()["timeseries_downsample_lttb"](spark, sf).collect()
+    got = {(r.event_type, r.bucket): (r.event_id, r.area2s) for r in rows}
+    assert len(got) == len(rows)  # one row per (series, bucket)
+
+    con = duckdb.connect()
+    pts = con.execute(f"""
+        SELECT event_id, event_type, epoch_us(ts), epoch_us(ts) // 1000000,
+               CAST(ROUND(value * 100) AS BIGINT)
+        FROM '{sf}/events.parquet'
+    """).fetchall()
+    n_total = len(pts)
+    nb = max(16, n_total // 320)
+    series = defaultdict(list)
+    for eid, et, x, xs, yc in pts:
+        series[et].append((eid, x, xs, yc))
+    for et, p in series.items():
+        xmin = min(r[1] for r in p)
+        xmax = max(r[1] for r in p)
+        buckets = defaultdict(list)
+        for eid, x, xs, yc in p:
+            buckets[((x - xmin) * nb) // (xmax - xmin + 1)].append((eid, x, xs, yc))
+        sums = {
+            b: (sum(r[2] for r in v), sum(r[3] for r in v), len(v))
+            for b, v in buckets.items()
+        }
+        for b, v in buckets.items():
+            if b == 0:
+                exp = min(v, key=lambda r: (r[1], r[0]))[0]
+            elif b == nb - 1:
+                exp = min(v, key=lambda r: (-r[1], r[0]))[0]
+            elif (b - 1) in sums and (b + 1) in sums:
+                sxp, syp, cp = sums[b - 1]
+                sxn, syn, cn = sums[b + 1]
+                exp = max(
+                    v,
+                    key=lambda r: (
+                        abs(
+                            (r[2] * cp - sxp) * (syn * cp - syp * cn)
+                            - (sxn * cp - sxp * cn) * (r[3] * cp - syp)
+                        ),
+                        -r[0],
+                    ),
+                )[0]
+            else:
+                continue  # middle bucket missing a neighbor emits nothing
+            assert got[(et, b)][0] == exp, (et, b)
+    assert len(rows) >= 5 * 16  # every series emits >= nb buckets' worth - gaps
+
+
+def test_mad_outlier_flags_python_replay(spark):
+    """The Hampel-filter contract at sf0.01: flagged set == python replay
+    with exact lower medians (sorted[ceil(n/2)-1]) per event_type."""
+    from collections import defaultdict
+
+    import duckdb
+
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.01"
+    rows = E.queries()["dq_outlier_mad_flags"](spark, sf).collect()
+    got = {(r.event_id) for r in rows}
+    assert rows
+    con = duckdb.connect()
+    pts = con.execute(f"""
+        SELECT event_id, event_type, CAST(ROUND(value*100) AS BIGINT)
+        FROM '{sf}/events.parquet'
+    """).fetchall()
+    series = defaultdict(list)
+    for eid, et, v in pts:
+        series[et].append((eid, v))
+    exp = set()
+    for et, p in series.items():
+        vs = sorted(v for _, v in p)
+        m = vs[(len(vs) + 1) // 2 - 1]
+        ds = sorted(abs(v - m) for _, v in p)
+        mad = ds[(len(ds) + 1) // 2 - 1]
+        exp |= {eid for eid, v in p if abs(v - m) > 3 * mad}
+    assert got == exp
