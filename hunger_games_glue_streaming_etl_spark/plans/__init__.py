@@ -97,6 +97,7 @@ _SAMPLE_FIRST = [
     "timeseries_downsample_lttb",
     "dq_outlier_mad_flags",
     "curation_k_anonymity_ladder",
+    "dp_bounded_contribution_counts",
     # (3) head of the r9-stale cohort (newest green row = r9), alphabetical
     "anomaly_hourly_event_rate",
     "asof_latest_purchase_before_click",
@@ -110,7 +111,6 @@ _SAMPLE_FIRST = [
     "dedup_video_fingerprint_pairs",
     "dq_referential_orphans",
     "filter_project",
-    "flagship_user_status",
 ]
 
 

@@ -630,3 +630,107 @@ def curation_k_anonymity_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("group_n"),
     )
+
+
+# ---- differential-privacy release mechanics ----------------------------------
+# The second privacy-tier entry: user-level contribution bounding + noise
+# addition — the two mechanical steps of a DP count release, and the parts
+# that are genuinely DISTRIBUTED work at 100 TB (clamping is a per-user
+# aggregate over the whole corpus; the noise is O(groups)).  The noise is
+# a difference of two geometric(1/2) draws (= discrete Laplace with
+# p = 1/2), generated from the portable hash's leading-zero count — the
+# recorded-seed replayability real DP deployments use for audit, which is
+# also exactly what lets the release value-hash cross-engine.  The clamp C
+# is the discrete-rank p50 of per-(user, type) contributions (deriving the
+# bound from a quantile is standard contribution-bounding practice; a
+# production release would spend privacy budget on that quantile too).
+# This entry demonstrates and checks the MECHANISM; it does not claim a
+# calibrated (ε, δ) for the fixture release.
+
+
+@register(
+    "dp_bounded_contribution_counts",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id, event_type, COUNT(*) AS cnt
+        FROM events GROUP BY user_id, event_type
+    ),
+    hist AS (SELECT cnt, COUNT(*) AS hc FROM per_user GROUP BY cnt),
+    run AS (
+        SELECT cnt, SUM(hc) OVER (ORDER BY cnt) AS rc, SUM(hc) OVER () AS n
+        FROM hist
+    ),
+    cdial AS (SELECT MIN(cnt) AS c FROM run WHERE rc >= (n + 1) // 2),
+    agg AS (
+        SELECT event_type,
+               CAST(SUM(LEAST(cnt, c)) AS BIGINT) AS bounded,
+               CAST(SUM(CASE WHEN cnt > c THEN 1 ELSE 0 END) AS BIGINT)
+                   AS clamped_users,
+               CAST(MAX(c) AS BIGINT) AS sensitivity_c
+        FROM per_user CROSS JOIN cdial GROUP BY event_type
+    )
+    SELECT event_type,
+           bounded
+             + (48 - length(bin(CAST(('0x' || substr(md5('0:dpa:' || event_type), 1, 12)) AS BIGINT))))
+             - (48 - length(bin(CAST(('0x' || substr(md5('0:dpb:' || event_type), 1, 12)) AS BIGINT))))
+               AS dp_count,
+           clamped_users, sensitivity_c
+    FROM agg
+    """,
+)
+def dp_bounded_contribution_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DP-release mechanics for per-type event counts: every user's
+    contribution clamped at the derived sensitivity bound C (p50 of
+    per-(user, type) contributions by discrete rank — clamps ~1/3 of
+    pairs on the fixtures while keeping ~88% of the mass), then
+    seed-replayable discrete-Laplace noise (difference of two
+    geometric(1/2) leading-zero draws from the portable hash) added per
+    group.  `clamped_users` is the auditing metric a real release would
+    keep internal.
+
+    Scale shape: the clamp is one per-(user, type) aggregate (map-side
+    partial combine), the C dial's rank window runs over the contribution
+    HISTOGRAM (bounded by the max per-user activity, not the corpus), and
+    the noise is O(groups) map-side arithmetic.  Everything is integer →
+    the whole release value-hashes."""
+    from ..functions.text import portable_hash64
+
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+    hist = per_user.groupBy("cnt").agg(F.count("*").alias("hc"))
+    w_run = Window.orderBy("cnt")
+    w_all = Window.partitionBy()
+    run = hist.select(
+        "cnt",
+        F.sum("hc").over(w_run).alias("rc"),
+        F.sum("hc").over(w_all).alias("n"),
+    )
+    cdial = run.filter(F.col("rc") >= F.expr("(n + 1) div 2")).agg(
+        F.min("cnt").alias("c")
+    )
+    agg = (
+        per_user.crossJoin(F.broadcast(cdial))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.least(F.col("cnt"), F.col("c"))).cast("long").alias("bounded"),
+            F.sum((F.col("cnt") > F.col("c")).cast("long"))
+            .cast("long")
+            .alias("clamped_users"),
+            F.max("c").cast("long").alias("sensitivity_c"),
+        )
+    )
+
+    def lz(seed: str):  # leading zeros of the 48-bit hash: geometric(1/2)
+        return F.lit(48) - F.length(
+            F.bin(portable_hash64(F.concat(F.lit(seed), F.col("event_type"))))
+        )
+
+    return agg.select(
+        "event_type",
+        (F.col("bounded") + lz("dpa:") - lz("dpb:")).cast("long").alias("dp_count"),
+        "clamped_users",
+        "sensitivity_c",
+    )

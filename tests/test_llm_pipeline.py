@@ -551,3 +551,41 @@ def test_k_anonymity_invariant_holds(spark, queries):
             match = n2[r.anon_nation]
         assert match >= 5 and r.group_n == match, (r, match)
     assert {r.level for r in rows} >= {0, 1}  # the ladder actually grades
+
+
+def test_dp_release_clamps_and_noise_is_seed_replayable(spark, queries):
+    """DP-release mechanics at sf0.01: the bounded count never exceeds
+    C x n_users, the clamp bites a non-trivial fraction both ways, and
+    the noise replays exactly from the recorded seeds (python md5
+    replay of the geometric leading-zero draws)."""
+    import hashlib
+    from collections import defaultdict
+
+    import duckdb
+
+    rows = queries["dp_bounded_contribution_counts"](spark, SF_DIR).collect()
+    assert len(rows) == 5
+    con = duckdb.connect()
+    per = con.execute(f"""
+        SELECT user_id, event_type, COUNT(*) FROM '{SF_DIR}/events.parquet'
+        GROUP BY 1, 2
+    """).fetchall()
+    cnts = sorted(c for _, _, c in per)
+    c_dial = cnts[(len(cnts) + 1) // 2 - 1]
+    by_type = defaultdict(list)
+    for _, et, c in per:
+        by_type[et].append(c)
+
+    def lz(seed, et):
+        h = int(hashlib.md5(f"0:{seed}{et}".encode()).hexdigest()[:12], 16)
+        return 48 - len(bin(h)[2:])
+
+    for r in rows:
+        assert r.sensitivity_c == c_dial
+        contribs = by_type[r.event_type]
+        bounded = sum(min(c, c_dial) for c in contribs)
+        clamped = sum(1 for c in contribs if c > c_dial)
+        assert 0 < clamped < len(contribs)  # the clamp bites both ways
+        noise = lz("dpa:", r.event_type) - lz("dpb:", r.event_type)
+        assert r.dp_count == bounded + noise
+        assert r.clamped_users == clamped
