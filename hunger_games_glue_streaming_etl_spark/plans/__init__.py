@@ -52,9 +52,11 @@ _SAMPLE_FIRST = [
     # sim_ivf_ann_topk) stay OUT of this window permanently so every
     # driver-recorded row is hash-checkable.  Order: (1) the 25 round-13
     # late-session entries that have NEVER appeared in a driver sample
-    # window, (2) entries added this round, (3) the head of the 49-entry
-    # r9-stale cohort to fill the 50-row window (the remaining 29 lead
-    # the r15 rotation).  The already-recorded r10-r13 cohorts rotate to
+    # window, (2) entries added this round — 15 across the two sessions,
+    # each displacing one r9-stale slot per the never-recorded-beats-
+    # stale-refresh rule, (3) the head of the 49-entry r9-stale cohort
+    # filling the rest of the 50-row window (the remaining 39 lead the
+    # r15 rotation).  The already-recorded r10-r13 cohorts rotate to
     # the back in import order. ----
     # (1) never-sampled round-13 entries — 25
     "text_passage_dedup_unaligned_stats",
@@ -98,6 +100,7 @@ _SAMPLE_FIRST = [
     "dq_outlier_mad_flags",
     "curation_k_anonymity_ladder",
     "dp_bounded_contribution_counts",
+    "layout_position_delete_read",
     # (3) head of the r9-stale cohort (newest green row = r9), alphabetical
     "anomaly_hourly_event_rate",
     "asof_latest_purchase_before_click",
@@ -109,8 +112,6 @@ _SAMPLE_FIRST = [
     "dedup_simhash_fingerprints",
     "dedup_simhash_pairs",
     "dedup_video_fingerprint_pairs",
-    "dq_referential_orphans",
-    "filter_project",
 ]
 
 

@@ -654,3 +654,90 @@ def layout_hilbert_vs_zorder_locality(spark: SparkSession, sf_dir: str) -> DataF
         )
 
     return layout_row("h_file", "hilbert").unionAll(layout_row("z_file", "zorder"))
+
+
+# ---- merge-on-read position deletes ------------------------------------------
+# The SECOND industry-standard delete mechanism beside the keyed sink's
+# copy-on-write rewrite (`sinks/upsert.py::delete_keys`): Iceberg/Delta
+# deletion vectors mark (file, row_position) pairs dead and every reader
+# anti-joins them at scan time — deletes cost O(deleted rows) writes
+# instead of O(touched file bytes) rewrites, the right trade when deletes
+# are sparse and reads can afford the join.  Spark's `_metadata.row_index`
+# hidden column IS the position half of that pair; this entry builds a
+# deterministic bucketed layout, derives a deletion vector, and serves the
+# merge-on-read scan — with the POSITION ARITHMETIC itself value-hashed
+# (the oracle reproduces (bucket, pos) by replaying the sorted write as a
+# window rank, so a physical-order regression in the write path fails the
+# hash gate, not just a row count).
+_MOR_BUCKETS = 4
+_MOR_DELETE_MOD = 7
+
+
+@register(
+    "layout_position_delete_read",
+    oracle=f"""
+    WITH base AS (
+        SELECT c_custkey, c_mktsegment,
+               c_custkey % {_MOR_BUCKETS} AS bucket,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c_custkey % {_MOR_BUCKETS}
+                   ORDER BY c_custkey
+               ) - 1 AS pos
+        FROM customer
+    )
+    SELECT c_custkey, c_mktsegment, CAST(bucket AS BIGINT) AS bucket,
+           CAST(pos AS BIGINT) AS pos
+    FROM base
+    WHERE CAST(('0x' || substr(md5('0:' || CAST(c_custkey AS VARCHAR)), 1, 12))
+               AS BIGINT) % {_MOR_DELETE_MOD} <> 0
+    """,
+)
+def layout_position_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read scan over a position-deleted layout: the customer
+    table written as {_MOR_BUCKETS} sorted bucket files, a deletion
+    vector of (bucket, row_index) pairs derived from the doomed-key set
+    (portable hash % {_MOR_DELETE_MOD} == 0 — the GDPR-forget shape), and
+    the serving read = base scan + LEFT ANTI JOIN on the vector, with
+    every surviving row's (bucket, pos) emitted from
+    ``_metadata.row_index`` so the physical position arithmetic is part
+    of the hash gate.
+
+    Scale shape: the deletion vector carries two BIGINTs per deleted row
+    (never keys or payload) and is broadcast while sparse — the exact
+    Iceberg/Delta deletion-vector trade vs the copy-on-write
+    `merge_delete_forgotten` (O(deleted) write cost here, O(touched
+    bucket bytes) there; reads pay the anti-join here and nothing
+    there).  Build writes are entry-local with lean_shuffle, one sorted
+    file per bucket (a real table maintains that per-file ordering the
+    same way ingest/compaction already sorts)."""
+    from ..session import lean_shuffle
+    from ..sources.batch import load_table as _lt
+    from ..tmpdirs import entry_tmp_dir
+    from ..functions.text import portable_hash64
+
+    base_dir = entry_tmp_dir("hg_mor_position_deletes")
+    cust = _lt(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    with lean_shuffle(spark, _MOR_BUCKETS):
+        for b in range(_MOR_BUCKETS):
+            (
+                cust.filter(F.col("c_custkey") % _MOR_BUCKETS == b)
+                .repartition(1)
+                .sortWithinPartitions("c_custkey")
+                .write.mode("overwrite")
+                .parquet(f"{base_dir}/bucket={b}")
+            )
+    scan = spark.read.parquet(f"{base_dir}/bucket=*").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.regexp_extract(F.col("_metadata.file_path"), r"bucket=(\d+)/", 1)
+        .cast("long")
+        .alias("bucket"),
+        F.col("_metadata.row_index").alias("pos"),
+    )
+    doomed = F.pmod(
+        portable_hash64(F.col("c_custkey").cast("string")), F.lit(_MOR_DELETE_MOD)
+    ) == 0
+    delete_vector = scan.filter(doomed).select("bucket", "pos")
+    return scan.join(
+        F.broadcast(delete_vector), ["bucket", "pos"], "left_anti"
+    ).select("c_custkey", "c_mktsegment", "bucket", "pos")

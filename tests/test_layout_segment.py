@@ -201,3 +201,40 @@ def test_hvalue_is_a_unit_step_space_filling_curve(spark):
         abs(a.x - b.x) + abs(a.y - b.y) for a, b in zip(by_z, by_z[1:])
     ]
     assert max(z_steps) > 1  # Morton has seams; Hilbert has none
+
+
+def test_position_delete_read_gap_structure(spark):
+    """Merge-on-read contract at sf0.01: per bucket, the surviving
+    positions plus the doomed keys' positions tile 0..n_bucket-1 exactly
+    (i.e. row_index really is the physical ordinal of the sorted write),
+    and the surviving key set equals the hash-filter replay."""
+    import hashlib
+    from collections import defaultdict
+
+    import duckdb
+
+    from hunger_games_glue_streaming_etl_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    rows = QUERIES["layout_position_delete_read"](spark, sf).collect()
+    assert rows
+
+    def doomed(k):
+        return int(hashlib.md5(f"0:{k}".encode()).hexdigest()[:12], 16) % 7 == 0
+
+    con = duckdb.connect()
+    keys = [r[0] for r in con.execute(
+        f"SELECT c_custkey FROM '{sf}/customer.parquet'"
+    ).fetchall()]
+    by_bucket = defaultdict(list)
+    for k in sorted(keys):
+        by_bucket[k % 4].append(k)
+    surviving = {(r.bucket, r.pos): r.c_custkey for r in rows}
+    assert len(surviving) == len(rows)
+    for b, ks in by_bucket.items():
+        for pos, k in enumerate(ks):
+            if doomed(k):
+                assert (b, pos) not in surviving, (b, pos, k)
+            else:
+                assert surviving[(b, pos)] == k, (b, pos, k)
+    assert len(rows) == sum(1 for k in keys if not doomed(k))

@@ -63,6 +63,8 @@ SKIP_EXECUTING = {
     "scan_nested_parquet_pruning",
     # partitioned round-trip writes the year directories at build time
     "layout_partitioned_write_prune",
+    # writes the sorted bucket files at build time (merge-on-read base)
+    "layout_position_delete_read",
     # custom Python-DataSource sink writes + commits at build time
     "sink_python_datasource_write",
     # hive-partitioned round-trip writes at build time
