@@ -101,6 +101,7 @@ _SAMPLE_FIRST = [
     "curation_k_anonymity_ladder",
     "dp_bounded_contribution_counts",
     "layout_position_delete_read",
+    "sketch_native_approx_topk",
     # (3) head of the r9-stale cohort (newest green row = r9), alphabetical
     "anomaly_hourly_event_rate",
     "asof_latest_purchase_before_click",
@@ -111,7 +112,6 @@ _SAMPLE_FIRST = [
     "dedup_image_dhash_pairs",
     "dedup_simhash_fingerprints",
     "dedup_simhash_pairs",
-    "dedup_video_fingerprint_pairs",
 ]
 
 

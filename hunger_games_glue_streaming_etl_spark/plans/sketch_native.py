@@ -203,3 +203,57 @@ def sketch_native_theta_audience(spark: SparkSession, sf_dir: str) -> DataFrame:
         _band("__ei", "exact_intersection").alias("intersection_in_band"),
         _band("__ed", "exact_difference").alias("difference_in_band"),
     )
+
+
+@register(
+    "sketch_native_approx_topk",
+    oracle="""
+    SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS cnt,
+           TRUE AS merged_matches
+    FROM events GROUP BY event_type
+    """,
+)
+def sketch_native_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``approx_top_k`` heavy-hitter sketch (Spark 4.1 built-in),
+    BOTH serving shapes: the one-shot aggregate and the two-stage
+    ``accumulate → combine → estimate`` pipeline (the mergeable form a
+    100 TB rollup actually runs: per-partition/per-day partial sketches,
+    associative combine, one estimate at serve time — here split on
+    event_id parity so the merge is exercised for real).  Emits each
+    tracked item's count plus ``merged_matches`` asserting the two-stage
+    result is item-for-item, count-for-count identical to the one-shot.
+
+    Exactness domain (the theta-lgK pattern): event_type has 5 distinct
+    values — far inside the sketch's tracking buffer — so counts are
+    EXACT and merge-order-invariant by construction, and the whole row
+    set value-hashes against the plain GROUP BY oracle; above the buffer
+    the counts degrade to the sketch's approximation guarantee and the
+    band-boolean pattern of the other native sketches would apply."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    ev.createOrReplaceTempView("__topk_events")
+    single = spark.sql(
+        """
+        SELECT explode(approx_top_k(event_type, 5)) AS e
+        FROM __topk_events
+        """
+    ).select(F.col("e.item").alias("item"), F.col("e.count").alias("cnt"))
+    merged = spark.sql(
+        """
+        WITH halves AS (
+            SELECT approx_top_k_accumulate(event_type, 5) AS st
+            FROM __topk_events WHERE event_id % 2 = 0
+            UNION ALL
+            SELECT approx_top_k_accumulate(event_type, 5)
+            FROM __topk_events WHERE event_id % 2 = 1
+        )
+        SELECT explode(approx_top_k_estimate(approx_top_k_combine(st), 5)) AS e
+        FROM halves
+        """
+    ).select(F.col("e.item").alias("m_item"), F.col("e.count").alias("m_cnt"))
+    return single.join(
+        F.broadcast(merged), single.item == merged.m_item, "left"
+    ).select(
+        "item",
+        F.col("cnt").cast("long").alias("cnt"),
+        (F.col("m_cnt") == F.col("cnt")).alias("merged_matches"),
+    )
