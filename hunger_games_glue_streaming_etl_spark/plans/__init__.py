@@ -46,72 +46,75 @@ from . import (  # noqa: E402,F401
 # already have green rows in CORRECTNESS_r01-r03 follow in import order.
 # ---------------------------------------------------------------------------
 _SAMPLE_FIRST = [
-    # ---- round-14 rotation (VERDICT r13 "Next round #2" + ADVICE): the
-    # first ~50 must ALL be oracled — the rows-only-by-design entries
-    # (sim_pq_ann_topk, agg_approx_distinct, sim_embedding_pairs_blas,
-    # sim_ivf_ann_topk) stay OUT of this window permanently so every
-    # driver-recorded row is hash-checkable.  Order: (1) the 25 round-13
-    # late-session entries that have NEVER appeared in a driver sample
-    # window, (2) entries added this round — 15 across the two sessions,
-    # each displacing one r9-stale slot per the never-recorded-beats-
-    # stale-refresh rule, (3) the head of the 49-entry r9-stale cohort
-    # filling the rest of the 50-row window (the remaining 39 lead the
-    # r15 rotation).  The already-recorded r10-r13 cohorts rotate to
-    # the back in import order. ----
-    # (1) never-sampled round-13 entries — 25
-    "text_passage_dedup_unaligned_stats",
-    "text_passage_scrub_ranges",
-    "text_passage_scrub_apply",
-    "sim_ivfpq_residual_recall_check",
-    "dedup_embedding_lsh_pairs_centered",
-    "streaming_passage_dedup",
-    "dedup_family_canonical_pairs_sparse",
-    "sim_ivf_balanced_ann_topk",
-    "sim_ivf_balanced_recall_check",
-    "sim_kmeans_dyadic_clusters",
-    "curation_cluster_prototypes",
-    "streaming_kmeans_cell_counts",
-    "dq_embedding_drift_cells",
-    "sim_sq8_refined_recall_multiquery",
-    "q3_shipping_priority",
-    "q10_returned_items",
-    "sql_scripting_control_flow",
-    "sql_execute_immediate_param",
-    "q7_trade_volume_flows",
-    "q14_promo_revenue_share",
-    "q4_order_priority_exists",
-    "q19_disjunctive_revenue",
-    "q6_forecast_revenue_delta",
-    "q13_customer_order_distribution",
-    "q8_market_share",
-    # (2) new this round (VERDICT r13 #3: IVF-PQ serving entry; runtime
-    # bloom-filter join reduction)
-    "sim_ivfpq_ann_topk",
-    "join_runtime_bloom_filter",
-    "sim_ensemble_recall_multiquery",
-    "sim_ensemble_ann_topk",
-    "dedup_minhash_oph_signatures",
-    "decontaminate_embedding_cosine",
-    "curation_dsir_importance_select",
-    "layout_hilbert_file_stats",
-    "layout_hilbert_vs_zorder_locality",
-    "graph_kcore_peel",
-    "timeseries_downsample_lttb",
-    "dq_outlier_mad_flags",
-    "curation_k_anonymity_ladder",
-    "dp_bounded_contribution_counts",
-    "layout_position_delete_read",
-    "sketch_native_approx_topk",
-    # (3) head of the r9-stale cohort (newest green row = r9), alphabetical
-    "anomaly_hourly_event_rate",
-    "asof_latest_purchase_before_click",
-    "corpus_token_budget_select",
-    "curation_url_canonicalize",
-    "dedup_audio_fingerprint_pairs",
-    "dedup_cluster_canonical_keep",
-    "dedup_image_dhash_pairs",
-    "dedup_simhash_fingerprints",
-    "dedup_simhash_pairs",
+    # ---- round-15 rotation (VERDICT r14 "Next round #1"): finish the
+    # stale-evidence rotation.  The first ~50 must ALL be oracled — the
+    # rows-only-by-design entries (sim_pq_ann_topk, agg_approx_distinct,
+    # sim_embedding_pairs_blas, sim_ivf_ann_topk) stay OUT of this window
+    # permanently.  Order: (1) entries added this round (never-recorded
+    # beats stale-refresh), (2) the full 40-entry r09-stale cohort —
+    # every registry entry whose newest green CORRECTNESS row is r09 or
+    # older (recomputed from CORRECTNESS_r01-r14 at round start).  After
+    # r15 records this window, no entry's evidence is older than r10.
+    # The already-recorded r10-r14 cohorts rotate to the back. ----
+    # (1) new this round (VERDICT r14 #4/#5/#8)
+    "layout_equality_delete_read",
+    "dp_clamped_sum_release",
+    "streaming_ensemble_ann_topk",
+    "dedup_family_canonical_pairs",
+    # (2) the r09-stale cohort — 40 entries, registry order
+    "q1_pricing_summary",
+    "flagship_user_status",
+    "filter_project",
+    "join_inner",
+    "join_left_outer",
+    "join_semi",
+    "join_anti",
+    "join_broadcast_chain",
+    "latest_event_per_user",
+    "salted_join_result_parity",
+    "tumbling_window_agg",
+    "sliding_window_agg",
+    "sessionize_batch",
+    "split_train_holdout",
+    "text_token_stats",
+    "text_bpe_token_estimate",
+    "text_lang_id",
+    "text_quality_score",
+    "text_quality_filter",
+    "wordcount_top20",
+    "text_winnowing_fingerprints",
+    "text_repetition_stats",
+    "pack_sequences_concat",
+    "pack_sequences_stats",
+    "text_tfidf_top_terms",
+    "layout_zorder_file_stats",
+    "layout_zorder_pruning_ratio",
+    "layout_compaction_plan",
+    "layout_compaction_ratio",
+    "funnel_conversion_steps",
+    "dq_referential_orphans",
+    "dedup_video_fingerprint_pairs",
+    "multimodal_image_dedup_pipeline",
+    "sample_stratified_by_key",
+    "scalar_decimal_exact",
+    "streaming_right_outer_join",
+    "streaming_full_outer_join",
+    "streaming_state_store_read",
+    "pandas_api_on_spark",
+    "join_hint_shuffle_hash",
+    # (3) pad to a full 50-row oracled window with the head of the
+    # r10-stale cohort (keeps rows-only agg_approx_distinct out of the
+    # sampled prefix; these start the r16 rotation)
+    "text_bigram_coherence",
+    "text_vocab_oov",
+    "join_full_outer",
+    "join_null_safe_eq",
+    "retention_cohort_weekly",
+    "mix_weighted_sample",
+    "mix_temperature_sample",
+    "shuffle_training_order",
+    "semantic_dedup_cells",
+    "pii_scrub_planted",
 ]
 
 

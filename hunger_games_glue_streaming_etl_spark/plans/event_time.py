@@ -724,7 +724,10 @@ def timeseries_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Determinism: the triangle comparison is EXACT INTEGER arithmetic — the
 # average anchors (sx/c, sy/c) are cross-multiplied away, giving the
 # area scaled by cp²·cn as a BIGINT (y in exact cents, x in SECONDS for
-# the area term only: the first float prototype hash-diverged because
+# the area term AND the bucket assignment — (xs-xsmin)·nb keeps the
+# bucketing multiply ~10⁶× farther from 2^63 than the µs form, whose
+# ANSI-overflow bound was only ~3.5M buckets: the first float prototype
+# hash-diverged because
 # ROUND(huge_double, 6) takes different numeric paths in the two
 # engines, and second-granularity keeps |area·cp²·cn| ≤ ~2e15 at every
 # fixture — 4600× headroom vs 2^63, where millisecond granularity
@@ -750,12 +753,12 @@ _LTTB_EVENTS_PER_BUCKET = 320  # ≈64 rows/bucket/series at 5 event types
         FROM ev
     ),
     ser AS (
-        SELECT event_type, MIN(x) AS xmin, MAX(x) AS xmax
+        SELECT event_type, MIN(xs) AS xsmin, MAX(xs) AS xsmax
         FROM ev GROUP BY event_type
     ),
     bkt AS (
         SELECT e.event_id, e.event_type, e.x, e.xs, e.yc, nb.nb,
-               ((e.x - s.xmin) * nb.nb) // (s.xmax - s.xmin + 1) AS b
+               ((e.xs - s.xsmin) * nb.nb) // (s.xsmax - s.xsmin + 1) AS b
         FROM ev e JOIN ser s USING (event_type) CROSS JOIN nb
     ),
     sums AS (
@@ -824,8 +827,12 @@ def timeseries_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.count("*") / _LTTB_EVENTS_PER_BUCKET).cast("long"),
         ).alias("nb")
     )
+    # Bucket on SECONDS, not µs: (xs - xsmin) * nb overflows BIGINT only
+    # at nb ~ 2^63/span_s (~3e11 buckets ≈ 1e14 events at fixture span),
+    # where the µs form's bound was ~3.5M buckets (~1e9 events) — inside
+    # the stated 100 TB posture (the round-6 bound-at-target-scale rule).
     ser = ev.groupBy("event_type").agg(
-        F.min("x").alias("xmin"), F.max("x").alias("xmax")
+        F.min("xs").alias("xsmin"), F.max("xs").alias("xsmax")
     )
     bkt = (
         ev.join(F.broadcast(ser), "event_type")
@@ -837,7 +844,7 @@ def timeseries_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
             "xs",
             "yc",
             "nb",
-            F.expr("((x - xmin) * nb) div (xmax - xmin + 1)").alias("b"),
+            F.expr("((xs - xsmin) * nb) div (xsmax - xsmin + 1)").alias("b"),
         )
     )
     sums = bkt.groupBy("event_type", "b").agg(

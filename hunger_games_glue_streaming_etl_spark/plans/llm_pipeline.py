@@ -1465,7 +1465,11 @@ def decontaminate_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFram
     tr = v.filter(F.col("vec_id") % F.col("__emod") != _EMB_EVAL_RESIDUE).select(
         "vec_id", "embedding"
     )
-    scored = tr.join(F.broadcast(ev), F.col("vec_id") != F.col("eval_id")).select(
+    # Plain cross join mirrors the oracle's `FROM tr, ev` exactly: the
+    # train/eval slices are disjoint by residue, so a vec_id != eval_id
+    # predicate would be dead weight that forces BroadcastNestedLoopJoin
+    # and diverges from the oracle if the slice definition ever overlaps.
+    scored = tr.crossJoin(F.broadcast(ev)).select(
         "vec_id",
         "eval_id",
         F.round(dot("embedding", "evec"), 6).alias("cosine"),
