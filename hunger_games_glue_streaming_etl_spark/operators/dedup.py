@@ -355,6 +355,57 @@ def _derived_cap_from_shingles(
     )
 
 
+# candidate-volume routing threshold for the family screen (VERDICT r14
+# next #3): route to the sparse chain generator when the derived-cap
+# screen's EXACT candidate count exceeds this many pairs per document.
+# Measured ratios on the replica fixtures (cand_est // n_docs): sf0.001=29,
+# sf0.01=27, sf0.1=253 (dense, 4.0x margin), 2x=533, 5x=1372, 10x=2768,
+# 20x=5560 (sparse, 5.4x margin) — the ratio tracks the duplication
+# multiple ~linearly, so the oracle-checked natural scales stay dense and
+# the quadratic-cost notches route sparse.  Either branch is CORRECT at
+# any scale (the oracle replays the same route from the same histogram),
+# so the threshold is a cost dial, not a correctness boundary.
+FAMILY_ROUTE_CAND_PER_DOC = 1024
+
+
+def family_screen_profile(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Duplication profile of the derived-cap screen as ONE row
+    ``(cand_est, n_docs)``: ``cand_est`` is the screen's exact
+    within-bucket candidate-pair count Σ df·(df−1)/2 over shingles with
+    DF ≤ the derived cap — the quadratic cost the dense screen would
+    actually pay — and ``n_docs`` the corpus size.  The family entry
+    routes to the sparse chain generator when
+    ``cand_est > FAMILY_ROUTE_CAND_PER_DOC · n_docs``.
+
+    Integer arithmetic end to end so DuckDB rebuilds the identical
+    profile.  Overflow budget (the round-6 bound-at-target-scale rule):
+    Σ df(df−1)/2 ≤ df_cap/2 · Σdf ≤ df_cap/2 · total_shingle_rows, so a
+    100 TB corpus (~10^12 shingle rows) with df_cap ~10^4 sums to
+    ~5·10^15 — ~1800× headroom under 2^63.  The DF aggregate rides the
+    same shuffle-by-shingle the screen needs anyway, and the pinned
+    shingle frame is plan-identical to the screen's own, so the
+    profile's materializing action fills the cache the chosen branch
+    then reads."""
+    sh = pin(shingle_sets(docs, text_col, id_col, k))
+    dial = _derived_cap_from_shingles(sh)
+    dfh = sh.groupBy("shingle").agg(F.count("*").alias("__dfv"))
+    est = (
+        dfh.crossJoin(F.broadcast(dial))
+        .filter(F.col("__dfv") <= F.col("__cap"))
+        .agg(
+            F.sum(F.expr("__dfv * (__dfv - 1) div 2"))
+            .cast("long")
+            .alias("cand_est")
+        )
+    )
+    return est.crossJoin(docs.agg(F.count("*").alias("n_docs")))
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",

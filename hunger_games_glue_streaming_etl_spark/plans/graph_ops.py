@@ -208,15 +208,105 @@ _FAMILY_COMPONENTS_SQL = f"""
 """
 
 
-@register(
-    "dedup_family_canonical_pairs",
-    oracle=f"""
-    {_FAMILY_COMPONENTS_SQL}
+def _routed_family_sql() -> str:
+    """Combined oracle for the duplication-routed family entry: BOTH
+    candidate generators live in one statement, each gated by the same
+    1-row route flag the Spark side derives, so whichever branch the
+    dial picks is replayed identically — no scale at which the route
+    decision can silently diverge between engines (the round-15 routing
+    rule; contrast the ADVICE-r14 dead-predicate trap)."""
+    from ..operators.dedup import FAMILY_ROUTE_CAND_PER_DOC
+    from .dedup_ops import _CAP_DIAL_CTES, _JACCARD, _SHINGLES
+
+    return f"""
+    WITH RECURSIVE {_SHINGLES},
+    {_CAP_DIAL_CTES},
+    {_JACCARD},
+    -- MATERIALIZED bridges: DuckDB inlines (re-executes) a CTE per
+    -- reference, and the recursive fixpoint below re-references edges
+    -- per round — unbridged, the full shingle explode replayed ~15x
+    -- (measured 91.5 s vs 1.6 s at sf0.1; the r14 AS MATERIALIZED rule)
+    shh0m AS MATERIALIZED (SELECT doc_id, hsh FROM shh0),
+    dfhm AS MATERIALIZED (SELECT hsh, dfv FROM dfh),
+    capm AS MATERIALIZED (SELECT df_cap FROM cap),
+    sizesm AS MATERIALIZED (SELECT doc_id, n FROM sizes),
+    route AS MATERIALIZED (
+        SELECT CAST((SELECT SUM(dfv * (dfv - 1) // 2)
+                     FROM dfhm CROSS JOIN capm
+                     WHERE dfv <= capm.df_cap) AS BIGINT) AS cand_est,
+               (SELECT COUNT(*) FROM documents) AS n_docs
+    ),
+    mins AS (SELECT doc_id, MIN(hsh) AS mk FROM shh0m GROUP BY doc_id),
+    rare AS (
+        SELECT s.doc_id, s.hsh
+        FROM shh0m s JOIN dfhm USING (hsh) CROSS JOIN capm
+        WHERE dfhm.dfv <= capm.df_cap
+    ),
+    rnk AS (
+        SELECT r.hsh, r.doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY r.hsh ORDER BY m.mk, r.doc_id
+               ) AS rn
+        FROM rare r JOIN mins m USING (doc_id)
+    ),
+    scand AS (
+        SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS id_a,
+                        GREATEST(a.doc_id, b.doc_id) AS id_b
+        FROM rnk a JOIN rnk b ON a.hsh = b.hsh AND b.rn = a.rn + 1
+        WHERE a.doc_id <> b.doc_id
+    ),
+    sshared AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS ov
+        FROM scand c
+        JOIN shh0m a ON a.doc_id = c.id_a
+        JOIN shh0m b ON b.doc_id = c.id_b AND b.hsh = a.hsh
+        GROUP BY 1, 2
+    ),
+    spairs AS (
+        SELECT s.id_a, s.id_b
+        FROM sshared s
+        JOIN sizesm sa ON s.id_a = sa.doc_id
+        JOIN sizesm sb ON s.id_b = sb.doc_id
+        WHERE ROUND(s.ov * 1.0 / (sa.n + sb.n - s.ov), 6) >= 0.5
+    ),
+    allpairs AS MATERIALIZED (
+        SELECT j.id_a, j.id_b FROM jac j CROSS JOIN route
+        WHERE route.cand_est <= {FAMILY_ROUTE_CAND_PER_DOC} * route.n_docs
+          AND j.jaccard >= 0.5
+        UNION ALL
+        SELECT s.id_a, s.id_b FROM spairs s CROSS JOIN route
+        WHERE route.cand_est > {FAMILY_ROUTE_CAND_PER_DOC} * route.n_docs
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM allpairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM allpairs
+    ),
+    reach(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.label
+        FROM reach r JOIN edges e ON r.node = e.src
+    ),
+    lab AS (
+        SELECT node AS doc_id, MIN(label) AS component_id
+        FROM reach GROUP BY node
+    ),
+    fam AS (
+        SELECT doc_id, component_id,
+               COUNT(*) OVER (PARTITION BY component_id) AS family_size
+        FROM lab
+    )
     SELECT component_id AS anchor_id, doc_id AS member_id,
-           CAST(family_size AS BIGINT) AS family_size
-    FROM fam WHERE doc_id <> component_id
-    """,
-)
+           CAST(family_size AS BIGINT) AS family_size,
+           r.cand_est,
+           CAST(CASE WHEN r.cand_est > {FAMILY_ROUTE_CAND_PER_DOC} * r.n_docs
+                THEN 1 ELSE 0 END AS INT) AS route_sparse
+    FROM fam CROSS JOIN route r WHERE doc_id <> component_id
+    """
+
+
+@register("dedup_family_canonical_pairs", oracle=_routed_family_sql())
 def dedup_family_canonical_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OUTPUT-BUDGETED form of the derived-cap screen (VERDICT r12 next
     #7): a replica family of multiplicity m is m(m−1)/2 mutual pairs in
@@ -231,15 +321,43 @@ def dedup_family_canonical_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The family-recall contract is unchanged — every doc touched by any
     derived-cap pair appears, and two docs share an anchor iff the pair
     graph connects them (pinned in
-    ``test_family_canonical_pairs_cover_quadratic_screen``).  The oracle
-    nests the registered derived-cap pairs SQL inside a recursive CTE,
-    so edge definitions (including the corpus-derived cap dial) cannot
-    diverge between engines."""
-    from ..operators.dedup import ngram_jaccard_pairs
+    ``test_family_canonical_pairs_cover_quadratic_screen``).
+
+    DUPLICATION-ROUTED candidate generation (VERDICT r14 next #3): the
+    dense derived-cap screen's candidate volume is quadratic per
+    recovered family — 208.7 s isolated at 20×, 867 s at 50× — while
+    the sorted-neighborhood chain generator (``ngram_chain_edges``)
+    covers the same families with Σd linear candidates (33 s at 50×,
+    99.67% member coverage).  This entry measures the corpus's actual
+    duplication profile (``family_screen_profile``: the screen's exact
+    candidate count per doc, a 1-row bounded-dial collect whose
+    materializing job fills the shingle cache the chosen branch reuses)
+    and routes: dense exact candidates below
+    ``FAMILY_ROUTE_CAND_PER_DOC`` candidates/doc, sparse chain + star
+    contraction above (chain edges build high-diameter paths — the r13
+    rule).  Both the profile (``cand_est`` column) and the route flag
+    are exposed outputs, so the data-derived dial itself is
+    hash-checked (the round-4 rule), and the oracle carries BOTH
+    branches gated by the identical route predicate — whichever branch
+    fires, both engines replay it."""
+    from ..operators.dedup import (
+        FAMILY_ROUTE_CAND_PER_DOC,
+        family_screen_profile,
+        ngram_chain_edges,
+        ngram_jaccard_pairs,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, df_cap_dial="derived")
-    labels = connected_components(
+    prof = family_screen_profile(docs).collect()[0]  # bounded 1-row dial
+    cand_est, n_docs = int(prof["cand_est"]), int(prof["n_docs"])
+    sparse = cand_est > FAMILY_ROUTE_CAND_PER_DOC * n_docs
+    if sparse:
+        pairs = ngram_chain_edges(docs)
+        components = connected_components_star
+    else:
+        pairs = ngram_jaccard_pairs(docs, df_cap_dial="derived")
+        components = connected_components
+    labels = components(
         docs.select("doc_id"),
         pairs.select("id_a", "id_b"),
         id_col="doc_id",
@@ -255,10 +373,15 @@ def dedup_family_canonical_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("component_id"))
         .alias("family_size"),
     )
-    return fam.filter(F.col("doc_id") != F.col("component_id")).select(
-        F.col("component_id").alias("anchor_id"),
-        F.col("doc_id").alias("member_id"),
-        F.col("family_size").cast("long").alias("family_size"),
+    return (
+        fam.filter(F.col("doc_id") != F.col("component_id"))
+        .select(
+            F.col("component_id").alias("anchor_id"),
+            F.col("doc_id").alias("member_id"),
+            F.col("family_size").cast("long").alias("family_size"),
+        )
+        .withColumn("cand_est", F.lit(cand_est).cast("long"))
+        .withColumn("route_sparse", F.lit(1 if sparse else 0).cast("int"))
     )
 
 

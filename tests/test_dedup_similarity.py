@@ -1263,6 +1263,42 @@ def test_cluster_split_keeps_families_intact_where_doc_split_leaks(spark):
     assert any(r["doc_sides"] > 1 for r in per_component)
 
 
+def test_family_canonical_pairs_routes_sparse_on_heavy_duplication(
+    spark, monkeypatch
+):
+    """The duplication-routed family entry (VERDICT r14 next #3) must
+    flip to the sparse chain generator once the derived-cap screen's
+    exact candidate estimate exceeds FAMILY_ROUTE_CAND_PER_DOC per doc,
+    and still recover the full family: 60 near-identical replicas share
+    ~58 shingles each (cand_est ≈ 58·60·59/2 ≈ 102k > 1024·62), so the
+    dial routes sparse; the chain edges must connect every replica into
+    ONE family with the min id as anchor."""
+    import hunger_games_glue_streaming_etl_spark.plans.graph_ops as go
+
+    base = " ".join(f"w{i:03d}" for i in range(60))
+    rows = [(i, f"rep{i} " + base) for i in range(60)]
+    rows += [(200, " ".join(f"x{i:03d}" for i in range(60)))]
+    rows += [(201, " ".join(f"y{i:03d}" for i in range(60)))]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    monkeypatch.setattr(go, "load_table", lambda s_, d_, n_: docs)
+
+    out = go.dedup_family_canonical_pairs(spark, "unused").collect()
+    assert out and all(r["route_sparse"] == 1 for r in out)
+    # the whole replica family is recovered under the sparse route
+    assert len(out) == 59
+    assert {r["anchor_id"] for r in out} == {0}
+    assert {r["member_id"] for r in out} == set(range(1, 60))
+    assert all(r["family_size"] == 60 for r in out)
+    # the exposed dial is the exact candidate estimate above threshold
+    from hunger_games_glue_streaming_etl_spark.operators.dedup import (
+        FAMILY_ROUTE_CAND_PER_DOC,
+    )
+
+    assert all(
+        r["cand_est"] > FAMILY_ROUTE_CAND_PER_DOC * 62 for r in out
+    )
+
+
 def test_family_canonical_pairs_cover_quadratic_screen(spark, monkeypatch):
     """The output-budgeted family entry must preserve the quadratic
     screen's family-recall contract: same doc coverage, same partition
