@@ -589,3 +589,46 @@ def test_dp_release_clamps_and_noise_is_seed_replayable(spark, queries):
         noise = lz("dpa:", r.event_type) - lz("dpb:", r.event_type)
         assert r.dp_count == bounded + noise
         assert r.clamped_users == clamped
+
+
+def test_dp_clamped_sum_release_mechanism(spark, queries):
+    """Clamped-SUM DP release at sf0.01: the dyadic-grid clamp dial is
+    the p90 cell ceiling, the clamp bites a non-trivial fraction both
+    ways, and the sensitivity-scaled noise replays exactly from the
+    recorded seeds (python md5 replay, noise unit = C div 64)."""
+    import hashlib
+    from collections import defaultdict
+
+    import duckdb
+
+    rows = queries["dp_clamped_sum_release"](spark, SF_DIR).collect()
+    assert len(rows) == 5
+    con = duckdb.connect()
+    per = con.execute(f"""
+        SELECT o_custkey, o_orderpriority,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS BIGINT)
+        FROM '{SF_DIR}/orders.parquet' GROUP BY 1, 2
+    """).fetchall()
+    grid = sorted(c // 4096 for _, _, c in per)
+    n = len(grid)
+    g_sel = grid[(900 * n + 999) // 1000 - 1]  # rank-th smallest grid cell
+    c_dial = (g_sel + 1) * 4096 - 1
+    by_prio = defaultdict(list)
+    for _, pr, c in per:
+        by_prio[pr].append(c)
+
+    def lz(seed, pr):
+        h = int(hashlib.md5(f"0:{seed}{pr}".encode()).hexdigest()[:12], 16)
+        return 48 - len(bin(h)[2:])
+
+    unit = max(1, c_dial // 64)
+    for r in rows:
+        assert r.sensitivity_c == c_dial
+        contribs = by_prio[r.o_orderpriority]
+        bounded = sum(min(c, c_dial) for c in contribs)
+        clamped = sum(1 for c in contribs if c > c_dial)
+        assert 0 < clamped < len(contribs)  # the clamp bites both ways
+        noise = lz("dpsa:", r.o_orderpriority) - lz("dpsb:", r.o_orderpriority)
+        assert r.dp_sum == bounded + noise * unit
+        assert r.clamped_users == clamped
