@@ -238,3 +238,63 @@ def test_position_delete_read_gap_structure(spark):
             else:
                 assert surviving[(b, pos)] == k, (b, pos, k)
     assert len(rows) == sum(1 for k in keys if not doomed(k))
+
+
+def test_equality_delete_leaves_data_files_untouched(spark):
+    """The merge-on-read contract for equality deletes at sf0.001: the
+    delete commit is pure append — every seq=1 data file still holds ALL
+    its rows (doomed included) and predates the delete file (nothing was
+    rewritten or relocated); the delete file carries ONLY key values;
+    and the serving read = base − doomed + reinstated, with re-inserted
+    keys surviving the delete (sequence-number semantics)."""
+    import glob
+    import hashlib
+    import os
+
+    import duckdb
+
+    from hunger_games_glue_streaming_etl_spark.plans import QUERIES
+    from hunger_games_glue_streaming_etl_spark.tmpdirs import _proc_root
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["layout_equality_delete_read"](spark, sf).collect()
+    base_dir = os.path.join(_proc_root(), "hg_mor_equality_deletes")
+
+    def hv(k, mod):
+        return int(hashlib.md5(f"0:{k}".encode()).hexdigest()[:12], 16) % mod
+
+    con = duckdb.connect()
+    keys = [r[0] for r in con.execute(
+        f"SELECT c_custkey FROM '{sf}/customer.parquet'"
+    ).fetchall()]
+    doomed = {k for k in keys if hv(k, 5) == 0}
+    reinstated = {k for k in keys if hv(k, 10) == 0}
+
+    # seq=1 data files: full row set survives on disk, doomed included
+    on_disk = [r[0] for r in con.execute(
+        f"SELECT c_custkey FROM '{base_dir}/data/seq=1/*.parquet'"
+    ).fetchall()]
+    assert sorted(on_disk) == sorted(keys)
+    # delete file: key VALUES only, exactly the doomed set
+    del_files = glob.glob(f"{base_dir}/deletes/seq=2/*.parquet")
+    del_rows = con.execute(
+        f"SELECT * FROM read_parquet('{base_dir}/deletes/seq=2/*.parquet',"
+        " hive_partitioning = false)"
+    ).fetchdf()
+    assert list(del_rows.columns) == ["c_custkey"]
+    assert set(del_rows["c_custkey"]) == doomed
+    # pure-append: every data file predates every delete-commit file
+    data_mtimes = [
+        os.path.getmtime(p) for p in glob.glob(f"{base_dir}/data/seq=1/*.parquet")
+    ]
+    assert data_mtimes and max(data_mtimes) <= min(
+        os.path.getmtime(p) for p in del_files
+    )
+    # serving read: base - doomed + reinstated, resurrection survives
+    got = {(r.c_custkey, r.seq) for r in rows}
+    assert got == {(k, 1) for k in keys if k not in doomed} | {
+        (k, 3) for k in reinstated
+    }
+    assert all(
+        r.c_mktsegment == "REINSTATED" for r in rows if r.seq == 3
+    ) and any(r.seq == 3 for r in rows)

@@ -65,6 +65,8 @@ SKIP_EXECUTING = {
     "layout_partitioned_write_prune",
     # writes the sorted bucket files at build time (merge-on-read base)
     "layout_position_delete_read",
+    # writes the three commits (data/deletes/re-insert) at build time
+    "layout_equality_delete_read",
     # custom Python-DataSource sink writes + commits at build time
     "sink_python_datasource_write",
     # hive-partitioned round-trip writes at build time
