@@ -1259,6 +1259,112 @@ def ensemble_ann_topk(
     )
 
 
+def ensemble_ann_topk_batch(
+    embeddings: DataFrame,
+    qframe: DataFrame,
+    centroids: list[list[float]],
+    n_probe: int,
+    k: int = 10,
+    refine: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Multi-query ENSEMBLE serving TOP-K — the set-oriented form of
+    ``ensemble_ann_topk`` for a QUERY BATCH arriving as a frame
+    ``(qid, __qv array<double>)`` (the shape a micro-batch of a query
+    stream lands in): clipped-SQ8 refine band ∪ balanced-IVF probed
+    cells per qid, ONE exact-dot re-rank over the union, top-k rows
+    ``(qid, rank, vec_id, cosine)`` per query.  Every stage is the
+    bit-deterministic arithmetic of the single-query path, so the
+    approximate result itself value-hashes.
+
+    Scale shape: one corpus code scan fanned |Q|-fold by the broadcast
+    query frame (|Q| bounded — the serving batch, not the corpus), one
+    assignment scan shared across queries, exact dots only on the
+    candidate union (refine·k + probed-fraction·n per query).  The
+    candidate frame grows with the corpus, so it is never broadcast
+    (the r13 Catalyst-estimate rule) — the exact re-rank joins it back
+    to the table on the id key."""
+    spark = embeddings.sparkSession
+    dial = sq8_clipped_dials(embeddings, vec_col)
+    dv = F.col(vec_col).cast("array<double>")
+    qcodes = qframe.crossJoin(F.broadcast(dial)).select(
+        "qid",
+        "__qv",
+        F.transform("__qv", lambda xi: _sq8_code_clipped(xi, F.col("__a"))).alias(
+            "__qq"
+        ),
+    )
+    scored = (
+        embeddings.crossJoin(F.broadcast(dial))
+        .crossJoin(F.broadcast(qcodes.select("qid", "__qq")))
+        .select(
+            "qid",
+            F.col(id_col),
+            F.aggregate(
+                F.zip_with(
+                    dv,
+                    "__qq",
+                    lambda xi, qq: _sq8_code_clipped(xi, F.col("__a")) * qq,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("__s"),
+        )
+    )
+    w_cand = Window.partitionBy("qid").orderBy(F.desc("__s"), id_col)
+    cand_sq8 = (
+        scored.withColumn("__rn", F.row_number().over(w_cand))
+        .filter(F.col("__rn") <= refine * k)
+        .select("qid", id_col)
+    )
+    cn = [_unit(c) for c in centroids]
+    cent_arr = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    cells = spark.range(len(centroids)).select(
+        F.col("id").cast("int").alias("cell"),
+        F.element_at(cent_arr, F.col("id").cast("int") + 1).alias("__cvec"),
+    )
+    w_probe = Window.partitionBy("qid").orderBy(F.desc("__cdot"), F.col("cell"))
+    probe = (
+        qframe.crossJoin(F.broadcast(cells))
+        .select(
+            "qid", "cell", dot(F.col("__cvec"), F.col("__qv")).alias("__cdot")
+        )
+        .withColumn("__rn", F.row_number().over(w_probe))
+        .filter(F.col("__rn") <= n_probe)
+        .select("qid", "cell")
+    )
+    assigned = _assign_cluster(
+        embeddings.select(F.col(id_col), dv.alias("__v")), cn, "__v"
+    )
+    cand_ivf = assigned.join(
+        F.broadcast(probe), assigned["__cluster"] == probe["cell"]
+    ).select("qid", id_col)
+    cand = cand_sq8.union(cand_ivf).distinct()
+    rescored = (
+        cand.join(embeddings.select(F.col(id_col), dv.alias("__v")), id_col)
+        .join(F.broadcast(qframe.select("qid", "__qv")), "qid")
+        .select(
+            "qid",
+            F.col(id_col),
+            F.round(dot(F.col("__v"), F.col("__qv")), 6).alias("cosine"),
+        )
+    )
+    w_top = Window.partitionBy("qid").orderBy(F.desc("cosine"), id_col)
+    return (
+        rescored.withColumn("__rn", F.row_number().over(w_top))
+        .filter(F.col("__rn") <= k)
+        .select(
+            "qid",
+            F.col("__rn").cast("int").alias("rank"),
+            F.col(id_col),
+            "cosine",
+        )
+    )
+
+
 def frozen_index_assign(
     index_side: DataFrame,
     assign_side: DataFrame,

@@ -1525,8 +1525,11 @@ def sim_sq8_refined_recall_multiquery(spark: SparkSession, sf_dir: str) -> DataF
 # both generators are hash-exact, so the per-query recall integers still
 # value-hash.
 
-_ENSEMBLE_MQ_ORACLE = f"""
-    WITH {_IVF_BALANCED_CTES},
+# shared CTE prefix of the ensemble multi-query oracles: both index
+# builds, the derived query batch, per-qid candidate union, and the
+# exact per-(qid, vec) scores — reused verbatim by the recall oracle and
+# the streaming top-k oracle so the ensemble definition cannot diverge
+_ENSEMBLE_MQ_CTES = f"""{_IVF_BALANCED_CTES},
     qdial AS {_MQ_QDIAL},
     refdial AS {_REF_DIAL},
     sqe AS (
@@ -1601,7 +1604,10 @@ _ENSEMBLE_MQ_ORACLE = f"""
         SELECT qvecs.qid, v.vec_id,
                ROUND(list_dot_product(v.vec, qvecs.qv), 6) AS cos
         FROM v CROSS JOIN qvecs
-    ),
+    )"""
+
+_ENSEMBLE_MQ_ORACLE = f"""
+    WITH {_ENSEMBLE_MQ_CTES},
     extop AS (
         SELECT qid, vec_id FROM (
             SELECT qid, vec_id,

@@ -1135,3 +1135,129 @@ def streaming_kmeans_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__cluster").cast("int").alias("cluster")
     ).agg(F.count("*").cast("long").alias("n_assigned"))
     return _run_stream(spark, counts, "kmeans_cells", output_mode="complete")
+
+
+# ---- Streaming ensemble ANN serving -----------------------------------------
+
+_q_stage_cache: dict[str, str] = {}
+
+
+def _stage_query_stream(spark: SparkSession, sf_dir: str) -> str:
+    """The derived multi-query batch (`_mq_query_ids` — corpus-derived,
+    bounded) staged as JSON-lines files, queries spread round-robin over
+    up to 3 micro-batch slots.  Vectors are cast to DOUBLE before the
+    JSON write (the r13 staging rule: Jackson's shortest-round-trip
+    decimals make the streamed doubles bit-identical to the batch
+    float→double cast, so frozen-model scores hash-match the batch
+    twin)."""
+    cached = _q_stage_cache.get(sf_dir)
+    if cached and os.path.isdir(cached):
+        return cached
+    from .similarity_ops import _mq_query_ids
+
+    qids = sorted(_mq_query_ids(spark, sf_dir))
+    n_batches = max(1, min(3, len(qids)))
+    emb = load_table(spark, sf_dir, "embeddings")
+    pos = F.array_position(
+        F.array(*[F.lit(int(q)) for q in qids]), F.col("vec_id").cast("int")
+    )
+    staged = (
+        emb.filter(F.col("vec_id").isin([int(q) for q in qids]))
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+            (((pos - 1) % n_batches) + 1).cast("int").alias("__batch"),
+        )
+    )
+    dst = _write_and_flatten_batches(
+        staged, prefix=f"hg_qstream_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    _q_stage_cache[sf_dir] = dst
+    return dst
+
+
+def _stream_ensemble_topk_oracle() -> str:
+    from .similarity_ops import _ENSEMBLE_MQ_CTES, _K
+
+    return f"""
+    WITH {_ENSEMBLE_MQ_CTES},
+    rstk AS (
+        SELECT exsc.qid, exsc.vec_id, exsc.cos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY exsc.qid ORDER BY exsc.cos DESC, exsc.vec_id
+               ) AS rn
+        FROM exsc JOIN cands USING (qid, vec_id)
+    )
+    SELECT qid, CAST(rn AS INT) AS rank, vec_id, cos AS cosine
+    FROM rstk WHERE rn <= {_K}
+    """
+
+
+@register("streaming_ensemble_ann_topk", oracle=_stream_ensemble_topk_oracle())
+def streaming_ensemble_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENSEMBLE ANN serving ON A QUERY STREAM (VERDICT r14 next #4) —
+    the `streaming_kmeans_cell_counts` frozen-model precedent composed
+    with the round-14 ensemble generators: both indexes (balanced-IVF
+    centroids + clipped-SQ8 scale/refine dials) are trained on the batch
+    corpus and FROZEN before the stream starts; a live stream of query
+    vectors then gets the scale-robust union-candidate top-k micro-batch
+    by micro-batch via ``foreachBatch`` (each micro-batch's queries land
+    as a bounded frame → one set-oriented ``ensemble_ann_topk_batch``
+    pass against the static corpus — per-qid windows are legal there
+    where a streaming plan forbids them).  Serving a query on the stream
+    must lose nothing vs serving it from the table: the drained results
+    value-hash against the closed-form batch oracle (shared CTE prefix
+    with `sim_ensemble_recall_multiquery`, so the ensemble definition
+    cannot diverge), and the round-14 sweep's 10/10-through-100×
+    robustness carries over query-for-query by construction.
+
+    State is NONE (stateless scoring; the per-epoch result is the final
+    answer for that epoch's queries — appended to a bounded driver-side
+    buffer exactly like a memory sink, |Q|·k rows total).  At scale each
+    micro-batch costs one code scan + one assignment scan of the
+    serving shards, the same bill as a batch query batch; cross-batch
+    arrival/e2e behavior is pinned in tests/test_streaming_depth.py."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from ..operators.similarity import ensemble_ann_topk_batch
+    from .similarity_ops import _K, _balanced_ivf_index, _sq8_refine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, n_probe, cents = _balanced_ivf_index(spark, sf_dir)
+    refine = _sq8_refine(spark, sf_dir)
+    src = _stage_query_stream(spark, sf_dir)
+    schema = StructType(
+        [
+            StructField("qid", LongType()),
+            StructField("qv", ArrayType(DoubleType())),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    results: list = []
+
+    def serve(batch_df: DataFrame, _epoch: int) -> None:
+        qf = batch_df.select("qid", F.col("qv").alias("__qv"))
+        out = ensemble_ann_topk_batch(
+            emb, qf, cents, n_probe, k=_K, refine=refine
+        )
+        results.extend(out.collect())
+
+    with _lean_state_partitions(spark):
+        q = stream.writeStream.foreachBatch(serve).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.createDataFrame(
+        results, "qid long, rank int, vec_id long, cosine double"
+    )

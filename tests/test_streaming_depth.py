@@ -1409,3 +1409,68 @@ def test_streaming_kmeans_scoring_matches_batch_twin_across_triggers(spark):
     }
     assert n_triggers >= 2
     assert streamed == batch
+
+
+def test_streaming_ensemble_serving_crosses_batches(spark, tmp_path):
+    """Frozen-ensemble ANN serving on a query stream
+    (streaming_ensemble_ann_topk's machinery): queries arriving in a
+    LATE second wave — fed only after the first drain completed — are
+    served in their own micro-batch and bit-identically to the batch
+    twin (one ensemble_ann_topk_batch call over all queries)."""
+    from hunger_games_glue_streaming_etl_spark.operators.similarity import (
+        ensemble_ann_topk_batch,
+    )
+
+    dim = 8
+    rows = [
+        (i, [float((i * 37 + d * 11) % 17) / 17.0 for d in range(dim)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [[float(x) for x in rows[i][1]] for i in (0, 9, 17, 25)]
+
+    def qv(i):
+        return [float(x) for x in rows[i][1]]
+
+    src = str(tmp_path / "qstream")
+    feeder = BatchFeeder(src)
+    schema = T.StructType(
+        [
+            T.StructField("qid", T.LongType()),
+            T.StructField("qv", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").json(src)
+    )
+    results, batches = [], []
+
+    def serve(batch_df, epoch):
+        qf = batch_df.select("qid", F.col("qv").alias("__qv"))
+        got = ensemble_ann_topk_batch(
+            emb, qf, cents, n_probe=2, k=5, refine=4
+        ).collect()
+        if got:
+            batches.append(epoch)
+        results.extend(got)
+
+    q = stream.writeStream.foreachBatch(serve).start()
+    try:
+        feeder.feed(q, {"qid": 3, "qv": qv(3)}, {"qid": 11, "qv": qv(11)})
+        feeder.feed(q, {"qid": 30, "qv": qv(30)})  # late wave
+    finally:
+        q.stop()
+
+    assert len(set(batches)) >= 2  # the late wave ran its own micro-batch
+    qframe = spark.createDataFrame(
+        [(3, qv(3)), (11, qv(11)), (30, qv(30))], schema
+    ).select("qid", F.col("qv").alias("__qv"))
+    want = ensemble_ann_topk_batch(
+        emb, qframe, cents, n_probe=2, k=5, refine=4
+    ).collect()
+
+    def key(rs):
+        return sorted((r.qid, r.rank, r.vec_id, r.cosine) for r in rs)
+
+    assert key(results) == key(want)
+    assert len(results) == 15  # 3 queries x k=5, every wave served
