@@ -81,8 +81,31 @@ def main() -> None:
             qv = [float(x) for x in row[0]]
             exact = {r[0] for r in cosine_topk(emb, qv, k=K).collect()}
 
+            def topset(df) -> set:
+                return {r[0] for r in df.select("vec_id").collect()}
+
             def hits(df) -> int:
-                return len(exact & {r[0] for r in df.select("vec_id").collect()})
+                return len(exact & topset(df))
+
+            # materialize the two union members once: their served top-k
+            # sets ARE the candidate sets of the "ivfpq ∪ ivf_balanced"
+            # serving row (VERDICT r14 #6) — an exact re-rank over a
+            # candidate union keeps every exact-top-k member present, so
+            # union recall = |exact ∩ (A ∪ B)|, ≥ pointwise max by
+            # construction
+            ivfbal_set = topset(
+                ivf_balanced_ann_topk(
+                    emb, qv, k=K, n_cells=n_cells, n_probe=n_probe,
+                    centroids=bal_cents,
+                )
+            )
+            ivfpq_set = topset(
+                ivfpq_ann_topk(
+                    emb, qv, k=K, n_probe=n_probe,
+                    refine=pq_scaled_refine(n, min_refine=8),
+                    centroids=ivfpq_cents, codebooks=ivfpq_cbs,
+                )
+            )
 
             for name, got in {
                 "sq8_max": hits(sq8_ann_topk(emb, qv, k=K)),
@@ -106,18 +129,10 @@ def main() -> None:
                         centroids=cents,
                     )
                 ),
-                "ivf_balanced": hits(
-                    ivf_balanced_ann_topk(
-                        emb, qv, k=K, n_cells=n_cells, n_probe=n_probe,
-                        centroids=bal_cents,
-                    )
-                ),
-                "ivfpq_residual": hits(
-                    ivfpq_ann_topk(
-                        emb, qv, k=K, n_probe=n_probe,
-                        refine=pq_scaled_refine(n, min_refine=8),
-                        centroids=ivfpq_cents, codebooks=ivfpq_cbs,
-                    )
+                "ivf_balanced": len(exact & ivfbal_set),
+                "ivfpq_residual": len(exact & ivfpq_set),
+                "ivfpq_union_ivf_balanced": len(
+                    exact & (ivfpq_set | ivfbal_set)
                 ),
                 "ivfpq_balanced": hits(
                     ivfpq_balanced_ann_topk(
