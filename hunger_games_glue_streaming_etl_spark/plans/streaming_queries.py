@@ -1225,12 +1225,18 @@ def streaming_ensemble_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructType,
     )
 
-    from ..operators.similarity import ensemble_ann_topk_batch
+    from ..operators.similarity import (
+        ensemble_ann_topk_batch,
+        ensemble_frozen_state,
+    )
     from .similarity_ops import _K, _balanced_ivf_index, _sq8_refine
 
     emb = load_table(spark, sf_dir, "embeddings")
     _, n_probe, cents = _balanced_ivf_index(spark, sf_dir)
     refine = _sq8_refine(spark, sf_dir)
+    # the corpus-side model is part of the FROZEN state: codes and cell
+    # assignment materialize once here, micro-batches only scan them
+    frozen = ensemble_frozen_state(emb, cents)
     src = _stage_query_stream(spark, sf_dir)
     schema = StructType(
         [
@@ -1248,7 +1254,7 @@ def streaming_ensemble_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     def serve(batch_df: DataFrame, _epoch: int) -> None:
         qf = batch_df.select("qid", F.col("qv").alias("__qv"))
         out = ensemble_ann_topk_batch(
-            emb, qf, cents, n_probe, k=_K, refine=refine
+            emb, qf, cents, n_probe, k=_K, refine=refine, frozen=frozen
         )
         results.extend(out.collect())
 
