@@ -245,78 +245,101 @@ def bpe_train_merges(
     * argmax tiebreak is total: highest count, then (left, right)
       lexicographic binary ascending — identical in both engines.
 
-    Distribution shape: per round, pair counting is one lead-window +
-    hash aggregate over (doc, pos, tok) longs/short-strings; ONLY the
-    single argmax row reaches the driver (the IVF-seed dial pattern),
-    and each round ends in ``localCheckpoint(eager=True)`` — the r4
-    iterative-loop rule, and each round's argmax is an action so an
-    untruncated plan would re-execute every prior round per collect.
-    Training samples ``doc_id % sample_mod == 0`` prefixes
-    (tokenizer training on a corpus sample is standard practice);
-    ``sample_mod=None`` derives the modulus from the corpus row count
-    (``derived_sample_mod``: ~125 sampled docs at any scale), so the
-    per-round cost is a CONSTANT training-token budget rather than a
-    corpus-proportional one — at 100 TB you'd raise the target, not
-    the algorithm.  The count() dial is one bounded action up front
-    (the IVF-dial pattern); the oracle recomputes the same modulus
-    from COUNT(*).
+    Distribution shape: the sample is BOUNDED by construction (~125 docs
+    × ≤ 64 chars ≈ 8 KB of training text at ANY corpus size — the
+    corpus-proportional part of the job is only the sampling scan), so
+    the whole 8-round loop runs inside ONE Arrow task: the scan filters
+    and normalizes distributed, ``coalesce(1)`` funnels the ≤ 8 KB
+    sample to a single ``mapInPandas`` kernel, and the kernel replays
+    the canonical count → argmax → merge-all loop in-memory.  The
+    previous shape ran each round as a cluster-wide lead-window +
+    aggregate + argmax collect + merge window + eager checkpoint —
+    ~17 driver-coordinated jobs for an 8 KB problem (5.3 s of pure
+    scheduling at sf0.1; guide §1.2: fix the distributed algorithm
+    first).  At 100 TB you'd raise the sample target, not re-distribute
+    the loop — a tokenizer-training sample that FITS in one task should
+    train in one task.  Training samples ``doc_id % sample_mod == 0``
+    prefixes (tokenizer training on a corpus sample is standard
+    practice); ``sample_mod=None`` derives the modulus from the corpus
+    row count (``derived_sample_mod``: ~125 sampled docs at any scale).
+    The count() dial is one bounded action up front (the IVF-dial
+    pattern); the oracle recomputes the same modulus from COUNT(*).
+
+    Kernel determinism (same values as the distributed form, which the
+    oracle still replays): pair counts are exact integer sums over the
+    sample (order-free); the argmax tiebreak (count desc, left asc,
+    right asc) compares ASCII-only tokens ([a-z_] concatenations), where
+    Python's code-point ordering IS Spark's UTF8-binary ordering; and
+    merge-all is the greedy left-to-right scan, well-defined because
+    left != right makes occurrences disjoint (the exact sequential
+    reference ``tests/test_text_ops.py::_apply_merge`` pins against).
 
     Returns one row per learned merge: (merge_rank, merge_left,
-    merge_right, pair_count) — pair_count is the distributed aggregate
-    at learn time, so the gate checks the counting, not just the table.
+    merge_right, pair_count) — pair_count is the exact learn-time pair
+    count, so the gate checks the counting, not just the table.
     """
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     if sample_mod is None:
         sample_mod = derived_sample_mod(docs.count())
     d0 = (
         docs.filter(F.pmod(F.col(id_col), F.lit(sample_mod)) == 0)
-        .select(F.col(id_col).alias("doc_id"), _train_clean(F.col(text_col)).alias("s"))
+        .select(_train_clean(F.col(text_col)).alias("s"))
         .filter(F.length("s") >= 1)
     )
-    seq = d0.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(1), F.length("s"))).alias("pos"),
-        F.expr("substr(s, pos, 1)").alias("tok"),
-    ).localCheckpoint(eager=True)
 
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    merges: list[tuple[int, str, str, int]] = []
-    for rank in range(n_merges):
-        with_next = seq.withColumn("__next", F.lead("tok").over(w))
-        best_rows = (
-            with_next.filter(
-                F.col("__next").isNotNull() & (F.col("tok") != F.col("__next"))
-            )
-            .groupBy("tok", "__next")
-            .agg(F.count("*").alias("c"))
-            .orderBy(F.desc("c"), "tok", "__next")
-            .limit(1)
-            .collect()
-        )
-        if not best_rows:  # corpus exhausted (cannot happen on real text)
-            break
-        a, b, c = best_rows[0]["tok"], best_rows[0]["__next"], best_rows[0]["c"]
-        merges.append((rank, a, b, int(c)))
-        flag = F.coalesce(
-            (F.col("tok") == a) & (F.col("__next") == b), F.lit(False)
-        )
-        seq = (
-            with_next.withColumn("__flag", flag)
-            .withColumn("__consumed", F.coalesce(F.lag("__flag").over(w), F.lit(False)))
-            .filter(~F.col("__consumed"))
-            .select(
-                "doc_id",
-                "pos",
-                F.when(F.col("__flag"), F.lit(a + b)).otherwise(F.col("tok")).alias("tok"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    spark = docs.sparkSession
-    return spark.createDataFrame(
-        merges, "merge_rank int, merge_left string, merge_right string, pair_count long"
+    out_schema = (
+        "merge_rank int, merge_left string, merge_right string, pair_count long"
     )
+
+    def _train(batches):
+        seqs: list[list[str]] = []
+        for pdf in batches:
+            seqs.extend(list(s) for s in pdf["s"])
+        ranks: list[int] = []
+        lefts: list[str] = []
+        rights: list[str] = []
+        counts_out: list[int] = []
+        for rank in range(n_merges):
+            counts: dict[tuple[str, str], int] = {}
+            for t in seqs:
+                for i in range(len(t) - 1):
+                    a, b = t[i], t[i + 1]
+                    if a != b:
+                        counts[(a, b)] = counts.get((a, b), 0) + 1
+            if not counts:  # corpus exhausted (cannot happen on real text)
+                break
+            (a, b), c = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            ranks.append(rank)
+            lefts.append(a)
+            rights.append(b)
+            counts_out.append(c)
+            ab = a + b
+            for j, t in enumerate(seqs):
+                if a in t:
+                    out: list[str] = []
+                    i = 0
+                    n = len(t)
+                    while i < n:
+                        if i + 1 < n and t[i] == a and t[i + 1] == b:
+                            out.append(ab)
+                            i += 2
+                        else:
+                            out.append(t[i])
+                            i += 1
+                    seqs[j] = out
+        yield pd.DataFrame(
+            {
+                "merge_rank": pd.Series(ranks, dtype="int32"),
+                "merge_left": pd.Series(lefts, dtype="object"),
+                "merge_right": pd.Series(rights, dtype="object"),
+                "pair_count": pd.Series(counts_out, dtype="int64"),
+            }
+        )
+
+    return d0.coalesce(1).mapInPandas(_train, schema=out_schema)
 
 
 def train_oracle_sql(n_merges: int = 8) -> str:

@@ -125,6 +125,22 @@ def _per_user_robust_scale(pdf: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+def _per_slab_robust_scale(pdf: pd.DataFrame) -> pd.DataFrame:
+    # each Arrow group carries a ~32-user SLAB; split by the fine key
+    # in-kernel and apply the identical per-user function — same values,
+    # 1/32 of the per-GROUP Arrow boundary crossings (the r11 cogroup
+    # slab lesson applied to grouped-map: the boundary cost is per group,
+    # not per row, and 1500 single-user groups paid 1500 crossings for
+    # microseconds of quantile work each)
+    return pd.concat(
+        [
+            _per_user_robust_scale(g)
+            for _, g in pdf.groupby("user_id", sort=False)
+        ],
+        ignore_index=True,
+    )
+
+
 @register(
     "udf_grouped_map_normalize",
     oracle="""
@@ -148,10 +164,25 @@ def udf_grouped_map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Mean-based constants proved un-oracle-able on this data — 2-decimal
     values with power-of-2 group sizes put group means *exactly* on decimal
     rounding boundaries, where the engines' 1e-12 summation differences
-    flip the tie (observed at sf0.01)."""
+    flip the tie (observed at sf0.01).
+
+    The grouped-map key is COARSENED to ~32-user slabs
+    (``user_id div 32``; raw-key units, so every SF ships the same
+    users-per-boundary) and the kernel splits by the fine key with a
+    pandas groupby applying the IDENTICAL per-user function — the r11
+    slab rule: per-user groups are tiny (~100 rows), so the per-GROUP
+    Arrow boundary dominated the entry (identity kernel = 2.3 s of the
+    3.5 s wall at sf0.1, r04 measurement); slabs divide the boundary
+    count by 32 while the per-user arithmetic — and therefore every
+    output value — is unchanged."""
     events = load_table(spark, sf_dir, "events")
-    return events.groupBy("user_id").applyInPandas(
-        _per_user_robust_scale, schema="user_id long, event_id long, robust_z double"
+    return (
+        events.withColumn("__slab", F.floor(F.col("user_id") / 32))
+        .groupBy("__slab")
+        .applyInPandas(
+            _per_slab_robust_scale,
+            schema="user_id long, event_id long, robust_z double",
+        )
     )
 
 
