@@ -247,6 +247,11 @@ def minhash_lsh_pairs(
         )
     # persist: both sides of the self-join (and nothing upstream) read the
     # computed buckets — without it the signature aggregation runs twice
+    # (r15 A/B note: an eager localCheckpoint here + in the verify's
+    # shingle frame, for the cluster-loop callers, measured a WASH
+    # isolated-warm — the edge checkpoint downstream already materializes
+    # this pipeline once, so the lazy pin isn't double-executing; kept
+    # declarative per the r4 measure-first rule.)
     buckets = pin(minhash_band_buckets(docs, text_col, id_col, num_hashes, bands, k))
     if bucket_cap is not None or bucket_cap_dial is not None:
         from pyspark.sql import Window
@@ -924,7 +929,14 @@ def ngram_chain_edges(
     longs — text never shuffles."""
     from pyspark.sql import Window
 
-    sh = pin(shingle_sets(docs, text_col, id_col, k))
+    # EAGER materialization, not pin (r15): the hashed shingle frame is
+    # (id, long) rows consumed by FIVE branches of one action (the cap
+    # dial's broadcast build, per-doc mins, the capped chain window, doc
+    # sizes, and both verify attach joins) — a lazy pin raced the cache
+    # fill and re-executed the text explode + md5 hashing per branch
+    # (the r4 multi-consumer rule; the r9 small-frame checkpoint
+    # precedent).  Text itself still never shuffles.
+    sh = shingle_sets(docs, text_col, id_col, k).localCheckpoint(eager=True)
     dial = _derived_cap_from_shingles(sh)
     mins = sh.groupBy(id_col).agg(F.min("shingle").alias("__mk"))
     w_sh = Window.partitionBy("shingle")

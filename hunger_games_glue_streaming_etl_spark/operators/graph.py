@@ -112,11 +112,6 @@ def connected_components(
     # the round's (node, label) longs and roots the next round's plan
     # there — constant-size plans at any diameter, same values.
     _truncate = _make_truncate(nodes, checkpoint_dir)
-    labels = _truncate(
-        nodes.select(
-            F.col(id_col).alias("node"), F.col(id_col).alias("component_id")
-        )
-    )
 
     # Convergence check: min-propagation is monotone (labels only ever
     # decrease), so Σ label is strictly decreasing until the fixpoint and
@@ -130,6 +125,15 @@ def connected_components(
             F.sum(F.col("component_id").cast("decimal(38,0)"))
         ).first()[0]
 
+    # (r15 A/B note: wrapping this loop in lean_shuffle(8) like the other
+    # iterative loops measured a slight REGRESSION isolated-warm at sf0.1
+    # — 3.59 → 3.82 s median — AQE's coalesce already handles the tiny
+    # label shuffles here; reverted per the r4 measure-first rule.)
+    labels = _truncate(
+        nodes.select(
+            F.col(id_col).alias("node"), F.col(id_col).alias("component_id")
+        )
+    )
     prev_sum = _label_sum(labels)
     for _ in range(max_rounds):
         neighbor_labels = und.join(
@@ -193,7 +197,14 @@ def connected_components_star(
     way); pass ``checkpoint_dir`` to route rounds through reliable
     ``DataFrame.checkpoint()`` instead (see ``_make_truncate``)."""
     _truncate = _make_truncate(nodes, checkpoint_dir)
-    e = pin(
+    # EAGER materialization of the canonical edge set (r15): the loop's
+    # first signature aggregate, the large-star round, and the final
+    # exceptAll confirmation all consume it — a lazy pin raced the cache
+    # fill across those consumers and re-executed the upstream pair
+    # pipeline per branch (the r4 multi-consumer rule).  Materializing
+    # here also runs the corpus-sized pair pipeline at SESSION width,
+    # before the lean loop block below (the r13 100×-notch rule).
+    e = _truncate(
         edges.select(
             F.col(src_col).cast("long").alias("u"),
             F.col(dst_col).cast("long").alias("v"),
@@ -223,45 +234,50 @@ def connected_components_star(
         # half the anti-join cost of the two-sided form
         return a.exceptAll(b).isEmpty()
 
-    prev_sig = _sig(e)
-    for _ in range(max_rounds):
-        # large-star: m(u) = min(N(u) ∪ {u}); emit (v, m) for v > u
-        sym = e.select("u", "v").union(
-            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-        mins = sym.groupBy("u").agg(F.min("v").alias("__mn")).select(
-            "u", F.least("__mn", "u").alias("m")
-        )
-        e1 = pin(
-            sym.join(mins, "u")
-            .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .filter(F.col("u") != F.col("v"))
-            .distinct()
-        )
-        # small-star on canonical (u > v) edges: m(u) = min(N(u));
-        # emit (v, m) for every smaller neighbor, plus (u, m)
-        smins = e1.groupBy("u").agg(F.min("v").alias("m"))
-        joined = e1.join(smins, "u")
-        e2 = _truncate(  # truncate lineage every round (see docstring)
-            joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .union(joined.select("u", F.col("m").alias("v")))
-            .filter(F.col("u") != F.col("v"))
-            .distinct()
-        )
-        cur_sig = _sig(e2)
-        e1.unpersist()
-        if cur_sig == prev_sig and _same_exact(e2, e):
-            e.unpersist()
+    # star rounds shuffle (long, long) contracted edges of a shrinking
+    # graph — lean width like the other iterative loops (the r15 kcore
+    # knob); the corpus-sized pair pipeline already materialized above
+    # at session width
+    from ..session import lean_shuffle
+
+    with lean_shuffle(nodes.sparkSession, 8):
+        prev_sig = _sig(e)
+        for _ in range(max_rounds):
+            # large-star: m(u) = min(N(u) ∪ {u}); emit (v, m) for v > u
+            sym = e.select("u", "v").union(
+                e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+            mins = sym.groupBy("u").agg(F.min("v").alias("__mn")).select(
+                "u", F.least("__mn", "u").alias("m")
+            )
+            e1 = pin(
+                sym.join(mins, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .filter(F.col("u") != F.col("v"))
+                .distinct()
+            )
+            # small-star on canonical (u > v) edges: m(u) = min(N(u));
+            # emit (v, m) for every smaller neighbor, plus (u, m)
+            smins = e1.groupBy("u").agg(F.min("v").alias("m"))
+            joined = e1.join(smins, "u")
+            e2 = _truncate(  # truncate lineage every round (see docstring)
+                joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .union(joined.select("u", F.col("m").alias("v")))
+                .filter(F.col("u") != F.col("v"))
+                .distinct()
+            )
+            cur_sig = _sig(e2)
+            e1.unpersist()
+            if cur_sig == prev_sig and _same_exact(e2, e):
+                e = e2
+                break
             e = e2
-            break
-        e.unpersist()
-        e = e2
-        prev_sig = cur_sig
-    else:
-        raise RuntimeError(
-            f"connected_components_star: no fixpoint after {max_rounds} rounds"
-        )
+            prev_sig = cur_sig
+        else:
+            raise RuntimeError(
+                f"connected_components_star: no fixpoint after {max_rounds} rounds"
+            )
 
     # at the fixpoint every edge is (node, component_root); roots and
     # singletons label themselves

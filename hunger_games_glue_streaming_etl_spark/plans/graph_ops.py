@@ -548,34 +548,44 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    from ..caching import pin
+    from ..session import lean_shuffle
 
-    ed = pin(eg.union(eg.select(F.col("v").alias("u"), F.col("u").alias("v"))))
-    deg = pin(ed.groupBy("u").agg(F.count("*").alias("d")))
+    # EAGER materialization, not pin (r15): ed/deg feed the rank-init
+    # checkpoint, the nn broadcast build, AND every loop round — under a
+    # lazy pin those consumers raced the cache fill and re-executed the
+    # join+distinct edge pipeline per consumer (the r4 multi-consumer
+    # rule; the broadcast-build race is the r7 packing lesson).  The
+    # edge materialization runs at session width (it's the corpus-sized
+    # stage); only the (node, rank) loop below runs lean.
+    ed = eg.union(
+        eg.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    deg = ed.groupBy("u").agg(F.count("*").alias("d")).localCheckpoint(eager=True)
     nn = F.broadcast(deg.agg(F.count("*").cast("long").alias("n")))
-    ranks = (
-        deg.crossJoin(nn)
-        .selectExpr("u AS node", f"CAST({_PR_SCALE} div n AS BIGINT) AS r")
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(3):
-        contrib = (
-            ed.join(ranks, ed.u == ranks.node)
-            .join(deg, "u")
-            .selectExpr("v AS node", "(85 * (r div d)) div 100 AS c")
-        )
+    # the 3 Pregel rounds shuffle (long, long) rank rows of a fixed-size
+    # node set — lean width, the kcore-loop knob (raise on a real cluster)
+    with lean_shuffle(spark, 8):
         ranks = (
-            contrib.groupBy("node")
-            .agg(F.sum("c").alias("s"))
-            .crossJoin(nn)
-            .selectExpr(
-                "node",
-                f"CAST((15 * {_PR_SCALE}) div (100 * n) + s AS BIGINT) AS r",
-            )
+            deg.crossJoin(nn)
+            .selectExpr("u AS node", f"CAST({_PR_SCALE} div n AS BIGINT) AS r")
             .localCheckpoint(eager=True)
         )
-    ed.unpersist()
-    deg.unpersist()
+        for _ in range(3):
+            contrib = (
+                ed.join(ranks, ed.u == ranks.node)
+                .join(deg, "u")
+                .selectExpr("v AS node", "(85 * (r div d)) div 100 AS c")
+            )
+            ranks = (
+                contrib.groupBy("node")
+                .agg(F.sum("c").alias("s"))
+                .crossJoin(nn)
+                .selectExpr(
+                    "node",
+                    f"CAST((15 * {_PR_SCALE}) div (100 * n) + s AS BIGINT) AS r",
+                )
+                .localCheckpoint(eager=True)
+            )
     return ranks.selectExpr("node", "CAST(r AS BIGINT) AS rank_fp")
 
 
@@ -869,7 +879,19 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     only SHRINKS as peeling proceeds.  The fixpoint lands well inside the
     unroll at every fixture scale (unit-pinned); the K dial is collected
     driver-side (1 row, the bounded-dial class) after being computed by
-    the same integer arithmetic the oracle replays."""
+    the same integer arithmetic the oracle replays.
+
+    Two r15 optimizations, same values (the oracle's full unroll is
+    equivalent by monotonicity — survivor sets only SHRINK, each round
+    filters the previous round's set): (1) EARLY FIXPOINT EXIT — equal
+    consecutive survivor COUNTs prove set equality, so every later
+    round is identical and the loop stops instead of paying the
+    remaining joins+checkpoints (sf0.1 reaches the fixpoint at round 5
+    of 8).  (2) The peel-round assembly is one union of the (tiny,
+    checkpointed) per-round survivor sets + a max-aggregate — ONE
+    shuffle — instead of 8 sequential left joins; by monotonicity
+    "first round absent" = "last round present + 1", and a node
+    surviving the last computed round survives the full unroll."""
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -891,8 +913,11 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffles of a shrinking graph — run them at a lean width instead of
     # the session's initialPartitionNum (400 tasks/round for a 1k-node
     # fixture graph otherwise; raise the width with the graph on a real
-    # cluster, it's the loop-parallelism knob)
-    with lean_shuffle(spark, 32):
+    # cluster, it's the loop-parallelism knob).  Width A/B at sf0.1
+    # (r15, isolated-warm medians): 32 → 4.18 s, 8 → 3.53 s, 4 → 3.28 s;
+    # 4 matches the streaming entries' lean default and a 100× notch's
+    # 12M-edge rounds still fit ~50 MB/task at this width.
+    with lean_shuffle(spark, 4):
         edges = pairs.select(
             F.col("x").alias("src"), F.col("y").alias("dst")
         ).unionAll(
@@ -907,6 +932,7 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         rounds = [nodes]
         cur = nodes
+        prev_n = n
         for _ in range(_KCORE_ROUNDS):
             cur = (
                 edges.join(cur, edges.src == cur.node)
@@ -921,15 +947,32 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select(F.col("src").alias("node"))
                 .localCheckpoint(eager=True)
             )
+            cur_n = cur.count()
+            if cur_n == prev_n:
+                # survivor sets are monotone-shrinking, so equal counts
+                # prove set equality: every remaining round equals this
+                # one and contributes nothing to any node's peel round
+                break
             rounds.append(cur)
+            prev_n = cur_n
 
-    out = rounds[0].select(F.col("node").alias("part_id"))
-    flags = []
-    for i in range(1, _KCORE_ROUNDS + 1):
-        ri = rounds[i].select(F.col("node").alias(f"n{i}"))
-        out = out.join(ri, out.part_id == ri[f"n{i}"], "left")
-        flags.append(F.col(f"n{i}").isNull())
-    peel = F.lit(0).cast("long")
-    for i in range(_KCORE_ROUNDS, 0, -1):
-        peel = F.when(flags[i - 1], F.lit(i).cast("long")).otherwise(peel)
-    return out.select("part_id", peel.alias("peel_round"))
+        # peel assembly: union the per-round survivor sets tagged with
+        # their round index, take each node's LAST survived round m —
+        # by monotonicity peel_round = m + 1 (first absence), 0 if the
+        # node survives the final computed round (= the full unroll)
+        last = len(rounds) - 1
+        tagged = rounds[0].select(
+            F.col("node").alias("part_id"), F.lit(0).alias("__r")
+        )
+        for i in range(1, last + 1):
+            tagged = tagged.unionAll(
+                rounds[i].select(
+                    F.col("node").alias("part_id"), F.lit(i).alias("__r")
+                )
+            )
+        return tagged.groupBy("part_id").agg(
+            F.when(F.max("__r") == last, F.lit(0))
+            .otherwise(F.max("__r") + 1)
+            .cast("long")
+            .alias("peel_round")
+        )
