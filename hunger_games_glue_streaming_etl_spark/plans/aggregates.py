@@ -291,12 +291,23 @@ def agg_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (Spark ``percentile`` ≡ DuckDB
     ``quantile_cont`` — verified value-identical).  Exact percentile sorts
     per group; at 100 TB prefer ``percentile_approx`` (KLL sketch, in
-    ``agg_approx_distinct``) unless exactness is contractual."""
+    ``agg_approx_distinct``) unless exactness is contractual.
+
+    One ARRAY-form ``percentile`` call, not three scalar ones (r15):
+    each scalar call keeps its own copy of every group value and sorts
+    it independently — the array form buffers and sorts ONCE for all
+    three ranks (same interpolation, value-identical; the r4 one-
+    quantile-call-per-group lesson applied to the JVM aggregate)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25"),
-        F.round(F.expr("percentile(l_extendedprice, 0.50)"), 4).alias("p50"),
-        F.round(F.expr("percentile(l_extendedprice, 0.90)"), 4).alias("p90"),
+        F.expr(
+            "percentile(l_extendedprice, array(0.25D, 0.50D, 0.90D))"
+        ).alias("__p")
+    ).select(
+        "l_returnflag",
+        F.round(F.element_at("__p", 1), 4).alias("p25"),
+        F.round(F.element_at("__p", 2), 4).alias("p50"),
+        F.round(F.element_at("__p", 3), 4).alias("p90"),
     )
 
 

@@ -1193,7 +1193,11 @@ def pipeline_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"v{d}")
         for d in range(_RAG_DIMS)
     ]
-    v = chunks.select("doc_id", "ci", *dims)
+    # eager checkpoint (r15): the embedded chunk frame feeds BOTH the
+    # broadcast query build and the scoring join — a lazy frame ran the
+    # whole chunk+md5 pipeline once per consumer (the r7 broadcast-build
+    # rule); the checkpointed rows are 10 longs per chunk, text dropped
+    v = chunks.select("doc_id", "ci", *dims).localCheckpoint(eager=True)
     q = (
         v.crossJoin(F.broadcast(qdial))
         .filter(

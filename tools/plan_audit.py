@@ -134,6 +134,12 @@ SKIP_EXECUTING = {
     "dedup_embedding_lsh_pairs_centered",
     "pipeline_pretrain_corpus",
     "curation_clean_corpus",
+    # eagerly truncates its token-feature/count/score frames (three
+    # broadcast builds raced the lazy lineage — r15)
+    "curation_dsir_importance_select",
+    # eagerly truncates the embedded chunk frame (broadcast query build
+    # raced the chunk+md5 lineage — r15)
+    "pipeline_rag_retrieval",
     # df.stat.freqItems / df.stat.crosstab execute eagerly at build
     # (sketch collect / distinct-value column discovery)
     "sample_freqitems_contract",
