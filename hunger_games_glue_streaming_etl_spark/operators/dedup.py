@@ -35,6 +35,9 @@ from ..functions.text import (
     universal_hash,
 )
 
+# alias for bodies whose ``shingles=`` parameter shadows the function
+_shingle_strings = shingles
+
 DEFAULT_NUM_HASHES = 16
 DEFAULT_BANDS = 4
 
@@ -80,6 +83,7 @@ def minhash_wide(
     id_col: str = "doc_id",
     num_hashes: int = DEFAULT_NUM_HASHES,
     k: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Wide MinHash signatures: one row per doc, columns h0..h{n-1}.
 
@@ -88,10 +92,24 @@ def minhash_wide(
     md5 base hash per shingle (``functions.text.universal_hash``) — md5 is
     the expensive step, so this is ~num_hashes× cheaper than seeded
     rehashing, and still bit-reproducible in the DuckDB oracle.  The shuffle
-    key is the doc id; payload is n×8 bytes."""
-    sh = docs.select(
-        F.col(id_col), F.explode(shingles(text_col, k)).alias("shingle")
-    ).select(F.col(id_col), portable_hash64(F.col("shingle")).alias("base_hash"))
+    key is the doc id; payload is n×8 bytes.
+
+    ``shingles`` supplies an already-built ``shingle_sets`` frame — its
+    hash column is the SAME ``portable_hash64(shingle)`` this function
+    computes, so a caller that needs the hashed shingles anyway
+    (``minhash_lsh_pairs``'s exact-Jaccard verify) shares one
+    explode+md5 pass with the signature aggregate (r16)."""
+    if shingles is not None:
+        sh = shingles.select(
+            F.col(id_col), F.col("shingle").alias("base_hash")
+        )
+    else:
+        sh = docs.select(
+            F.col(id_col),
+            F.explode(_shingle_strings(text_col, k)).alias("shingle"),
+        ).select(
+            F.col(id_col), portable_hash64(F.col("shingle")).alias("base_hash")
+        )
     return sh.groupBy(id_col).agg(
         *[
             F.min(universal_hash(F.col("base_hash"), s)).alias(f"h{s}")
@@ -181,12 +199,13 @@ def minhash_band_buckets(
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
     k: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, band, band_hash): each band hashes r = num_hashes/bands
     adjacent signature values.  Docs sharing any (band, band_hash) are LSH
     candidates; more bands → higher recall and smaller buckets."""
     r = num_hashes // bands
-    wide = minhash_wide(docs, text_col, id_col, num_hashes, k)
+    wide = minhash_wide(docs, text_col, id_col, num_hashes, k, shingles=shingles)
     # explode an inline array of (band, band_hash) structs — one pass over
     # the wide signatures, no union re-computing the aggregate per band
     band_structs = F.array(
@@ -252,7 +271,17 @@ def minhash_lsh_pairs(
     # isolated-warm — the edge checkpoint downstream already materializes
     # this pipeline once, so the lazy pin isn't double-executing; kept
     # declarative per the r4 measure-first rule.)
-    buckets = pin(minhash_band_buckets(docs, text_col, id_col, num_hashes, bands, k))
+    # ONE hashed-shingle frame for the band signatures AND the exact
+    # verify (r16): the two explode+md5 passes were value-identical —
+    # sharing the pin halves the corpus hash work; the bucket stages
+    # execute before the verify stages in the final action, so the cache
+    # fills during the signature aggregate and the verify reads it.
+    sh = pin(shingle_sets(docs, text_col, id_col, k))
+    buckets = pin(
+        minhash_band_buckets(
+            docs, text_col, id_col, num_hashes, bands, k, shingles=sh
+        )
+    )
     if bucket_cap is not None or bucket_cap_dial is not None:
         from pyspark.sql import Window
 
@@ -276,7 +305,9 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    return _jaccard_verify_candidates(docs, candidates, text_col, id_col, k).filter(
+    return _jaccard_verify_candidates(
+        docs, candidates, text_col, id_col, k, shingles=sh
+    ).filter(
         F.col("jaccard") >= jaccard_threshold
     )
 
@@ -332,14 +363,27 @@ def _derived_cap_from_shingles(
     """``derived_df_cap`` over an existing (id, shingle) frame — lets a
     caller that already pinned its shingles (``ngram_jaccard_pairs``)
     build the dial from the cache instead of re-exploding the corpus."""
+    return _derived_cap_from_df_counts(
+        sh.groupBy("shingle").agg(F.count("*").alias("__df")),
+        floor,
+        quantile_permille,
+        mult,
+    )
+
+
+def _derived_cap_from_df_counts(
+    dfh: DataFrame,
+    floor: int = 64,
+    quantile_permille: int = 990,
+    mult: int = 4,
+) -> DataFrame:
+    """The dial's histogram + discrete-rank selection over an existing
+    per-shingle document-frequency frame (one ``__df`` column) — lets a
+    caller that already aggregated DF (``family_screen_profile``) build
+    the dial without a second groupBy-shingle pass."""
     from pyspark.sql import Window
 
-    hist = (
-        sh.groupBy("shingle")
-        .agg(F.count("*").alias("__df"))
-        .groupBy("__df")
-        .agg(F.count("*").alias("__n"))
-    )
+    hist = dfh.groupBy("__df").agg(F.count("*").alias("__n"))
     w_run = (
         Window.partitionBy()
         .orderBy("__df")
@@ -378,6 +422,7 @@ def family_screen_profile(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Duplication profile of the derived-cap screen as ONE row
     ``(cand_est, n_docs)``: ``cand_est`` is the screen's exact
@@ -395,17 +440,34 @@ def family_screen_profile(
     same shuffle-by-shingle the screen needs anyway, and the pinned
     shingle frame is plan-identical to the screen's own, so the
     profile's materializing action fills the cache the chosen branch
-    then reads."""
-    sh = pin(shingle_sets(docs, text_col, id_col, k))
-    dial = _derived_cap_from_shingles(sh)
-    dfh = sh.groupBy("shingle").agg(F.count("*").alias("__dfv"))
+    then reads.
+
+    Pass ``shingles`` to profile an already-pinned (id, shingle) frame —
+    the family entry builds the shingle frame ONCE and shares it between
+    this profile and whichever screen branch the route picks (r16: the
+    un-shared form re-aggregated the DF histogram and re-derived the
+    dial inside the dense branch, +51% at sf0.1).  The per-shingle DF
+    aggregate is pinned and consumed by BOTH the dial's histogram and
+    the candidate estimate, so one groupBy-shingle pass serves both; the
+    derived cap rides out as a ``df_cap`` column so the caller can hand
+    the routed branch the literal value instead of re-deriving the dial
+    (same value by construction — the dial is a deterministic function
+    of the DF histogram)."""
+    sh = (
+        shingles
+        if shingles is not None
+        else pin(shingle_sets(docs, text_col, id_col, k))
+    )
+    dfh = pin(sh.groupBy("shingle").agg(F.count("*").alias("__df")))
+    dial = _derived_cap_from_df_counts(dfh)
     est = (
         dfh.crossJoin(F.broadcast(dial))
-        .filter(F.col("__dfv") <= F.col("__cap"))
+        .filter(F.col("__df") <= F.col("__cap"))
         .agg(
-            F.sum(F.expr("__dfv * (__dfv - 1) div 2"))
+            F.sum(F.expr("__df * (__df - 1) div 2"))
             .cast("long")
-            .alias("cand_est")
+            .alias("cand_est"),
+            F.max("__cap").alias("df_cap"),
         )
     )
     return est.crossJoin(docs.agg(F.count("*").alias("n_docs")))
@@ -420,6 +482,7 @@ def ngram_jaccard_pairs(
     df_cap: int | None = None,
     df_cap_dial: DataFrame | str | None = None,
     expose_cap: bool = False,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via the shared-shingle join.
     Correctness baseline for ``minhash_lsh_pairs``.
@@ -452,11 +515,20 @@ def ngram_jaccard_pairs(
     the string ``"derived"`` to build that dial from THIS call's pinned
     shingle frame (one corpus explode total, not two); ``expose_cap``
     appends the dial value as a ``df_cap`` column for hash-checking.
+
+    ``shingles`` supplies an already-pinned (id, shingle) frame so a
+    caller that has profiled the corpus (``family_screen_profile``) can
+    share one explode+hash pass with the screen instead of rebuilding a
+    plan-identical frame (r16).
     """
     if df_cap is not None and df_cap_dial is not None:
         raise ValueError("df_cap and df_cap_dial are mutually exclusive")
     # pin: the exploded shingles feed both self-join sides + the sizes agg
-    sh = pin(shingle_sets(docs, text_col, id_col, k))
+    sh = (
+        shingles
+        if shingles is not None
+        else pin(shingle_sets(docs, text_col, id_col, k))
+    )
     if isinstance(df_cap_dial, str):
         if df_cap_dial != "derived":
             raise ValueError(f"unknown df_cap_dial: {df_cap_dial!r}")
@@ -535,7 +607,12 @@ def ngram_jaccard_pairs(
 
 
 def _jaccard_verify_candidates(
-    docs: DataFrame, candidates: DataFrame, text_col: str, id_col: str, k: int
+    docs: DataFrame,
+    candidates: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard for a candidate pair set: attach id_a's shingles to
     each candidate, then count matches against id_b's shingle set.  Work
@@ -552,8 +629,17 @@ def _jaccard_verify_candidates(
     (components / canonical_keep / pipeline_near_dedup all died there;
     50× survived on heap luck).  Both shingle-attach joins are therefore
     merge-hinted (sort-merge on the id/shingle shuffle the aggregation
-    needs anyway), and the candidate join carries no hint at all."""
-    sh = pin(shingle_sets(docs, text_col, id_col, k))
+    needs anyway), and the candidate join carries no hint at all.
+
+    ``shingles`` supplies an already-pinned (id, hash) frame so the
+    caller's candidate generator and this verifier share one explode+md5
+    pass (r16 — ``minhash_lsh_pairs`` built two value-identical shingle
+    frames, one for the band signatures and one here)."""
+    sh = (
+        shingles
+        if shingles is not None
+        else pin(shingle_sets(docs, text_col, id_col, k))
+    )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     cand_shingles = candidates.join(
         sh.select(F.col(id_col).alias("id_a"), "shingle").hint("merge"), "id_a"

@@ -235,12 +235,15 @@ def connected_components_star(
         return a.exceptAll(b).isEmpty()
 
     # star rounds shuffle (long, long) contracted edges of a shrinking
-    # graph — lean width like the other iterative loops (the r15 kcore
-    # knob); the corpus-sized pair pipeline already materialized above
-    # at session width
-    from ..session import lean_shuffle
+    # graph — DERIVED lean width (r16): ~2M edge rows per loop task,
+    # floored at the literal 8 the r15 A/B measured (fixture plans
+    # unchanged; a 100 TB edge set widens the loop instead of funneling
+    # into 8 tasks — VERDICT r15 next #5).  The corpus-sized pair
+    # pipeline already materialized above at session width, so the count
+    # is a cheap cached scan.
+    from ..session import lean_shuffle, loop_shuffle_width
 
-    with lean_shuffle(nodes.sparkSession, 8):
+    with lean_shuffle(nodes.sparkSession, loop_shuffle_width(e.count(), floor=8)):
         prev_sig = _sig(e)
         for _ in range(max_rounds):
             # large-star: m(u) = min(N(u) ∪ {u}); emit (v, m) for v > u

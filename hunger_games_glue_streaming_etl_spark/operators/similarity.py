@@ -1268,30 +1268,38 @@ def ensemble_frozen_state(
     """Materialize the corpus-side serving state of the ensemble ONCE —
     what a persisted index actually stores: the 1-row SQ8 clip ``dial``,
     ``codes`` (id, double vector, clipped-int8 code array — the SQ8
-    shard) and ``assigned`` (id, owning balanced-IVF cell).  Both eagerly localCheckpoint'ed so
+    shard) and ``assigned`` (id, owning balanced-IVF cell), eagerly materialized so
     a query stream's micro-batches scan frozen state instead of
     re-deriving dial/codes/assignment per trigger (measured 19.5 → 9.5 s
     for the 3-batch streaming entry at sf0.1).  Same bit-exact
     arithmetic as the lazy path — integer codes and the cast double
-    vectors are value-identical, checkpointing only pins them."""
-    dial = sq8_clipped_dials(embeddings, vec_col).localCheckpoint(eager=True)
+    vectors are value-identical, materializing only pins them.
+
+    r16 job-count cuts (the serve wall is per-stage/broadcast-job
+    scheduling, not compute): the 1-row dial is COLLECTED and rebuilt as
+    a LocalRelation, so its per-serve broadcast costs no Spark job (the
+    collected double round-trips bit-exactly through py4j), and codes +
+    assignment materialize as ONE checkpointed frame in one corpus pass
+    (the assignment kernel carries the code column through) — halving
+    the frozen-build actions; ``codes``/``assigned`` are projections of
+    that frame, so every downstream scan reads the same checkpoint."""
+    spark = embeddings.sparkSession
+    dial_row = sq8_clipped_dials(embeddings, vec_col).collect()[0]
+    dial = spark.createDataFrame([dial_row])
     dv = F.col(vec_col).cast("array<double>")
-    codes = (
-        embeddings.crossJoin(F.broadcast(dial))
-        .select(
-            F.col(id_col),
-            dv.alias("__v"),
-            F.transform(dv, lambda xi: _sq8_code_clipped(xi, F.col("__a"))).alias(
-                "__code"
-            ),
-        )
-        .localCheckpoint(eager=True)
+    coded = embeddings.crossJoin(F.broadcast(dial)).select(
+        F.col(id_col),
+        dv.alias("__v"),
+        F.transform(dv, lambda xi: _sq8_code_clipped(xi, F.col("__a"))).alias(
+            "__code"
+        ),
     )
     cn = [_unit(c) for c in centroids]
-    assigned = _assign_cluster(
-        embeddings.select(F.col(id_col), dv.alias("__v")), cn, "__v"
-    ).select(id_col, "__cluster").localCheckpoint(eager=True)
-    return dial, codes, assigned
+    state = _assign_cluster(coded, cn, "__v").localCheckpoint(eager=True)
+    # `codes` carries the cluster column too, so the single-pass serve
+    # scans the checkpoint directly instead of re-joining projections
+    assigned = state.select(id_col, "__cluster")
+    return dial, state, assigned
 
 
 def ensemble_ann_topk_batch(
@@ -1314,42 +1322,85 @@ def ensemble_ann_topk_batch(
     bit-deterministic arithmetic of the single-query path, so the
     approximate result itself value-hashes.
 
-    Scale shape: one corpus code scan fanned |Q|-fold by the broadcast
-    query frame (|Q| bounded — the serving batch, not the corpus), one
-    assignment scan shared across queries, exact dots only on the
-    candidate union (refine·k + probed-fraction·n per query).  The
-    candidate frame grows with the corpus, so it is never broadcast
-    (the r13 Catalyst-estimate rule) — the exact re-rank joins it back
-    to the table on the id key.  Pass ``frozen =
-    ensemble_frozen_state(...)`` to serve repeated batches (a query
-    stream's micro-batches) against ONCE-materialized corpus state
-    instead of re-deriving codes/assignment per call."""
+    Scale shape (r16 single-pass form): one scan of the combined
+    code+assignment state fanned |Q|-fold by the broadcast query frame
+    (|Q| bounded — the serving batch, not the corpus) computes BOTH
+    candidate arms at once — the per-qid rank window nominates the SQ8
+    refine band, and probed-cell membership is an ``array_contains``
+    against the query's probed-cell list riding the same broadcast — so
+    the union is one filter (``rn <= refine*k OR member``; one row per
+    (qid, id) by construction, no union/distinct exchange, no second
+    corpus scan).  Exact dots only on that bounded candidate set.  The
+    candidate frame grows with the corpus, so it is never
+    explicitly broadcast (the r13 Catalyst-estimate rule) — the exact
+    re-rank joins it back to the table on the id key.
+
+    The query-side work (SQ8 codes of the query vectors, probed-cell
+    ranking against the centroid dial) is computed DRIVER-SIDE in Python
+    over the collected query batch: every op is correctly-rounded IEEE
+    (left-fold dot, multiply/divide/floor/clamp), so codes and probe
+    ranks are bit-identical to the former expression path (the r13
+    Python-fold precedent; parity pinned in
+    tests/test_streaming_depth.py's batch-twin assertion and the entry's
+    oracle hash).  Pass ``frozen = ensemble_frozen_state(...)`` to serve
+    repeated batches (a query stream's micro-batches) against
+    ONCE-materialized corpus state instead of re-deriving
+    codes/assignment per call."""
+    import math
+
     spark = embeddings.sparkSession
     dv = F.col(vec_col).cast("array<double>")
     if frozen is not None:
         dial, codes, assigned = frozen
+        a_val = float(dial.collect()[0]["__a"])
+        state = (
+            codes
+            if "__cluster" in codes.columns
+            else codes.join(assigned, id_col)
+        )
     else:
-        dial = sq8_clipped_dials(embeddings, vec_col)
-        codes = embeddings.crossJoin(F.broadcast(dial)).select(
+        dial_row = sq8_clipped_dials(embeddings, vec_col).collect()[0]
+        a_val = float(dial_row["__a"])
+        dial = spark.createDataFrame([dial_row])
+        coded = embeddings.crossJoin(F.broadcast(dial)).select(
             F.col(id_col),
             dv.alias("__v"),
             F.transform(dv, lambda xi: _sq8_code_clipped(xi, F.col("__a"))).alias(
                 "__code"
             ),
         )
-        assigned = _assign_cluster(
-            embeddings.select(F.col(id_col), dv.alias("__v")),
-            [_unit(c) for c in centroids],
-            "__v",
-        ).select(id_col, "__cluster")
-    qcodes = qframe.crossJoin(F.broadcast(dial)).select(
-        "qid",
-        "__qv",
-        F.transform("__qv", lambda xi: _sq8_code_clipped(xi, F.col("__a"))).alias(
-            "__qq"
-        ),
+        state = _assign_cluster(coded, [_unit(c) for c in centroids], "__v")
+
+    def _code_py(xi: float) -> int:
+        # mirror of _sq8_code_clipped: FLOOR((xi*127)/A) clamped — every
+        # op correctly rounded, so Python == the JVM expression bit-for-bit
+        if a_val == 0.0:
+            return 0
+        return max(-127, min(127, math.floor((xi * 127.0) / a_val)))
+
+    def _dot_py(a: list, b: list) -> float:
+        # mirror of `dot`: left-fold double accumulation from 0.0
+        s = 0.0
+        for x, y in zip(a, b):
+            s += float(x) * float(y)
+        return s
+
+    qrows = qframe.select("qid", "__qv").collect()
+    qmeta_rows = []
+    for r in qrows:
+        qv = [float(x) for x in r["__qv"]]
+        qq = [_code_py(x) for x in qv]
+        cdots = [_dot_py(c, qv) for c in centroids]
+        order = sorted(range(len(centroids)), key=lambda i: (-cdots[i], i))
+        probe = sorted(order[: int(n_probe)])
+        qmeta_rows.append((int(r["qid"]), qv, qq, probe))
+    qmeta = spark.createDataFrame(
+        qmeta_rows,
+        "qid long, __qv array<double>, __qq array<long>, __probe array<int>",
     )
-    scored = codes.crossJoin(F.broadcast(qcodes.select("qid", "__qq"))).select(
+    scored = state.crossJoin(
+        F.broadcast(qmeta.select("qid", "__qq", "__probe"))
+    ).select(
         "qid",
         F.col(id_col),
         F.aggregate(
@@ -1357,37 +1408,19 @@ def ensemble_ann_topk_batch(
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         ).alias("__s"),
+        F.array_contains("__probe", F.col("__cluster").cast("int")).alias(
+            "__m"
+        ),
     )
     w_cand = Window.partitionBy("qid").orderBy(F.desc("__s"), id_col)
-    cand_sq8 = (
+    cand = (
         scored.withColumn("__rn", F.row_number().over(w_cand))
-        .filter(F.col("__rn") <= refine * k)
+        .filter((F.col("__rn") <= refine * k) | F.col("__m"))
         .select("qid", id_col)
     )
-    cent_arr = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-    )
-    cells = spark.range(len(centroids)).select(
-        F.col("id").cast("int").alias("cell"),
-        F.element_at(cent_arr, F.col("id").cast("int") + 1).alias("__cvec"),
-    )
-    w_probe = Window.partitionBy("qid").orderBy(F.desc("__cdot"), F.col("cell"))
-    probe = (
-        qframe.crossJoin(F.broadcast(cells))
-        .select(
-            "qid", "cell", dot(F.col("__cvec"), F.col("__qv")).alias("__cdot")
-        )
-        .withColumn("__rn", F.row_number().over(w_probe))
-        .filter(F.col("__rn") <= n_probe)
-        .select("qid", "cell")
-    )
-    cand_ivf = assigned.join(
-        F.broadcast(probe), assigned["__cluster"] == probe["cell"]
-    ).select("qid", id_col)
-    cand = cand_sq8.union(cand_ivf).distinct()
     rescored = (
-        cand.join(codes.select(F.col(id_col), "__v"), id_col)
-        .join(F.broadcast(qframe.select("qid", "__qv")), "qid")
+        cand.join(state.select(F.col(id_col), "__v"), id_col)
+        .join(F.broadcast(qmeta.select("qid", "__qv")), "qid")
         .select(
             "qid",
             F.col(id_col),

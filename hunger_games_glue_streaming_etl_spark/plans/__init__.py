@@ -46,75 +46,66 @@ from . import (  # noqa: E402,F401
 # already have green rows in CORRECTNESS_r01-r03 follow in import order.
 # ---------------------------------------------------------------------------
 _SAMPLE_FIRST = [
-    # ---- round-15 rotation (VERDICT r14 "Next round #1"): finish the
-    # stale-evidence rotation.  The first ~50 must ALL be oracled — the
+    # ---- round-16 rotation (VERDICT r15 next #7 + #1): the driver's
+    # oracle window verified almost none of the r15-touched entries
+    # (sample rotation landed the r09-stale cohort instead), so the
+    # r15-optimized AND r16-optimized entries go FIRST — the changed
+    # code is what needs fresh driver-recorded CORRECTNESS rows.  The
     # rows-only-by-design entries (sim_pq_ann_topk, agg_approx_distinct,
-    # sim_embedding_pairs_blas, sim_ivf_ann_topk) stay OUT of this window
-    # permanently.  Order: (1) entries added this round (never-recorded
-    # beats stale-refresh), (2) the full 40-entry r09-stale cohort —
-    # every registry entry whose newest green CORRECTNESS row is r09 or
-    # older (recomputed from CORRECTNESS_r01-r14 at round start).  After
-    # r15 records this window, no entry's evidence is older than r10.
-    # The already-recorded r10-r14 cohorts rotate to the back. ----
-    # (1) new this round (VERDICT r14 #4/#5/#8)
-    "layout_equality_delete_read",
-    "dp_clamped_sum_release",
-    "streaming_ensemble_ann_topk",
+    # sim_embedding_pairs_blas, sim_ivf_ann_topk) stay OUT permanently.
+    # (1) entries whose code changed in r15/r16 optimization rounds
     "dedup_family_canonical_pairs",
-    # (2) the r09-stale cohort — 40 entries, registry order
-    "q1_pricing_summary",
-    "flagship_user_status",
-    "filter_project",
-    "join_inner",
-    "join_left_outer",
-    "join_semi",
-    "join_anti",
-    "join_broadcast_chain",
-    "latest_event_per_user",
-    "salted_join_result_parity",
-    "tumbling_window_agg",
-    "sliding_window_agg",
-    "sessionize_batch",
-    "split_train_holdout",
-    "text_token_stats",
-    "text_bpe_token_estimate",
-    "text_lang_id",
-    "text_quality_score",
-    "text_quality_filter",
-    "wordcount_top20",
-    "text_winnowing_fingerprints",
-    "text_repetition_stats",
-    "pack_sequences_concat",
-    "pack_sequences_stats",
-    "text_tfidf_top_terms",
-    "layout_zorder_file_stats",
-    "layout_zorder_pruning_ratio",
-    "layout_compaction_plan",
-    "layout_compaction_ratio",
-    "funnel_conversion_steps",
-    "dq_referential_orphans",
-    "dedup_video_fingerprint_pairs",
-    "multimodal_image_dedup_pipeline",
-    "sample_stratified_by_key",
-    "scalar_decimal_exact",
-    "streaming_right_outer_join",
-    "streaming_full_outer_join",
-    "streaming_state_store_read",
-    "pandas_api_on_spark",
-    "join_hint_shuffle_hash",
-    # (3) pad to a full 50-row oracled window with the head of the
-    # r10-stale cohort (keeps rows-only agg_approx_distinct out of the
-    # sampled prefix; these start the r16 rotation)
-    "text_bigram_coherence",
-    "text_vocab_oov",
-    "join_full_outer",
-    "join_null_safe_eq",
-    "retention_cohort_weekly",
-    "mix_weighted_sample",
+    "dedup_family_canonical_pairs_sparse",
+    "profile_table_columns",
+    "profile_table_columns_approx",
+    "streaming_ensemble_ann_topk",
+    "graph_kcore_peel",
+    "graph_pagerank_trade",
+    "dedup_cluster_components_star",
+    "text_bpe_train_merges",
+    "udf_grouped_map_normalize",
+    "agg_percentiles_exact",
+    "curation_dsir_importance_select",
+    "pipeline_rag_retrieval",
+    # (2) pad to a full 50-row oracled window with the stalest cohort
+    # (newest green row r10, computed from CORRECTNESS_r01-r15)
     "mix_temperature_sample",
     "shuffle_training_order",
     "semantic_dedup_cells",
     "pii_scrub_planted",
+    "text_bm25_search",
+    "multimodal_real_codec_features",
+    "profile_join_key_skew",
+    "stats_catalog_analyze",
+    "scd2_asof_snapshot",
+    "text_duplicate_segments",
+    "text_segment_dedup_stats",
+    "set_ops_bag_semantics",
+    "sim_sq8_ann_topk",
+    "sim_sq8_recall_check",
+    "sketch_cms_heavy_hitters",
+    "sketch_bloom_membership",
+    "sketch_hll_registers",
+    "sketch_hll_estimate",
+    "sql_script_transform",
+    "sql_distribute_cluster_by",
+    "streaming_tumbling_agg",
+    "streaming_keyed_dedup",
+    "streaming_stream_stream_join",
+    "streaming_running_state",
+    "streaming_session_window",
+    "streaming_left_outer_join",
+    "streaming_corpus_ingest",
+    "streaming_funnel_state",
+    "subquery_correlated_avg",
+    "subquery_not_exists_agg",
+    "subquery_in_having",
+    "join_lateral_topk",
+    "udf_pandas_zscore",
+    "udtf_token_positions",
+    "window_rank_dense",
+    "window_lag_lead",
+    "window_running_frame",
 ]
 
 

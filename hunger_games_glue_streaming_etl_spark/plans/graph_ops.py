@@ -340,22 +340,36 @@ def dedup_family_canonical_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked (the round-4 rule), and the oracle carries BOTH
     branches gated by the identical route predicate — whichever branch
     fires, both engines replay it."""
+    from ..caching import pin
     from ..operators.dedup import (
         FAMILY_ROUTE_CAND_PER_DOC,
         family_screen_profile,
         ngram_chain_edges,
         ngram_jaccard_pairs,
+        shingle_sets,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    prof = family_screen_profile(docs).collect()[0]  # bounded 1-row dial
+    # ONE shingle explode for profile + routed branch (r16, VERDICT r15
+    # next #2): the profile's materializing collect fills this pinned
+    # frame's cache; the dense screen then reads the cache and takes the
+    # already-derived cap as a literal instead of rebuilding the dial —
+    # the un-shared form re-aggregated the DF histogram and re-derived
+    # the dial inside the branch (+51% at sf0.1, VERDICT r15).
+    sh = pin(shingle_sets(docs))
+    prof = family_screen_profile(docs, shingles=sh).collect()[0]
     cand_est, n_docs = int(prof["cand_est"]), int(prof["n_docs"])
     sparse = cand_est > FAMILY_ROUTE_CAND_PER_DOC * n_docs
     if sparse:
         pairs = ngram_chain_edges(docs)
         components = connected_components_star
     else:
-        pairs = ngram_jaccard_pairs(docs, df_cap_dial="derived")
+        # literal cap == the dial value the profile already derived
+        # (deterministic function of the DF histogram), so the screen is
+        # value-identical to df_cap_dial="derived" minus the rebuild
+        pairs = ngram_jaccard_pairs(
+            docs, df_cap=int(prof["df_cap"]), shingles=sh
+        )
         components = connected_components
     labels = components(
         docs.select("doc_id"),
@@ -548,7 +562,7 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    from ..session import lean_shuffle
+    from ..session import lean_shuffle, loop_shuffle_width
 
     # EAGER materialization, not pin (r15): ed/deg feed the rank-init
     # checkpoint, the nn broadcast build, AND every loop round — under a
@@ -562,9 +576,13 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     deg = ed.groupBy("u").agg(F.count("*").alias("d")).localCheckpoint(eager=True)
     nn = F.broadcast(deg.agg(F.count("*").cast("long").alias("n")))
-    # the 3 Pregel rounds shuffle (long, long) rank rows of a fixed-size
-    # node set — lean width, the kcore-loop knob (raise on a real cluster)
-    with lean_shuffle(spark, 8):
+    # the 3 Pregel rounds shuffle (long, long) rank/contribution rows —
+    # DERIVED lean width (r16): ~2M edge rows per loop task, floored at
+    # the literal 8 the r15 A/B measured, so fixture plans are unchanged
+    # and a 100 TB edge set widens the loop instead of funneling into 8
+    # tasks (VERDICT r15 next #5; the count is a cheap cached scan of
+    # the checkpointed edge frame).
+    with lean_shuffle(spark, loop_shuffle_width(ed.count(), floor=8)):
         ranks = (
             deg.crossJoin(nn)
             .selectExpr("u AS node", f"CAST({_PR_SCALE} div n AS BIGINT) AS r")
@@ -907,26 +925,28 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y"))
         .distinct()
     )
-    from ..session import lean_shuffle
+    from ..session import lean_shuffle, loop_shuffle_width
 
-    # the peel loop's checkpointed rounds are keys-only (long, long)
-    # shuffles of a shrinking graph — run them at a lean width instead of
-    # the session's initialPartitionNum (400 tasks/round for a 1k-node
-    # fixture graph otherwise; raise the width with the graph on a real
-    # cluster, it's the loop-parallelism knob).  Width A/B at sf0.1
-    # (r15, isolated-warm medians): 32 → 4.18 s, 8 → 3.53 s, 4 → 3.28 s;
-    # 4 matches the streaming entries' lean default and a 100× notch's
-    # 12M-edge rounds still fit ~50 MB/task at this width.
-    with lean_shuffle(spark, 4):
-        edges = pairs.select(
-            F.col("x").alias("src"), F.col("y").alias("dst")
-        ).unionAll(
-            pairs.select(F.col("y").alias("src"), F.col("x").alias("dst"))
-        ).localCheckpoint(eager=True)
+    # the corpus-sized pair pipeline materializes at SESSION width (AQE
+    # coalesces the small case); the peel loop's checkpointed rounds are
+    # keys-only (long, long) shuffles of a shrinking graph — run them at
+    # a DERIVED lean width (r16, VERDICT r15 next #5: the literal 4 was
+    # an sf0.1 A/B on this box — 32 → 4.18 s, 8 → 3.53 s, 4 → 3.28 s
+    # isolated-warm medians — but a constant is the r13 core-count
+    # task-OOM class at 100 TB; loop_shuffle_width keeps ~2M edge rows
+    # per loop task and floors at the measured 4, so fixture-scale plans
+    # are unchanged).
+    edges = pairs.select(
+        F.col("x").alias("src"), F.col("y").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("y").alias("src"), F.col("x").alias("dst"))
+    ).localCheckpoint(eager=True)
+    n_edge_rows = edges.count()
+    with lean_shuffle(spark, loop_shuffle_width(n_edge_rows, floor=4)):
         nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(
             eager=True
         )
-        m = edges.count() // 2
+        m = n_edge_rows // 2
         n = nodes.count()
         k = (4 * m) // (3 * n)
 

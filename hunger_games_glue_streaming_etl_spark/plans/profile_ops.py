@@ -1,6 +1,6 @@
 """Table profiling — the ``ANALYZE TABLE``-shaped statistics pass every
 warehouse runs before planning and every data pipeline runs on intake:
-per-column row/null/distinct counts and min/max, in ONE scan.
+per-column row/null/distinct counts and min/max.
 
 The reference has no profiling surface (its schema knowledge is the Glue
 catalog's static registration, SURVEY §1.3); this is the engine-extension
@@ -16,19 +16,21 @@ restricted to integer and varchar columns, whose string rendering is
 bit-identical across engines (doubles/timestamps render differently and
 would need per-type formatting contracts).
 
-100 TB posture: one scan over the table; every aggregate has a map-side
-partial (distinct counts go through Spark's two-phase Expand plan — the
-shuffle carries (column, value) pairs, not rows); the result is
-#columns rows.  The scan reads ONLY the profiled columns
-(``ReadSchema`` pruning, asserted in ``tests/test_plan_shapes.py``
-patterns)."""
+100 TB posture (r16): one independent column-pruned subtree per profiled
+column — columnar parquet makes six 1-column scans the same total I/O as
+one 6-column scan — each feeding a two-level aggregate whose shuffle
+carries (value, count) pairs bounded by the column's NDV (map-side
+partials); the result is #columns rows.  Every scan's ``ReadSchema``
+holds exactly its one column (asserted in ``tests/test_plan_shapes.py``),
+and there is no Expand anywhere (the old wide form's 7-way Expand
+multiplied scan rows by #distinct-aggs before the shuffle)."""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.batch import fan_out, load_table
+from ..sources.batch import load_table
 from .registry import register
 
 # (column, table) pairs profiled: lineitem's integer keys + flag columns.
@@ -55,43 +57,61 @@ _ORACLE = "\nUNION ALL\n".join(
 )
 
 
-@register("profile_table_columns", oracle=_ORACLE)
-def profile_table_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-scan column profile of ``lineitem``: all per-column aggregates
-    computed in a single wide aggregation row, then stacked to long form
-    (#columns result rows) — the table is read once no matter how many
-    columns are profiled."""
-    # the fixture parquet is a single row group ⇒ a 1-partition scan that
-    # maxPartitionBytes cannot split; the 6-way distinct Expand is the
-    # per-row-heavy case the fan_out gate exists for (measured 8.7 → 1.3 s
-    # at sf0.1).  Project FIRST so the repartition ships only the profiled
-    # columns; no-op on real multi-split sources.
-    li = fan_out(load_table(spark, sf_dir, "lineitem").select(*PROFILE_COLUMNS))
-    aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in PROFILE_COLUMNS:
-        aggs += [
-            F.count(c).alias(f"__nn_{c}"),
-            F.countDistinct(c).alias(f"__nd_{c}"),
-            F.min(c).cast("string").alias(f"__min_{c}"),
-            F.max(c).cast("string").alias(f"__max_{c}"),
-        ]
-    wide = li.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', __n - __nn_{c}, __nd_{c}, __min_{c}, __max_{c}"
-        for c in PROFILE_COLUMNS
-    )
-    return wide.selectExpr(
-        f"stack({len(PROFILE_COLUMNS)}, {stack_args}) AS "
-        "(column_name, n_nulls, n_distinct, min_value, max_value)",
-        "__n",
+def _column_profile_subtree(li: DataFrame, c: str) -> DataFrame:
+    """Per-column two-level profile: partial-aggregated distinct-value
+    counts (groupBy the value — map-side combinable, the shuffle carries
+    (value, count) pairs bounded by the column's NDV), then one singleton
+    rollup computing every statistic from the value histogram."""
+    g = li.select(c).groupBy(c).agg(F.count("*").alias("__cnt"))
+    return g.agg(
+        F.sum("__cnt").cast("long").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col(c).isNull(), F.col("__cnt"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_nulls"),
+        F.count(c).cast("long").alias("n_distinct"),
+        F.min(c).cast("string").alias("min_value"),
+        F.max(c).cast("string").alias("max_value"),
     ).select(
-        "column_name",
-        F.col("__n").cast("long").alias("n_rows"),
-        F.col("n_nulls").cast("long"),
-        F.col("n_distinct").cast("long"),
+        F.lit(c).alias("column_name"),
+        "n_rows",
+        "n_nulls",
+        "n_distinct",
         "min_value",
         "max_value",
     )
+
+
+@register("profile_table_columns", oracle=_ORACLE)
+def profile_table_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of ``lineitem`` in long form — one independent
+    column-pruned subtree per profiled column, unioned.
+
+    r16 restructure (guide §2.3/§2.4; VERDICT r15 next #4): the wide form
+    put six ``countDistinct`` on six DIFFERENT columns into one
+    aggregate, which plans as a 7-way Expand — every scan row multiplied
+    seven-fold before the partial aggregate, with 25 aggregate buffers
+    evaluated per expanded row — behind a full round-robin repartition of
+    all six columns (``fan_out``).  The union form gives each column its
+    own scan pruned to THAT COLUMN ONLY (columnar parquet: six 1-column
+    scans read exactly the bytes of one 6-column scan) feeding a
+    two-level aggregate: groupBy(value) with map-side partials — the
+    shuffle carries (value, count) pairs bounded by the column's NDV —
+    then a singleton rollup deriving rows/nulls/NDV/min/max from the
+    value histogram.  No Expand, no raw-row repartition, and the six
+    subtrees schedule in parallel (they are branches of one union), so
+    the single-row-group fixture scan no longer serializes the pass.
+    Isolated-warm A/B at sf0.1: wide+fan_out 3.41 s → 1.13 s median
+    (variants measured: stack-unpivot two-level 1.82 s, per-column
+    single-distinct aggregates 2.03 s — the value-histogram union wins).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = [_column_profile_subtree(li, c) for c in PROFILE_COLUMNS]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
 
 
 _APPROX_ORACLE = "\nUNION ALL\n".join(
@@ -121,37 +141,39 @@ def profile_table_columns_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch admits.  (The exact column exists only to power the gate; the
     100 TB deployment would drop it and keep the sketches.)
 
-    Plan note: the exact and approx aggregates run as TWO single-row
-    aggregations cross-joined (1×1), not one wide agg — mixing six
-    ``countDistinct`` with six HLL sketches in one aggregate drags the
-    sketch columns through the 7-way Expand the distincts need, and the
-    combined plan measured 40 s vs ~5 s split (the Expand multiplies scan
-    rows by #distinct-aggs; the HLL pass alone is ~0.7 s)."""
-    li = fan_out(load_table(spark, sf_dir, "lineitem").select(*PROFILE_COLUMNS))
-    exact_aggs = [F.count(F.lit(1)).alias("__n")] + [
-        F.countDistinct(c).alias(f"__nd_{c}") for c in PROFILE_COLUMNS
-    ]
-    approx_aggs = [
-        F.approx_count_distinct(c, rsd=0.02).alias(f"__ad_{c}")
-        for c in PROFILE_COLUMNS
-    ]
-    wide = li.agg(*exact_aggs).crossJoin(li.agg(*approx_aggs))
-    stack_args = ", ".join(
-        f"'{c}', __nd_{c}, __ad_{c}" for c in PROFILE_COLUMNS
-    )
-    return wide.selectExpr(
-        f"stack({len(PROFILE_COLUMNS)}, {stack_args}) AS "
-        "(column_name, exact_distinct, __approx)",
-        "__n",
-    ).select(
-        "column_name",
-        F.col("__n").cast("long").alias("n_rows"),
-        F.col("exact_distinct").cast("long"),
-        (
-            F.abs(F.col("__approx") - F.col("exact_distinct"))
-            <= F.col("exact_distinct") * 0.05
-        ).alias("within_tolerance"),
-    )
+    Plan note (r16): same per-column union restructure as
+    ``profile_table_columns`` (no Expand, no raw-row ``fan_out``), with
+    the HLL sketch computed AT THE SECOND LEVEL over the distinct-value
+    histogram instead of in a separate corpus pass: a HyperLogLog sketch
+    depends only on the SET of hashed values, and the second level's
+    rows ARE that set in the column's original type, so the estimate is
+    bit-identical to the raw-column sketch (verified equal at sf0.001 /
+    0.01 / 0.1 for all six columns) while the sketch pass rides the
+    aggregation the exact NDV already pays.  Isolated-warm A/B at
+    sf0.1: 3.39 s → 1.72 s median."""
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = []
+    for c in PROFILE_COLUMNS:
+        g = li.select(c).groupBy(c).agg(F.count("*").alias("__cnt"))
+        parts.append(
+            g.agg(
+                F.sum("__cnt").cast("long").alias("n_rows"),
+                F.count(c).cast("long").alias("exact_distinct"),
+                F.approx_count_distinct(c, rsd=0.02).alias("__approx"),
+            ).select(
+                F.lit(c).alias("column_name"),
+                "n_rows",
+                "exact_distinct",
+                (
+                    F.abs(F.col("__approx") - F.col("exact_distinct"))
+                    <= F.col("exact_distinct") * 0.05
+                ).alias("within_tolerance"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
 
 
 # (display name, table, key column) — the join keys a planner would ask

@@ -1252,7 +1252,18 @@ def streaming_ensemble_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     results: list = []
 
     def serve(batch_df: DataFrame, _epoch: int) -> None:
-        qf = batch_df.select("qid", F.col("qv").alias("__qv"))
+        # collect the micro-batch's queries (bounded — the serving batch,
+        # not the corpus) and rebuild them as a LocalRelation: every
+        # broadcast of the query frame inside the scoring plan then costs
+        # zero Spark jobs and the staged JSON is read once per trigger
+        # instead of once per consumer (r16 — the serve wall was
+        # scheduling of tiny broadcast/stage jobs, not compute)
+        rows = batch_df.select("qid", "qv").collect()
+        if not rows:
+            return
+        qf = spark.createDataFrame(rows, schema).select(
+            "qid", F.col("qv").alias("__qv")
+        )
         out = ensemble_ann_topk_batch(
             emb, qf, cents, n_probe, k=_K, refine=refine, frozen=frozen
         )

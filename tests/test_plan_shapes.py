@@ -150,13 +150,24 @@ def test_pack_window_partitions_by_source(spark):
     assert any("source" in l for l in win_lines)
 
 
-def test_profile_single_scan_with_pruned_columns(spark):
-    """The profiler reads lineitem ONCE and only the profiled columns —
-    #columns result rows must not mean #columns scans."""
+def test_profile_pruned_per_column_scans_no_expand(spark):
+    """The profiler reads each profiled column exactly once: one
+    column-pruned subtree per column (six 1-column scans = the I/O of one
+    6-column scan), two-level aggregation with map-side partials, and NO
+    Expand (the old wide form's 7-way Expand multiplied scan rows by
+    #distinct-aggs — r16 restructure)."""
+    from hunger_games_glue_streaming_etl_spark.plans.profile_ops import (
+        PROFILE_COLUMNS,
+    )
+
     plan = _plan(QUERIES["profile_table_columns"](spark, SF_DIR))
-    assert plan.count("lineitem.parquet") == 1
-    read = [l for l in plan.splitlines() if "lineitem.parquet" in l]
-    assert read and "l_extendedprice" not in read[0] and "l_quantity" not in read[0]
+    reads = [l for l in plan.splitlines() if "lineitem.parquet" in l]
+    assert len(reads) == len(PROFILE_COLUMNS)
+    # every scan reads exactly ONE column, and only profiled ones
+    for line in reads:
+        assert sum(1 for c in PROFILE_COLUMNS if c in line) == 1
+        assert "l_extendedprice" not in line and "l_quantity" not in line
+    assert "Expand" not in plan
     assert "partial_count" in plan or "partial_min" in plan  # map-side partials
 
 

@@ -295,3 +295,19 @@ def test_env_gate_flip_registers_gated_entries(monkeypatch):
         finally:
             registry.QUERIES.pop("streaming_transform_with_state", None)
             registry.ORACLE.pop("streaming_transform_with_state", None)
+
+
+def test_loop_shuffle_width_scales_with_rows():
+    """The iterative-loop shuffle width is a corpus-derived dial, not a
+    local-mode literal (VERDICT r15 next #5): fixture-scale row counts
+    evaluate to the floor the r15 A/Bs measured (plans unchanged), while
+    cluster-scale edge sets widen the loop at ~2M rows per task."""
+    from hunger_games_glue_streaming_etl_spark.session import loop_shuffle_width
+
+    # fixture scale: all loop states are far under one task's budget
+    assert loop_shuffle_width(12_000, floor=4) == 4
+    assert loop_shuffle_width(300_000, floor=8) == 8
+    # a 100x-notch graph (~12M edge rows) starts to widen past the floor
+    assert loop_shuffle_width(12_000_000, floor=4) == 6
+    # cluster scale: ~2M rows per task
+    assert loop_shuffle_width(10_000_000_000, floor=8) == 5_000
