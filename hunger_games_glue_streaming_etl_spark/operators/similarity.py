@@ -1286,6 +1286,12 @@ def ensemble_frozen_state(
     spark = embeddings.sparkSession
     dial_row = sq8_clipped_dials(embeddings, vec_col).collect()[0]
     dial = spark.createDataFrame([dial_row])
+    # stash the collected scale on the frame: each micro-batch serve
+    # needs the Python value, and a LocalRelation .collect() still costs
+    # a full SQL-execution round-trip (~0.3 s/serve measured) — the
+    # value is the SAME collected double either way, so this is a pure
+    # job-count cut, not a semantic change
+    dial._hg_a_val = float(dial_row["__a"])
     dv = F.col(vec_col).cast("array<double>")
     coded = embeddings.crossJoin(F.broadcast(dial)).select(
         F.col(id_col),
@@ -1295,6 +1301,11 @@ def ensemble_frozen_state(
         ),
     )
     cn = [_unit(c) for c in centroids]
+    # (r16 A/B note: coalescing the state to a rows-derived width before
+    # the checkpoint — to cut per-serve task counts — collapsed the
+    # assignment-kernel stage and made the frozen BUILD 3-4x slower at
+    # sf0.1; per-serve scan cost was unchanged.  Reverted: the serve wall
+    # was driver round-trips, not task counts.)
     state = _assign_cluster(coded, cn, "__v").localCheckpoint(eager=True)
     # `codes` carries the cluster column too, so the single-pass serve
     # scans the checkpoint directly instead of re-joining projections
@@ -1312,6 +1323,7 @@ def ensemble_ann_topk_batch(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     frozen: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    qrows: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Multi-query ENSEMBLE serving TOP-K — the set-oriented form of
     ``ensemble_ann_topk`` for a QUERY BATCH arriving as a frame
@@ -1352,7 +1364,12 @@ def ensemble_ann_topk_batch(
     dv = F.col(vec_col).cast("array<double>")
     if frozen is not None:
         dial, codes, assigned = frozen
-        a_val = float(dial.collect()[0]["__a"])
+        # the frozen builder stashes the collected scale on the frame —
+        # re-collecting a LocalRelation costs a full SQL-execution
+        # round-trip per serve for the identical value
+        a_val = getattr(dial, "_hg_a_val", None)
+        if a_val is None:
+            a_val = float(dial.collect()[0]["__a"])
         state = (
             codes
             if "__cluster" in codes.columns
@@ -1385,15 +1402,24 @@ def ensemble_ann_topk_batch(
             s += float(x) * float(y)
         return s
 
-    qrows = qframe.select("qid", "__qv").collect()
+    # ``qrows`` lets a caller that has ALREADY collected the query batch
+    # (the streaming serve's foreachBatch collects it to build the
+    # LocalRelation) pass the (qid, vector) pairs straight through —
+    # re-collecting the LocalRelation cost a full SQL-execution
+    # round-trip per serve for the same values
+    if qrows is None:
+        qrows = [
+            (r["qid"], r["__qv"])
+            for r in qframe.select("qid", "__qv").collect()
+        ]
     qmeta_rows = []
-    for r in qrows:
-        qv = [float(x) for x in r["__qv"]]
+    for qid_v, qv_in in qrows:
+        qv = [float(x) for x in qv_in]
         qq = [_code_py(x) for x in qv]
         cdots = [_dot_py(c, qv) for c in centroids]
         order = sorted(range(len(centroids)), key=lambda i: (-cdots[i], i))
         probe = sorted(order[: int(n_probe)])
-        qmeta_rows.append((int(r["qid"]), qv, qq, probe))
+        qmeta_rows.append((int(qid_v), qv, qq, probe))
     qmeta = spark.createDataFrame(
         qmeta_rows,
         "qid long, __qv array<double>, __qq array<long>, __probe array<int>",

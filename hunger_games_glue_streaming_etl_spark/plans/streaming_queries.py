@@ -1265,7 +1265,17 @@ def streaming_ensemble_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid", F.col("qv").alias("__qv")
         )
         out = ensemble_ann_topk_batch(
-            emb, qf, cents, n_probe, k=_K, refine=refine, frozen=frozen
+            emb,
+            qf,
+            cents,
+            n_probe,
+            k=_K,
+            refine=refine,
+            frozen=frozen,
+            # pass the already-collected batch through — the serve wall
+            # is driver round-trips, and re-collecting the LocalRelation
+            # inside the scorer re-pays one per trigger (r16)
+            qrows=[(r["qid"], r["qv"]) for r in rows],
         )
         results.extend(out.collect())
 
