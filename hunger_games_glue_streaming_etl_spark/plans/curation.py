@@ -99,6 +99,10 @@ def clean_corpus(docs: DataFrame) -> DataFrame:
     # canonical join, and the survivor join — without pinning it the
     # regex-heavy quality expression re-runs per consumer (27 scans of
     # the parquet observed in the unpinned plan)
+    # (r16 A/B note: an eager localCheckpoint here measured a WASH
+    # isolated-warm — 3.88 vs 4.02 s median at sf0.1 — the lazy pin's
+    # cache fills on the first consumer and the regex filter does not
+    # re-execute; kept declarative per the r4 measure-first rule.)
     passing = pin(docs.filter(quality_score("text") >= _QUALITY_THRESHOLD))
     groups = exact_dedup_groups(passing)
     canonical_ids = groups.filter(F.col("doc_id") == F.col("canonical_id")).select(
